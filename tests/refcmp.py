@@ -1,0 +1,166 @@
+"""Differential-testing harness: run the compiled reference binary and the
+spec engines on the same inputs and compare output lines.
+
+The reference binary (built from the upstream C sources, not part of this
+repo) is located via $KSW2_REF_BIN.  Tests that need live comparison skip
+when it is absent; the checked-in golden corpus under tests/golden/ is
+generated with make_golden.py while the binary is available.
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import tempfile
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ksw2_tpu.core import cigar as cigarmod
+from ksw2_tpu.core.flags import Flag
+from ksw2_tpu.core.matrix import encode_dna, simple_mat
+
+REF_BIN = os.environ.get("KSW2_REF_BIN", "/tmp/refbuild/ksw2-test")
+
+
+def have_ref() -> bool:
+    return os.path.exists(REF_BIN)
+
+
+def run_ref(
+    algo: str,
+    target: str,
+    query: str,
+    a: int = 2,
+    b: int = 4,
+    q: int = 4,
+    e: int = 2,
+    q2: int = 13,
+    e2: int = 1,
+    w: int = -1,
+    z: int = -1,
+    right: bool = False,
+    score_only: bool = False,
+    approx: bool = False,
+) -> List[str]:
+    """Run the reference CLI on one pair; returns the output fields."""
+    with tempfile.TemporaryDirectory() as td:
+        tf = os.path.join(td, "t.fa")
+        qf = os.path.join(td, "q.fa")
+        with open(tf, "w") as f:
+            f.write(f">t\n{target}\n")
+        with open(qf, "w") as f:
+            f.write(f">q\n{query}\n")
+        cmd = [REF_BIN, "-t", algo, "-A", str(a), "-B", str(b),
+               "-O", f"{q},{q2}", "-E", f"{e},{e2}", "-w", str(w), "-z", str(z)]
+        if right:
+            cmd.append("-r")
+        if score_only:
+            cmd.append("-s")
+        if approx:
+            cmd.append("-g")
+        cmd += [tf, qf]
+        out = subprocess.run(cmd, capture_output=True, check=True).stdout
+    # exts2 CIGARs contain op 3 (N); the reference CLI indexes past "MID" and
+    # prints the string's NUL terminator -- normalize that byte to 'N'.
+    line = out.decode("latin-1").replace("\x00", "N").strip()
+    return line.split("\t")[2:]  # drop the name columns
+
+
+def run_spec(
+    algo: str,
+    target: str,
+    query: str,
+    a: int = 2,
+    b: int = 4,
+    q: int = 4,
+    e: int = 2,
+    q2: int = 13,
+    e2: int = 1,
+    w: int = -1,
+    z: int = -1,
+    right: bool = False,
+    score_only: bool = False,
+    approx: bool = False,
+    backend: str = "spec",
+) -> List[str]:
+    """Run one of our engines with CLI-equivalent dispatch (cli.c:50-132)."""
+    from ksw2_tpu.spec import diagdiff
+    if algo in ("gg", "extz", "extd"):
+        from ksw2_tpu.spec import rowdp
+
+    mat = simple_mat(5, a, -b)
+    qs = encode_dna(query)
+    ts = encode_dna(target)
+    flag = Flag.NONE
+    if right:
+        flag |= Flag.RIGHT
+    if score_only:
+        flag |= Flag.SCORE_ONLY
+    if approx:
+        flag |= Flag.APPROX_MAX | Flag.APPROX_DROP
+
+    if algo == "extz2_sse":
+        ez, _ = diagdiff.extz2(qs, ts, 5, mat, q, e, w=w, zdrop=z, flag=flag)
+    elif algo == "extd2_sse":
+        ez, _ = diagdiff.extd2(qs, ts, 5, mat, q, e, q2, e2, w=w, zdrop=z, flag=flag)
+    elif algo == "exts2_sse":
+        smat = simple_mat(5, 1, -2)
+        ez, _ = diagdiff.exts2(
+            qs, ts, 5, smat, 2, 1, 32, 4, zdrop=z, junc_bonus=0,
+            flag=flag | Flag.SPLICE_FOR,
+        )
+    elif algo == "extf2_sse":
+        ez = diagdiff.extf2(qs, ts, int(mat[0]), int(mat[1]), e, w=w, xdrop=z)
+    elif algo == "gg2_sse":
+        score, cig, _ = diagdiff.gg2_sse(qs, ts, 5, mat, q, e, w=w)
+        return _gg_fields(score, cig)
+    elif algo == "gg2":
+        score, cig, _ = diagdiff.gg2(qs, ts, 5, mat, q, e, w=w, with_cigar=not score_only)
+        return _gg_fields(score, cig if not score_only else [])
+    elif algo == "gg":
+        score, cig = rowdp.gg(qs, ts, 5, mat, q, e, w=w, with_cigar=not score_only)
+        return _gg_fields(score, cig if not score_only else [])
+    elif algo == "extz":
+        ez = rowdp.extz(qs, ts, 5, mat, q, e, w=w, zdrop=z, flag=flag)
+    elif algo == "extd":
+        ez = rowdp.extd(qs, ts, 5, mat, q, e, q2, e2, w=w, zdrop=z, flag=flag)
+    else:
+        raise ValueError(algo)
+    return ez.tsv_fields()
+
+
+def _gg_fields(score: int, cig: Sequence[int]) -> List[str]:
+    # The CLI prints gg-family results through the shared print_aln with the
+    # ez fields reset by global_aln (max=0, coords -1) -- cli.c:55-57,134-145.
+    fields = [str(score), "0", "-1", "-1"]
+    if cig:
+        fields.append("".join(f"{c >> 4}{'MIDN'[c & 0xF]}" for c in cig))
+    return fields
+
+
+def random_pair(rng: np.random.Generator, tlen: int, divergence: float = 0.1,
+                indel: float = 0.05, with_n: bool = False) -> tuple[str, str]:
+    """A target and a mutated copy as query (realistic alignment workload)."""
+    alpha = "ACGT" + ("N" if with_n else "")
+    t = "".join(rng.choice(list("ACGT"), size=tlen))
+    qchars: List[str] = []
+    i = 0
+    while i < tlen:
+        r = rng.random()
+        if r < indel / 2:  # deletion
+            i += int(rng.integers(1, 8))
+            continue
+        if r < indel:  # insertion
+            qchars.extend(rng.choice(list(alpha), size=int(rng.integers(1, 8))))
+        if rng.random() < divergence:
+            qchars.append(str(rng.choice(list(alpha))))
+        else:
+            qchars.append(t[i])
+        i += 1
+    q = "".join(qchars)
+    if not q:
+        q = "A"
+    return t, q
+
+
+__all__ = ["have_ref", "run_ref", "run_spec", "random_pair", "REF_BIN"]
