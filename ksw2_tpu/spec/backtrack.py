@@ -41,6 +41,15 @@ def backtrack(
 ) -> List[int]:
     """Walk from cell ``(i0, j0)`` back to the origin, emitting a CIGAR."""
     p = p.reshape(-1)
+
+    def _read(idx: int) -> int:
+        # The reference indexes the flat matrix without bounds checks; a walk
+        # that escapes the band (row layout has no off_end) reads the next
+        # row's bytes, and past the buffer reads fresh-mmap zeros (verified
+        # identical under kalloc and malloc).  Flat indexing reproduces the
+        # in-buffer reads; out-of-buffer reads return 0.
+        return int(p[idx]) if 0 <= idx < p.size else 0
+
     cigar: List[int] = []
     i, j, state = i0, j0, 0
     while i >= 0 and j >= 0:
@@ -51,13 +60,13 @@ def backtrack(
                 force_state = 2
             if off_end is not None and i > off_end[r]:
                 force_state = 1
-            tmp = int(p[r * n_col + i - off[r]]) if force_state < 0 else 0
+            tmp = _read(r * n_col + i - off[r]) if force_state < 0 else 0
         else:
             if j < off[i]:
                 force_state = 2
             if off_end is not None and j > off_end[i]:
                 force_state = 1
-            tmp = int(p[i * n_col + j - off[i]]) if force_state < 0 else 0
+            tmp = _read(i * n_col + j - off[i]) if force_state < 0 else 0
         if state == 0:
             state = tmp & 7  # at an H cell: take whichever state won the max
         elif not (tmp >> (state + 2)) & 1:
