@@ -1,0 +1,57 @@
+"""Host-side band bookkeeping shared by the kernels and the traceback.
+
+All quantities are pure functions of (r, qlen, tlen, w) and mirror the
+reference's rotated-coordinate band math (ksw2_extz2_sse.c:107-116),
+including the 16-lane rounding that is part of observable behavior.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def band_bounds(n_diag: int, qlen: int, tlen: int, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """True (unrounded) band [st0, en0] per diagonal."""
+    r = np.arange(n_diag, dtype=np.int64)
+    st0 = np.maximum(0, np.maximum(r - qlen + 1, (r - w + 1) >> 1))
+    en0 = np.minimum(tlen - 1, np.minimum(r, (r + w) >> 1))
+    return st0, en0
+
+
+def band_bounds_rounded(
+    n_diag: int, qlen: int, tlen: int, w: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(st0, en0, st, en): true and 16-rounded band bounds per diagonal."""
+    st0, en0 = band_bounds(n_diag, qlen, tlen, w)
+    st = st0 // 16 * 16
+    en = (en0 + 16) // 16 * 16 - 1
+    return st0, en0, st, en
+
+
+def storage_offsets(st: np.ndarray) -> np.ndarray:
+    """128-aligned storage offset of each stored direction row.
+
+    The TPU kernel copies a 128-aligned window of the t-axis per diagonal, so
+    stored byte k of row r is t = off128[r] + k (cf. the reference's off[r]
+    which equals the 16-rounded st).
+    """
+    return st // 128 * 128
+
+
+def n_col_bytes(qlen: int, tlen: int, w: int) -> int:
+    """The reference's stored row width in bytes (n_col_ * 16)."""
+    n_col = min(qlen, tlen)
+    n_col = (min(n_col, w + 1) + 15) // 16 + 1
+    return n_col * 16
+
+
+def round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+__all__ = [
+    "band_bounds",
+    "band_bounds_rounded",
+    "storage_offsets",
+    "n_col_bytes",
+    "round_up",
+]
