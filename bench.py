@@ -1,0 +1,89 @@
+"""Headline benchmark: DP Gcells/s on the reference's 50k pair, one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: ksw2_extz2_sse SSE4.1 exact-max score-only on the same pair,
+measured on this machine at 1.31 Gcells/s (BASELINE.md).
+"""
+from __future__ import annotations
+
+import gzip
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_GCELLS = 1.31  # ksw2 extz2_sse -s (exact max), this machine
+
+
+def read_fa(path: str) -> str:
+    op = gzip.open if path.endswith(".gz") else open
+    cur = []
+    with op(path, "rt") as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith(">"):
+                if cur:
+                    break
+            else:
+                cur.append(line)
+    return "".join(cur)
+
+
+def main() -> None:
+    import jax
+    from ksw2_tpu.core.flags import Flag
+    from ksw2_tpu.core.matrix import encode_dna, simple_mat
+
+    t = read_fa("/root/reference/test/t2.fa.gz")
+    q = read_fa("/root/reference/test/q2.fa.gz")
+    ts, qs = encode_dna(t), encode_dna(q)
+    mat = simple_mat(5, 2, 4)
+    cells = len(t) * len(q) / 1e9
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        from ksw2_tpu.ops.extz import extz2_device
+
+        flag = Flag.SCORE_ONLY
+        ez, _ = extz2_device(qs, ts, 5, mat, 4, 2, flag=flag)  # compile
+        n_rep = 3
+        t0 = time.time()
+        for _ in range(n_rep):
+            ez, _ = extz2_device(qs, ts, 5, mat, 4, 2, flag=flag)
+        dt = (time.time() - t0) / n_rep
+        assert ez.score == 69932, ez.score  # parity anchor (reference output)
+        gcells = cells / dt
+    else:
+        # CPU fallback: XLA batch engine on a trimmed pair (keeps CI honest)
+        from ksw2_tpu.ops.batch_xla import BatchSpec, extz_batch_scores
+        import jax.numpy as jnp
+
+        L = 4096
+        spec = BatchSpec(Lq=L, Lt=L, m=5, sc_mch=2, sc_mis=-4, sc_N=-2,
+                         q=4, e=2, zdrop=-1, flag=int(Flag.SCORE_ONLY))
+        Q = np.zeros((1, L), np.int32)
+        T = np.zeros((1, L), np.int32)
+        Q[0] = qs[:L]
+        T[0] = ts[:L]
+        args = (jnp.asarray(Q), jnp.asarray(T),
+                jnp.asarray([L], np.int32), jnp.asarray([L], np.int32),
+                jnp.asarray([L], np.int32))
+        out = extz_batch_scores(spec, *args)
+        _ = np.asarray(out["score"])
+        t0 = time.time()
+        out = extz_batch_scores(spec, *args)
+        _ = np.asarray(out["score"])
+        dt = time.time() - t0
+        gcells = (L * L / 1e9) / dt
+
+    print(json.dumps({
+        "metric": "extz_50k_exact_score_gcells_per_s",
+        "value": round(gcells, 3),
+        "unit": "Gcells/s",
+        "vs_baseline": round(gcells / BASELINE_GCELLS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Pair-batch scheduler: bucketing, padding, dispatch.
+
+The reference processes pairs serially (cli.c:220-248); the TPU-native
+replacement pads and buckets pairs by length so thousands advance together
+through the batched wavefront (the kalloc arena's role -- allocation reuse
+across millions of calls -- becomes shape-bucketed compilation reuse: one
+XLA program per bucket shape, device buffers recycled by the runtime).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.flags import Flag
+from ..core.result import ExtzResult
+from ..ops.batch_xla import BatchSpec, extz_batch_scores
+
+
+def _bucket_len(n: int, quantum: int = 128) -> int:
+    """Round a length up to a bucket size (geometric-ish steps of 128)."""
+    n = max(n, 1)
+    b = quantum
+    while b < n:
+        b = b * 2 if b < 2048 else b + 2048
+    return b
+
+
+@dataclasses.dataclass
+class AlignJob:
+    query: np.ndarray   # encoded uint8
+    target: np.ndarray
+    w: int = -1
+
+
+def align_batch_scores(
+    jobs: Sequence[AlignJob],
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    zdrop: int = -1,
+    flag: Flag | int = Flag.SCORE_ONLY,
+    run_fn=None,
+) -> List[ExtzResult]:
+    """Score a batch of extension jobs (one-piece affine), bucketed by shape.
+
+    ``run_fn(spec, Q, T, qlen, tlen, w) -> dict`` defaults to the local
+    single-device batched engine; :mod:`ksw2_tpu.parallel` supplies a
+    mesh-sharded variant with the same signature.
+    """
+    flag = Flag(int(flag)) | Flag.SCORE_ONLY
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+    run = run_fn or (lambda spec, *a: extz_batch_scores(spec, *a))
+
+    results: List[Optional[ExtzResult]] = [None] * len(jobs)
+    min_sc = int(mat[1:].min())
+    buckets: Dict[Tuple[int, int], List[int]] = {}
+    for i, job in enumerate(jobs):
+        if len(job.query) == 0 or len(job.target) == 0 or -min_sc > 2 * (q + e):
+            ez = ExtzResult()
+            ez.reset()
+            results[i] = ez
+            continue
+        key = (_bucket_len(len(job.query)), _bucket_len(len(job.target)))
+        buckets.setdefault(key, []).append(i)
+
+    for (Lq, Lt), idxs in buckets.items():
+        B = len(idxs)
+        Q = np.zeros((B, Lq), np.int32)
+        T = np.zeros((B, Lt), np.int32)
+        qlen = np.zeros(B, np.int32)
+        tlen = np.zeros(B, np.int32)
+        wv = np.zeros(B, np.int32)
+        for k, i in enumerate(idxs):
+            job = jobs[i]
+            Q[k, : len(job.query)] = job.query
+            T[k, : len(job.target)] = job.target
+            qlen[k] = len(job.query)
+            tlen[k] = len(job.target)
+            wv[k] = job.w if job.w >= 0 else max(len(job.query), len(job.target))
+        spec = BatchSpec(Lq=Lq, Lt=Lt, m=m, sc_mch=int(mat[0]),
+                         sc_mis=int(mat[1]), sc_N=sc_N, q=int(q), e=int(e),
+                         zdrop=int(zdrop), flag=int(flag))
+        out = run(spec, jnp.asarray(Q), jnp.asarray(T), jnp.asarray(qlen),
+                  jnp.asarray(tlen), jnp.asarray(wv))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        for k, i in enumerate(idxs):
+            ez = ExtzResult()
+            ez.reset()
+            ez.max = int(out["max"][k])
+            ez.max_t = int(out["max_t"][k])
+            ez.max_q = int(out["max_q"][k])
+            ez.mqe = int(out["mqe"][k])
+            ez.mqe_t = int(out["mqe_t"][k])
+            ez.mte = int(out["mte"][k])
+            ez.mte_q = int(out["mte_q"][k])
+            ez.score = int(out["score"][k])
+            ez.zdropped = bool(out["zdropped"][k])
+            results[i] = ez
+    return results  # type: ignore[return-value]
+
+
+__all__ = ["AlignJob", "align_batch_scores"]

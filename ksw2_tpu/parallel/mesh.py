@@ -1,0 +1,88 @@
+"""Multi-chip scale-out: data-parallel sharding of the pair batch.
+
+The reference has no distributed story (single-threaded C); the TPU-native
+equivalent shards the padded pair batch over a ``jax.sharding.Mesh`` with
+``shard_map`` -- pairs are independent, so the forward needs no collectives;
+result records are gathered back (``out_specs`` sharded, XLA inserts the
+all-gather on host fetch), and an optional ``psum`` aggregates batch
+statistics over ICI to exercise the collective path.
+
+Multi-host: call :func:`init_distributed` first (jax.distributed), then
+build the mesh over all devices; each host feeds its local shard.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.batch_xla import BatchSpec, extz_batch_scores
+
+
+def init_distributed(coordinator: Optional[str] = None, **kw) -> None:
+    """Initialize multi-host JAX (no-op when single-process)."""
+    if jax.process_count() > 1 or coordinator:
+        jax.distributed.initialize(coordinator_address=coordinator, **kw)
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def sharded_extz_scores(mesh: Mesh, spec: BatchSpec, query, target, qlen, tlen, w):
+    """Run the batched scorer with the batch axis sharded over the mesh.
+
+    The batch dimension must be divisible by the mesh size (the scheduler
+    pads).  Returns the same result dict, fully addressable on the host,
+    plus a ``batch_max`` scalar reduced with ``psum``-style collectives.
+    """
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(None, axis), P()),
+        check_rep=False,
+    )
+    def _run(Q, T, ql, tl, wv):
+        out = extz_batch_scores(spec, Q, T, ql, tl, wv)
+        # aggregate statistic over the mesh (exercises ICI collectives)
+        local_best = jnp.max(out["max"])
+        best = jax.lax.pmax(local_best, axis)
+        stacked = jnp.stack([out[k] for k in _FIELDS], axis=0)
+        return stacked, best[None]
+
+    stacked, best = _run(query, target, qlen, tlen, w)
+    out = {k: stacked[i] for i, k in enumerate(_FIELDS)}
+    out["batch_max"] = best[0]
+    return out
+
+
+_FIELDS = ("max", "max_t", "max_q", "mqe", "mqe_t", "mte", "mte_q",
+           "score", "zdropped")
+
+
+def pad_batch_for_mesh(arrays, n_shards: int):
+    """Pad the leading batch dim of each array to a multiple of n_shards."""
+    B = arrays[0].shape[0]
+    Bp = (B + n_shards - 1) // n_shards * n_shards
+    if Bp == B:
+        return arrays, B
+    out = []
+    for a in arrays:
+        pad = [(0, Bp - B)] + [(0, 0)] * (a.ndim - 1)
+        out.append(np.pad(np.asarray(a), pad))
+    return out, B
+
+
+__all__ = ["init_distributed", "make_mesh", "sharded_extz_scores",
+           "pad_batch_for_mesh"]

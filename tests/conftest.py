@@ -1,14 +1,23 @@
 import os
 import sys
 
-# Simulate an 8-device mesh on CPU for all multi-chip tests; harmless for the
-# pure-NumPy spec tests.  Must be set before jax is imported anywhere.
+# Run the test suite on an 8-device virtual CPU mesh.  This environment's
+# terminal pins JAX_PLATFORMS=axon via config (env alone is overridden), so
+# force the platform through jax.config before any backend initializes.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:  # jax missing or backends already initialized
+    pass
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

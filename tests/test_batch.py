@@ -1,0 +1,45 @@
+"""Batched XLA engine + scheduler vs the spec engine."""
+import numpy as np
+import pytest
+
+import refcmp
+from ksw2_tpu.core.flags import Flag
+from ksw2_tpu.core.matrix import simple_mat, encode_dna
+from ksw2_tpu.batch.scheduler import AlignJob, align_batch_scores
+from ksw2_tpu.spec import diagdiff
+
+
+@pytest.mark.parametrize("flag,zdrop", [
+    (Flag.SCORE_ONLY, -1),
+    (Flag.SCORE_ONLY, 20),
+    (Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.APPROX_DROP, 20),
+])
+def test_batch_matches_spec(flag, zdrop):
+    rng = np.random.default_rng(42)
+    jobs = []
+    for _ in range(16):
+        tlen = int(rng.integers(5, 200))
+        t, q = refcmp.random_pair(rng, tlen, divergence=float(rng.uniform(0, 0.4)),
+                                  indel=float(rng.uniform(0, 0.15)), with_n=True)
+        jobs.append(AlignJob(encode_dna(q), encode_dna(t)))
+    mat = simple_mat(5, 2, 4)
+    got = align_batch_scores(jobs, 5, mat, 4, 2, zdrop=zdrop, flag=flag)
+    for job, ez in zip(jobs, got):
+        want, _ = diagdiff.extz2(job.query, job.target, 5, mat, 4, 2,
+                                 w=-1, zdrop=zdrop, flag=flag)
+        assert (ez.score, ez.max, ez.max_t, ez.max_q, ez.mqe, ez.mqe_t,
+                ez.mte, ez.mte_q, ez.zdropped) == \
+               (want.score, want.max, want.max_t, want.max_q, want.mqe,
+                want.mqe_t, want.mte, want.mte_q, want.zdropped)
+
+
+def test_empty_and_degenerate_jobs():
+    mat = simple_mat(5, 2, 4)
+    jobs = [AlignJob(encode_dna("A"), encode_dna("A")),
+            AlignJob(encode_dna(""), encode_dna("ACGT"))]
+    out = align_batch_scores(jobs, 5, mat, 4, 2)
+    # expectation through the spec for the single-base pair
+    want, _ = diagdiff.extz2(jobs[0].query, jobs[0].target, 5, mat, 4, 2,
+                             flag=Flag.SCORE_ONLY)
+    assert out[0].score == want.score
+    assert out[1].score == -0x40000000 and out[1].max_t == -1
