@@ -53,7 +53,7 @@ class ExtzResult:
             # DNA kernels.  N (introns) prints as 'N' here (the reference CLI
             # reads out of bounds for op 3; we print the BAM char instead).
             out.append(
-                "".join(f"{c >> 4}{'MIDN'[c & 0xF]}" for c in self.cigar)
+                "".join(f"{c >> 4}{'MIDNSHP=X'[c & 0xF]}" for c in self.cigar)
             )
         return out
 

@@ -1,0 +1,127 @@
+"""Real-TPU validation sweep (run manually / by verify; not part of pytest).
+
+Usage: python tests/tpu_validate.py [n_cases]
+Writes a summary line per engine; exits nonzero on any mismatch.
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import refcmp  # noqa: E402
+from ksw2_tpu.core.flags import Flag  # noqa: E402
+from ksw2_tpu.core.matrix import encode_dna, simple_mat  # noqa: E402
+from ksw2_tpu.spec import diagdiff  # noqa: E402
+
+
+def readfa(p):
+    cur = []
+    for line in open(p):
+        line = line.strip()
+        if not line.startswith(">"):
+            cur.append(line)
+    return "".join(cur)
+
+
+def sweep_extz(n, rng):
+    from ksw2_tpu.ops.extz import extz2_device
+    fails = 0
+    for i in range(n):
+        tlen = int(rng.choice([40, 80, 120]))
+        t, q = refcmp.random_pair(rng, tlen, divergence=float(rng.uniform(0, 0.4)),
+                                  indel=float(rng.uniform(0, 0.15)),
+                                  with_n=bool(rng.integers(0, 2)))
+        w = int(rng.choice([-1, 5, 16]))
+        z = int(rng.choice([-1, 20]))
+        flag = Flag.NONE
+        if rng.integers(0, 2):
+            flag |= Flag.RIGHT
+        if rng.integers(0, 2):
+            flag |= Flag.SCORE_ONLY
+        if rng.integers(0, 2):
+            flag |= Flag.APPROX_MAX | Flag.APPROX_DROP
+        mat = simple_mat(5, 2, 4)
+        qs, ts = encode_dna(q), encode_dna(t)
+        ez_s, _ = diagdiff.extz2(qs, ts, 5, mat, 4, 2, w=w, zdrop=z, flag=flag)
+        ez_d, _ = extz2_device(qs, ts, 5, mat, 4, 2, w=w, zdrop=z, flag=flag)
+        if ez_s.tsv_fields() != ez_d.tsv_fields():
+            fails += 1
+            print("extz MISMATCH", w, z, int(flag), t[:60], q[:60])
+            print("  spec:", ez_s.tsv_fields())
+            print("  tpu :", ez_d.tsv_fields())
+    return fails
+
+
+def sweep_extd(n, rng):
+    from ksw2_tpu.ops.extd import extd2_device
+    fails = 0
+    for i in range(n):
+        tlen = int(rng.choice([40, 80, 120]))
+        t, q = refcmp.random_pair(rng, tlen, divergence=float(rng.uniform(0, 0.4)),
+                                  indel=float(rng.uniform(0, 0.15)),
+                                  with_n=bool(rng.integers(0, 2)))
+        w = int(rng.choice([-1, 5, 16]))
+        z = int(rng.choice([-1, 20]))
+        flag = Flag.NONE
+        if rng.integers(0, 2):
+            flag |= Flag.RIGHT
+        if rng.integers(0, 2):
+            flag |= Flag.SCORE_ONLY
+        if rng.integers(0, 2):
+            flag |= Flag.APPROX_MAX | Flag.APPROX_DROP
+        if rng.integers(0, 3) == 0 and not (flag & Flag.SCORE_ONLY):
+            flag |= Flag.EQX
+        O, E = int(rng.choice([4, 16])), int(rng.choice([1, 2]))
+        O2, E2 = int(rng.choice([13, 24])), int(rng.choice([1, 2]))
+        mat = simple_mat(5, 2, 4)
+        qs, ts = encode_dna(q), encode_dna(t)
+        ez_s, _ = diagdiff.extd2(qs, ts, 5, mat, O, E, O2, E2, w=w, zdrop=z, flag=flag)
+        ez_d, _ = extd2_device(qs, ts, 5, mat, O, E, O2, E2, w=w, zdrop=z, flag=flag)
+        if ez_s.tsv_fields() != ez_d.tsv_fields():
+            fails += 1
+            print("extd MISMATCH", dict(O=O, E=E, O2=O2, E2=E2, w=w, z=z, flag=int(flag)))
+            print("  spec:", ez_s.tsv_fields())
+            print("  tpu :", ez_d.tsv_fields())
+    return fails
+
+
+def mt_anchors():
+    from ksw2_tpu.ops.extz import extz2_device
+    from ksw2_tpu.ops.extd import extd2_device
+    t = readfa("/root/reference/test/MT-human.fa")
+    q = readfa("/root/reference/test/MT-orang.fa")
+    ts, qs = encode_dna(t), encode_dna(q)
+    mat = simple_mat(5, 2, 4)
+    fails = 0
+    ez, _ = extz2_device(qs, ts, 5, mat, 4, 2, flag=Flag.SCORE_ONLY)
+    if ez.tsv_fields() != ["16102", "17054", "16568", "16024"]:
+        print("MT extz anchor FAIL:", ez.tsv_fields())
+        fails += 1
+    t0 = time.time()
+    ez, _ = extd2_device(qs, ts, 5, mat, 4, 2, 13, 1, flag=Flag.SCORE_ONLY)
+    t0 = time.time()
+    ez, _ = extd2_device(qs, ts, 5, mat, 4, 2, 13, 1, flag=Flag.SCORE_ONLY)
+    dt = time.time() - t0
+    if ez.tsv_fields() != ["17127", "17614", "16568", "16024"]:
+        print("MT extd anchor FAIL:", ez.tsv_fields())
+        fails += 1
+    print(f"MT extd2 score-only: {0.273/dt:.1f} Gcells/s")
+    return fails
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    rng = np.random.default_rng(int(sys.argv[2]) if len(sys.argv) > 2 else 0)
+    f = 0
+    f += sweep_extz(n, rng)
+    print(f"extz sweep done ({n} cases, {f} fails)")
+    fd = sweep_extd(n, rng)
+    f += fd
+    print(f"extd sweep done ({n} cases, {fd} fails)")
+    f += mt_anchors()
+    print("TPU VALIDATION", "FAILED" if f else "PASSED")
+    sys.exit(1 if f else 0)
