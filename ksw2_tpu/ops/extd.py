@@ -11,7 +11,7 @@ import numpy as np
 from ..core import cigar as cigarmod
 from ..core.flags import NEG_INF, Flag
 from ..core.result import ExtzResult
-from ..spec.backtrack import backtrack
+from ..native.bindings import backtrack  # native with Python fallback
 from ..spec.common import c_div
 from ..spec.diagdiff import Trace
 from . import wavefront as wf

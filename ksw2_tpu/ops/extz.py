@@ -16,7 +16,7 @@ import numpy as np
 
 from ..core.flags import NEG_INF, Flag
 from ..core.result import ExtzResult
-from ..spec.backtrack import backtrack
+from ..native.bindings import backtrack  # native with Python fallback
 from ..spec.diagdiff import Trace
 from . import wavefront as wf
 from .bands import band_bounds_rounded, n_col_bytes, round_up
