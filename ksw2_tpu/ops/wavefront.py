@@ -6,11 +6,30 @@ over ``(R, 128)`` delta arrays resident in VMEM, with the diagonal loop
 running *inside* the kernel (a grid step processes a chunk of diagonals and
 streams that chunk's direction-byte rows to HBM).  Byte parity with the
 reference is preserved: band bounds are rounded to 16 lanes exactly as the
-SSE code does, stores outside the rounded band are masked off (so "garbage
-lane" values evolve identically), int8 *wrap* semantics are emulated (Mosaic
-has no int8 vector ALU, so deltas are carried as canonical int8 values in
-int32 lanes and wrapped after each add/sub), and the exact-max path
-reproduces the 4-lane argmax merge order via key encoding.
+SSE code does (ksw2_extz2_sse.c:116), stores outside the rounded band are
+masked off (so "garbage lane" values evolve identically), and the exact-max
+path reproduces the 4-lane argmax merge order of the reference's SSE scan
+(ksw2_extz2_sse.c:224-261) via key encoding.
+
+Representation: every int8 delta is carried as its *unsigned* byte value
+(0..255) in an int32 lane.  Under this canon each SSE byte op is 1-2 cheap
+vector ops: ``add/sub_epi8 -> (a±b)&255``, ``max/min_epu8 -> max/min``,
+``cmpgt_epi8(a,b) -> (a^128)>(b^128)``.  The score profile is stored with
+the ``+2(q+e)`` shift (ksw2_extz2_sse.c:150) and the sign-bias XOR already
+folded in, so the inner loop's ``z`` chain costs three ops.
+
+Exact-max tracking comes in two flavours:
+
+* ``zdrop >= 0`` needs the running maximum *per diagonal* (the Z-drop test
+  consults it every step), so the kernel reduces the band each diagonal,
+  mirroring the SSE H scan.
+* ``zdrop < 0`` defers everything: per-lane arrays ``HM`` (running max of
+  H[t]) and ``RD`` (first diagonal where HM[t] attained its final value)
+  are maintained with three vector ops, and a single finalization at the
+  last grid step reconstructs the exact (max, max_t, max_q) triple the
+  sequential reference would produce, including its tie-breaks: earliest
+  diagonal wins (strict ``>`` updates), the ``H[en0]`` boundary cell wins
+  ties inside a diagonal, then the SSE 4-lane merge order.
 
 Layout: the t axis (target index) is flattened into rows of 128 lanes;
 ``shift by one in t`` = lane roll + a row-shifted fixup of lane 0 (three
@@ -42,38 +61,32 @@ _BIGKEY = 2 ** 30
 I32 = jnp.int32
 
 
+def _lane_iota():
+    return jax.lax.broadcasted_iota(I32, (1, 128), 1)
+
+
 def _w8(x):
-    """Wrap an int32 vector/scalar to the canonical int8 value (C wrap)."""
+    """Wrap an int32 vector/scalar to the canonical int8 value (C wrap).
+
+    Legacy signed-canonical helper kept for the extd kernel; the extz kernel
+    itself now carries unsigned byte values (see module docstring).
+    """
     return ((x + 128) & 255) - 128
 
 
 def _shift_t(arr, first_fix):
-    """out[t] = arr[t-1] over the flattened (R,128) t-axis; out[0]=first_fix.
+    """out[t] = arr[t-1] over a flattened (R,128) t-axis; out[0]=first_fix.
 
     Equivalent of the SSE slli/srli carry chain (ksw2_extz2_sse.c:28-35).
+    Standalone variant (recomputes its masks); the extz kernel uses a
+    closure with hoisted masks instead.
     """
-    rolled = jnp.roll(arr, 1, axis=1)           # lane l-1 -> l (lane 0 wrong)
-    carried = jnp.roll(rolled, 1, axis=0)       # [r,0] now holds arr[r-1,127]
+    rolled = jnp.roll(arr, 1, axis=1)
+    carried = jnp.roll(rolled, 1, axis=0)
     lane0 = jax.lax.broadcasted_iota(I32, arr.shape, 1) == 0
     out = jnp.where(lane0, carried, rolled)
     row0 = jax.lax.broadcasted_iota(I32, arr.shape, 0) == 0
     return jnp.where(lane0 & row0, first_fix, out)
-
-
-def _umax8(a, b):
-    """_mm_max_epu8 on canonical int8 values held in int32 lanes."""
-    return jnp.where((a & 255) > (b & 255), a, b)
-
-
-def _umin8c(a, c):
-    """_mm_min_epu8 against a constant byte (canonical int8 result)."""
-    cb = c & 0xFF
-    cc = cb - 256 if cb > 127 else cb
-    return jnp.where((a & 255) < cb, a, cc)
-
-
-def _lane_iota():
-    return jax.lax.broadcasted_iota(I32, (1, 128), 1)
 
 
 def _ld(ref, t):
@@ -94,8 +107,18 @@ def _st(ref, t, val):
 
 
 def _ld_u8(ref, t):
-    """Load a canonical int8 scalar as its uint8 value (int32)."""
+    """Load a signed-canonical int8 scalar as its uint8 value (int32).
+
+    Legacy helper for the extd kernel (extz stores unsigned bytes already).
+    """
     return _ld(ref, t) & 0xFF
+
+
+def _st_if(ref, t, val, cond):
+    """Masked dynamic scalar store: ref[t] = val when cond (scalar bool)."""
+    idx = pl.ds(t // 128, 1)
+    row = ref[idx, :]
+    ref[idx, :] = jnp.where((_lane_iota() == t % 128) & cond, val, row)
 
 
 class ExtzParams(NamedTuple):
@@ -116,26 +139,66 @@ class ExtzParams(NamedTuple):
     p_rows: int     # rows of the stored traceback window (cigar mode)
 
 
-def _extz_kernel_body(prm: ExtzParams, with_cigar: bool, refs):
-    if with_cigar:
-        (query_ref, target_ref, res_ref, p_ref,
-         u, v, x, y, s, Q, dscr, H, tn, ez) = refs
-    else:
-        (query_ref, target_ref, res_ref,
-         u, v, x, y, s, Q, H, tn, ez) = refs
-        p_ref = dscr = None
+def _merge_key(tvec, st0, en0):
+    """SSE 4-lane merge-order key: smaller key = earlier in the scan.
 
-    qlen, tlen, w = prm.qlen, prm.tlen, prm.w
-    qe = prm.q + prm.e
+    The reference scans the band as int32x4 vectors and merges the four
+    lane-classes in order (ksw2_extz2_sse.c:224-261); lanes past the last
+    full vector are visited after the vector scan.
+    """
+    en1 = st0 + (en0 - st0) // 4 * 4
+    cls = (tvec - st0) & 3
+    return jnp.where(tvec < en1, cls * (1 << 26) + tvec, (1 << 28) + tvec)
+
+
+def _extz_kernel_body(prm: ExtzParams, with_cigar: bool, refs):
     flag = Flag(prm.flag)
     approx = bool(flag & Flag.APPROX_MAX)
     right = bool(flag & Flag.RIGHT)
+    # Deferred (per-lane) max tracking is valid whenever the running max is
+    # never consulted mid-run: exact mode with Z-drop disabled.
+    perlane = (not approx) and prm.zdrop < 0
+
+    refs = list(refs)
+    query_ref, target_ref, res_ref = refs[:3]
+    rest = refs[3:]
+    p_ref = rest.pop(0) if with_cigar else None
+    u, v, x, y, s, Q = rest[:6]
+    rest = rest[6:]
+    dscr = rest.pop(0) if with_cigar else None
+    H = rest.pop(0)
+    HM, RD = (rest.pop(0), rest.pop(0)) if perlane else (None, None)
+    tn, ez = rest
+
+    qlen, tlen, w = prm.qlen, prm.tlen, prm.w
+    qe = prm.q + prm.e
     R = prm.n_rows
     shape = (R, 128)
+    n_steps = pl.num_programs(0)
+
+    # score-profile constants: +2(q+e) shift and sign bias pre-folded
+    sb_mch = ((prm.sc_mch + 2 * qe) & 255) ^ 128
+    sb_mis = ((prm.sc_mis + 2 * qe) & 255) ^ 128
+    sb_N = ((prm.sc_N + 2 * qe) & 255) ^ 128
+    clamp = (prm.sc_mch + 2 * qe) & 255
 
     step = pl.program_id(0)
+    # loop-invariant index planes (hoisted out of the diagonal loop)
     tvec = (jax.lax.broadcasted_iota(I32, shape, 0) * 128
             + jax.lax.broadcasted_iota(I32, shape, 1))
+    lane0 = jax.lax.broadcasted_iota(I32, shape, 1) == 0
+    row0 = jax.lax.broadcasted_iota(I32, shape, 0) == 0
+    mask00 = lane0 & row0
+
+    def _shift_t(arr, first_fix):
+        """out[t] = arr[t-1] over the flattened (R,128) t-axis.
+
+        Equivalent of the SSE slli/srli carry chain (ksw2_extz2_sse.c:28-35).
+        """
+        rolled = jnp.roll(arr, 1, axis=1)        # lane l-1 -> l (lane 0 wrong)
+        carried = jnp.roll(rolled, 1, axis=0)    # [r,0] now holds arr[r-1,127]
+        out = jnp.where(lane0, carried, rolled)
+        return jnp.where(mask00, first_fix, out)
 
     @pl.when(step == 0)
     def _init():
@@ -144,11 +207,16 @@ def _extz_kernel_body(prm: ExtzParams, with_cigar: bool, refs):
         v[...] = zero
         x[...] = zero
         y[...] = zero
-        s[...] = zero
+        # never-filled s lanes must read as raw byte 0, i.e. the biased
+        # encoding of a zero score: bias(0) = ((0 + 2(q+e)) & 255) ^ 128
+        s[...] = jnp.full(shape, ((2 * qe) & 255) ^ 128, I32)
         Q[...] = zero
         tn[...] = (target_ref[...] == prm.m - 1).astype(I32)
         if not approx:
             H[...] = jnp.full(shape, NEG_INF, I32)
+        if perlane:
+            HM[...] = jnp.full(shape, NEG_INF, I32)
+            RD[...] = zero
         for k in (MAXT, MAXQ, MQET, MTEQ):
             ez[k] = -1
         for k in (MQE, MTE, SCORE):
@@ -179,29 +247,23 @@ def _extz_kernel_body(prm: ExtzParams, with_cigar: bool, refs):
             ez[FIN] = 1
             ez[STOPR] = rr
 
-    def _exact_update(r, st0, en0, en):
-        vu = v[...] & 0xFF
+    def _h_boundary(r, st0, en0, en):
+        """Maintain the H column values shared by both exact variants.
+
+        Returns (h_last, Hnew, scan_mask): the boundary cell value written at
+        en0 plus the vectorized in-band H update (applied by the caller).
+        """
         h_en0 = jnp.where(
             en0 > 0,
-            _ld(H, jnp.maximum(en0 - 1, 0)) + _ld_u8(u, en0) - qe,
-            _ld(H, en0) + _ld_u8(v, en0) - qe,
+            _ld(H, jnp.maximum(en0 - 1, 0)) + _ld(u, en0) - qe,
+            _ld(H, en0) + _ld(v, en0) - qe,
         )
         is0 = r == 0
-        h0val = _ld_u8(v, 0) - 2 * qe
+        h0val = _ld(v, 0) - 2 * qe
         scan_mask = (tvec >= st0) & (tvec < en0) & jnp.logical_not(is0)
-        Hnew = H[...] + vu - qe
+        Hnew = H[...] + v[...] - qe
         H[...] = jnp.where(scan_mask, Hnew, H[...])
-        M_body = jnp.max(jnp.where(scan_mask, Hnew, _INT_MIN))
         h_last = jnp.where(is0, h0val, h_en0)
-        M = jnp.maximum(M_body, h_last)
-        # argmax with the reference's 4-lane merge order (exact_max_scan spec)
-        en1 = st0 + (en0 - st0) // 4 * 4
-        cls = (tvec - st0) & 3
-        key = jnp.where(tvec < en1, cls * (1 << 26) + tvec, (1 << 28) + tvec)
-        keym = jnp.where(scan_mask & (Hnew == M), key, _BIGKEY)
-        kmin = jnp.min(keym)
-        max_t = jnp.where(h_last == M, en0, kmin & ((1 << 26) - 1))
-        max_t = jnp.where(is0, 0, max_t)
         _st(H, en0, h_last)
 
         @pl.when((en0 == tlen - 1) & (h_last > ez[MTE]))
@@ -216,19 +278,66 @@ def _extz_kernel_body(prm: ExtzParams, with_cigar: bool, refs):
             ez[MQE] = h_st0
             ez[MQET] = st0
 
-        _zdrop_update(M, r, max_t, prm.e)
-
         @pl.when((r == qlen + tlen - 2) & (en0 == tlen - 1))
         def _():
             ez[SCORE] = h_last
+
+        return h_last, Hnew, scan_mask
+
+    def _exact_update(r, st0, en0, en):
+        """Per-diagonal exact max scan (needed when Z-drop is live)."""
+        h_last, Hnew, scan_mask = _h_boundary(r, st0, en0, en)
+        is0 = r == 0
+        M_body = jnp.max(jnp.where(scan_mask, Hnew, _INT_MIN))
+        M = jnp.maximum(M_body, h_last)
+        keym = jnp.where(scan_mask & (Hnew == M),
+                         _merge_key(tvec, st0, en0), _BIGKEY)
+        kmin = jnp.min(keym)
+        max_t = jnp.where(h_last == M, en0, kmin & ((1 << 26) - 1))
+        max_t = jnp.where(is0, 0, max_t)
+        _zdrop_update(M, r, max_t, prm.e)
+
+    def _perlane_update(r, st0, en0, en):
+        """Deferred max: track per-lane running max + first-attainment
+        diagonal; one finalization replays the reference's tie-breaks."""
+        h_last, Hnew, scan_mask = _h_boundary(r, st0, en0, en)
+        better = scan_mask & (Hnew > HM[...])
+        HM[...] = jnp.where(better, Hnew, HM[...])
+        RD[...] = jnp.where(better, r, RD[...])
+        up = h_last > _ld(HM, en0)
+        _st_if(HM, en0, h_last, up)
+        _st_if(RD, en0, r, up)
+
+    def _perlane_finalize():
+        """Reconstruct (max, max_t, max_q) exactly as the sequential scan."""
+        V = jnp.max(HM[...])
+
+        @pl.when(V > 0)
+        def _():
+            cand = HM[...] == V
+            rstar = jnp.min(jnp.where(cand, RD[...], prm.n_diag + 1))
+            st0 = jnp.maximum(
+                0, jnp.maximum(rstar - qlen + 1, (rstar - w + 1) >> 1))
+            en0 = jnp.minimum(tlen - 1, jnp.minimum(rstar, (rstar + w) >> 1))
+            first = cand & (RD[...] == rstar)
+            # the H[en0] boundary cell wins in-diagonal ties; then merge order
+            en0_hit = (_ld(HM, en0) == V) & (_ld(RD, en0) == rstar)
+            keym = jnp.where(first, _merge_key(tvec, st0, en0), _BIGKEY)
+            kmin = jnp.min(keym)
+            max_t = jnp.where(en0_hit | (rstar == 0),
+                              jnp.where(rstar == 0, 0, en0),
+                              kmin & ((1 << 26) - 1))
+            ez[MAX] = V
+            ez[MAXT] = max_t
+            ez[MAXQ] = rstar - max_t
 
     def _approx_update(r, st0, en0):
         lt = ez[LASTH0T]
         c1 = (lt >= st0) & (lt <= en0)
         c2 = (lt + 1 >= st0) & (lt + 1 <= en0)
         lt1 = jnp.minimum(lt + 1, prm.n_rows * 128 - 1)
-        d0 = _ld_u8(v, lt) - qe
-        d1 = _ld_u8(u, lt1) - qe
+        d0 = _ld(v, lt) - qe
+        d1 = _ld(u, lt1) - qe
         both = c1 & c2
         newH0 = jnp.where(
             both,
@@ -238,7 +347,7 @@ def _extz_kernel_body(prm: ExtzParams, with_cigar: bool, refs):
         newlt = jnp.where(both, jnp.where(d0 > d1, lt, lt + 1),
                           jnp.where(c1, lt, lt + 1))
         is0 = r == 0
-        h00 = _ld_u8(v, 0) - 2 * qe
+        h00 = _ld(v, 0) - 2 * qe
         ez[H0] = jnp.where(is0, h00, newH0)
         ez[LASTH0T] = jnp.where(is0, 0, newlt)
         if flag & Flag.APPROX_DROP:
@@ -271,81 +380,93 @@ def _extz_kernel_body(prm: ExtzParams, with_cigar: bool, refs):
                 in_range = (st - 1 >= ez[LASTST]) & (st - 1 <= ez[LASTEN])
                 need_ov = (st == 0) | jnp.logical_not(in_range)
                 ov_v = jnp.where(st == 0, jnp.where(r > 0, prm.q, 0), 0)
-                # first-column boundary presets (u[r]=q, y[r]=0) when en>=r
+                # first-column boundary (u[r]=q, y[r]=0 when en>=r) is folded
+                # into the recurrence reads: lane r is always rewritten by
+                # the masked store below, so the preset never persists.
                 col_mask = (en >= r) & (tvec == r)
-                u[...] = jnp.where(col_mask, jnp.where(r > 0, prm.q, 0), u[...])
-                y[...] = jnp.where(col_mask, 0, y[...])
+                ut = jnp.where(col_mask, jnp.where(r > 0, prm.q, 0), u[...])
+                yt = jnp.where(col_mask, 0, y[...])
 
                 # reversed-query window: shift right, inject query[r] at t=0
                 qv = _ld(query_ref, jnp.minimum(r, qlen - 1))
                 Qn = _shift_t(Q[...], qv)
                 Q[...] = Qn
 
-                # score profile over [st0, fill_hi] (16-block store extent)
+                # score profile over [st0, fill_hi] (16-block store extent),
+                # stored with the +2(q+e) shift and sign bias pre-applied
                 fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
                 eq = target_ref[...] == Qn
                 nm = (tn[...] != 0) | (Qn == prm.m - 1)
-                sval = jnp.where(eq, prm.sc_mch, prm.sc_mis)
-                sval = jnp.where(nm, prm.sc_N, sval)
+                sval = jnp.where(eq, sb_mch, sb_mis)
+                sval = jnp.where(nm, sb_N, sval)
                 smask = (tvec >= st0) & (tvec <= fill_hi)
                 s[...] = jnp.where(smask, sval, s[...])
 
-                # core difference recurrence (canonical int8 values, wrapped)
+                # core difference recurrence on unsigned byte values
                 ovm = (tvec == st) & need_ov
                 xs = jnp.where(ovm, 0, _shift_t(x[...], 0))
                 vs = jnp.where(ovm, ov_v, _shift_t(v[...], ov_v))
-                ut = u[...]
-                yt = y[...]
-                a = _w8(xs + vs)
-                b = _w8(yt + ut)
-                zz = _w8(s[...] + 2 * qe)
+                a = (xs + vs) & 255
+                b = (yt + ut) & 255
+                ab = a ^ 128                       # sign-biased view of a
                 if with_cigar:
                     if not right:
-                        d = jnp.where(a > zz, 1, 0)
+                        d = jnp.where(ab > s[...], 1, 0)
                     else:
-                        d = jnp.where(zz > a, 0, 1)
-                z = jnp.maximum(zz, a)
+                        d = jnp.where(s[...] > ab, 0, 1)
+                zb = jnp.maximum(s[...], ab)       # signed epi8 max (biased)
+                if with_cigar:
+                    bb = b ^ 128
+                    if not right:
+                        d = jnp.where(bb > zb, 2, d)
+                    else:
+                        d = jnp.where(zb > bb, d, 2)
+                z = zb ^ 128
+                z = jnp.maximum(z, b)              # max_epu8
+                z = jnp.minimum(z, clamp)          # min_epu8 vs constant
+                unew = (z - vs) & 255
+                vnew = (z - ut) & 255
+                z2 = z - prm.q                     # consumers re-mask mod 256
+                an = (a - z2) & 255
+                bn = (b - z2) & 255
+                anb = an ^ 128
+                bnb = bn ^ 128
                 if with_cigar:
                     if not right:
-                        d = jnp.where(b > z, 2, d)
+                        ta, tb = anb > 128, bnb > 128
                     else:
-                        d = jnp.where(z > b, d, 2)
-                z = _umax8(z, b)
-                z = _umin8c(z, prm.sc_mch + 2 * qe)
-                unew = _w8(z - vs)
-                vnew = _w8(z - ut)
-                z2 = _w8(z - prm.q)
-                a = _w8(a - z2)
-                b = _w8(b - z2)
-                if with_cigar:
-                    if not right:
-                        ta, tb = a > 0, b > 0
-                    else:
-                        ta, tb = jnp.logical_not(a < 0), jnp.logical_not(b < 0)
+                        ta, tb = jnp.logical_not(anb < 128), \
+                            jnp.logical_not(bnb < 128)
                     d = d | jnp.where(ta, 0x08, 0)
                     d = d | jnp.where(tb, 0x10, 0)
                 bmask = (tvec >= st) & (tvec <= en)
                 u[...] = jnp.where(bmask, unew, u[...])
                 v[...] = jnp.where(bmask, vnew, v[...])
-                x[...] = jnp.where(bmask, jnp.maximum(a, 0), x[...])
-                y[...] = jnp.where(bmask, jnp.maximum(b, 0), y[...])
+                x[...] = jnp.where(bmask, jnp.where(anb > 128, an, 0), x[...])
+                y[...] = jnp.where(bmask, jnp.where(bnb > 128, bn, 0), y[...])
 
                 if with_cigar:
                     dscr[pl.ds(0, R)] = d
-                    row0 = st // 128
+                    row0_ = st // 128
                     p_ref[pl.ds(rr, 1)] = (
-                        dscr[pl.ds(row0, prm.p_rows), :].astype(jnp.int8)[None]
+                        dscr[pl.ds(row0_, prm.p_rows), :].astype(jnp.int8)[None]
                     )
 
-                if not approx:
-                    _exact_update(r, st0, en0, en)
-                else:
+                if approx:
                     _approx_update(r, st0, en0)
+                elif perlane:
+                    _perlane_update(r, st0, en0, en)
+                else:
+                    _exact_update(r, st0, en0, en)
 
                 ez[LASTST] = st
                 ez[LASTEN] = en
 
     jax.lax.fori_loop(0, prm.chunk, diag_body, None)
+    if perlane:
+        @pl.when(step == n_steps - 1)
+        def _():
+            _perlane_finalize()
     for k in range(NSTATE):
         res_ref[k] = ez[k] if k < 15 else 0
 
@@ -361,10 +482,17 @@ def build_extz_call(prm: ExtzParams, with_cigar: bool, interpret: bool = False):
         pltpu.VMEM(shape, jnp.int32),   # s
         pltpu.VMEM(shape, jnp.int32),   # Q
     ]
+    flag = Flag(prm.flag)
+    perlane = not (flag & Flag.APPROX_MAX) and prm.zdrop < 0
     if with_cigar:
         scratch.append(pltpu.VMEM((R + prm.p_rows, 128), jnp.int32))  # dscr
+    scratch.append(pltpu.VMEM(shape, jnp.int32))  # H (unused in approx mode)
+    if perlane:
+        scratch += [
+            pltpu.VMEM(shape, jnp.int32),  # HM (per-lane running max)
+            pltpu.VMEM(shape, jnp.int32),  # RD (first-attainment diagonal)
+        ]
     scratch += [
-        pltpu.VMEM(shape, jnp.int32),  # H (unused in approx mode but cheap)
         pltpu.VMEM(shape, jnp.int32),  # tn (target wildcard mask)
         pltpu.SMEM((NSTATE,), jnp.int32),  # ez scalars
     ]
