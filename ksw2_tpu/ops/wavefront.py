@@ -139,6 +139,27 @@ class ExtzParams(NamedTuple):
     p_rows: int     # rows of the stored traceback window (cigar mode)
 
 
+def _static_en0(r, qlen, tlen, w):
+    """Python-time band end for diagonal r (mirrors the in-kernel formula)."""
+    del qlen
+    return min(tlen - 1, min(r, (r + w) >> 1))
+
+
+def _static_stop(qlen, tlen, w, n_diag):
+    """First diagonal whose band is empty, else n_diag (closed form).
+
+    The band bounds are pure functions of r, so the reference's data-
+    dependent "empty band => stop" break (ksw2_extz2_sse.c:111-114) is a
+    compile-time constant; the deferred-max kernel sizes its grid by it.
+    """
+    import numpy as np
+    r = np.arange(max(n_diag, 1), dtype=np.int64)
+    st0 = np.maximum(0, np.maximum(r - qlen + 1, (r - w + 1) >> 1))
+    en0 = np.minimum(tlen - 1, np.minimum(r, (r + w) >> 1))
+    bad = np.nonzero(st0 > en0)[0]
+    return int(bad[0]) if len(bad) else n_diag
+
+
 def _merge_key(tvec, st0, en0):
     """SSE 4-lane merge-order key: smaller key = earlier in the scan.
 
@@ -167,7 +188,10 @@ def _extz_kernel_body(prm: ExtzParams, with_cigar: bool, refs):
     rest = rest[6:]
     dscr = rest.pop(0) if with_cigar else None
     H = rest.pop(0)
-    HM, RD = (rest.pop(0), rest.pop(0)) if perlane else (None, None)
+    if perlane:
+        HM, RD, MQ = rest.pop(0), rest.pop(0), rest.pop(0)
+    else:
+        HM = RD = MQ = None
     tn, ez = rest
 
     qlen, tlen, w = prm.qlen, prm.tlen, prm.w
@@ -217,6 +241,7 @@ def _extz_kernel_body(prm: ExtzParams, with_cigar: bool, refs):
         if perlane:
             HM[...] = jnp.full(shape, NEG_INF, I32)
             RD[...] = zero
+            MQ[...] = jnp.full(shape, NEG_INF, I32)
         for k in (MAXT, MAXQ, MQET, MTEQ):
             ez[k] = -1
         for k in (MQE, MTE, SCORE):
@@ -297,19 +322,36 @@ def _extz_kernel_body(prm: ExtzParams, with_cigar: bool, refs):
         max_t = jnp.where(is0, 0, max_t)
         _zdrop_update(M, r, max_t, prm.e)
 
-    def _perlane_update(r, st0, en0, en):
-        """Deferred max: track per-lane running max + first-attainment
-        diagonal; one finalization replays the reference's tie-breaks."""
-        h_last, Hnew, scan_mask = _h_boundary(r, st0, en0, en)
-        better = scan_mask & (Hnew > HM[...])
+    def _perlane_update(r, st0, en0):
+        """Deferred max with a fully vectorized H column: no lane extracts.
+
+        The reference's scalar boundary chain ``H[en0] = H[en0-1] + u[en0]
+        - qe`` (ksw2_extz2_sse.c:252-256) is the same difference identity as
+        the in-band update, applied along the *other* axis — so it can be
+        computed for every lane at once as ``shift_t(H) + u - qe`` and
+        selected at the single boundary lane.  mte is exactly HM/RD at lane
+        tlen-1; mqe samples each lane at its unique last-row diagonal.
+        """
+        Hold = H[...]
+        Hv = Hold + v[...] - qe
+        Hs = _shift_t(Hold, NEG_INF) + u[...] - qe
+        is0 = r == 0
+        scan_mask = (tvec >= st0) & (tvec < en0) & jnp.logical_not(is0)
+        h_en0_vec = jnp.where(en0 > 0, Hs, Hv)
+        h_en0_vec = jnp.where(is0, v[...] - 2 * qe, h_en0_vec)
+        en0m = tvec == en0
+        Hnew = jnp.where(en0m, h_en0_vec, jnp.where(scan_mask, Hv, Hold))
+        H[...] = Hnew
+        better = (en0m | scan_mask) & (Hnew > HM[...])
         HM[...] = jnp.where(better, Hnew, HM[...])
         RD[...] = jnp.where(better, r, RD[...])
-        up = h_last > _ld(HM, en0)
-        _st_if(HM, en0, h_last, up)
-        _st_if(RD, en0, r, up)
+        # mqe: H[st0] on the one diagonal where lane st0 sits on the last
+        # query row (r - st0 == qlen-1); each lane is sampled at most once
+        MQ[...] = jnp.where(
+            ((r - st0) == (qlen - 1)) & (tvec == st0), Hnew, MQ[...])
 
-    def _perlane_finalize():
-        """Reconstruct (max, max_t, max_q) exactly as the sequential scan."""
+    def _perlane_finalize(r_stop):
+        """Reconstruct ez exactly as the sequential scan would have."""
         V = jnp.max(HM[...])
 
         @pl.when(V > 0)
@@ -330,6 +372,30 @@ def _extz_kernel_body(prm: ExtzParams, with_cigar: bool, refs):
             ez[MAX] = V
             ez[MAXT] = max_t
             ez[MAXQ] = rstar - max_t
+
+        mq = jnp.max(MQ[...])
+
+        @pl.when(mq > NEG_INF)
+        def _():
+            ez[MQE] = mq
+            ez[MQET] = jnp.min(jnp.where(MQ[...] == mq, tvec, _BIGKEY))
+
+        hmte = _ld(HM, tlen - 1)
+        rdte = _ld(RD, tlen - 1)
+        en_const = ((tlen - 1 + 16) // 16) * 16 - 1
+
+        @pl.when(hmte > NEG_INF)
+        def _():
+            ez[MTE] = hmte
+            ez[MTEQ] = rdte - en_const
+
+        if r_stop < prm.n_diag:       # static: band went empty (zdropped)
+            ez[ZDROP] = 1
+            ez[STOPR] = r_stop
+        score_ok = r_stop == prm.n_diag and _static_en0(
+            prm.n_diag - 1, qlen, tlen, w) == tlen - 1
+        if score_ok:
+            ez[SCORE] = _ld(H, tlen - 1)
 
     def _approx_update(r, st0, en0):
         lt = ez[LASTH0T]
@@ -359,7 +425,84 @@ def _extz_kernel_body(prm: ExtzParams, with_cigar: bool, refs):
         def _():
             ez[SCORE] = ez[H0]
 
+    def _sweep(r, rr, st0, en0, st, en, need_ov):
+        """One diagonal of the difference recurrence (stores u/v/x/y [+d])."""
+        ov_v = jnp.where(st == 0, jnp.where(r > 0, prm.q, 0), 0)
+        # first-column boundary (u[r]=q, y[r]=0 when en>=r) is folded
+        # into the recurrence reads: lane r is always rewritten by
+        # the masked store below, so the preset never persists.
+        col_mask = (en >= r) & (tvec == r)
+        ut = jnp.where(col_mask, jnp.where(r > 0, prm.q, 0), u[...])
+        yt = jnp.where(col_mask, 0, y[...])
+
+        # reversed-query window: shift right, inject query[r] at t=0
+        qv = _ld(query_ref, jnp.minimum(r, qlen - 1))
+        Qn = _shift_t(Q[...], qv)
+        Q[...] = Qn
+
+        # score profile over [st0, fill_hi] (16-block store extent),
+        # stored with the +2(q+e) shift and sign bias pre-applied
+        fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
+        eq = target_ref[...] == Qn
+        nm = (tn[...] != 0) | (Qn == prm.m - 1)
+        sval = jnp.where(eq, sb_mch, sb_mis)
+        sval = jnp.where(nm, sb_N, sval)
+        smask = (tvec >= st0) & (tvec <= fill_hi)
+        s[...] = jnp.where(smask, sval, s[...])
+
+        # core difference recurrence on unsigned byte values
+        ovm = (tvec == st) & need_ov
+        xs = jnp.where(ovm, 0, _shift_t(x[...], 0))
+        vs = jnp.where(ovm, ov_v, _shift_t(v[...], ov_v))
+        a = (xs + vs) & 255
+        b = (yt + ut) & 255
+        ab = a ^ 128                       # sign-biased view of a
+        if with_cigar:
+            if not right:
+                d = jnp.where(ab > s[...], 1, 0)
+            else:
+                d = jnp.where(s[...] > ab, 0, 1)
+        zb = jnp.maximum(s[...], ab)       # signed epi8 max (biased)
+        if with_cigar:
+            bb = b ^ 128
+            if not right:
+                d = jnp.where(bb > zb, 2, d)
+            else:
+                d = jnp.where(zb > bb, d, 2)
+        z = zb ^ 128
+        z = jnp.maximum(z, b)              # max_epu8
+        z = jnp.minimum(z, clamp)          # min_epu8 vs constant
+        unew = (z - vs) & 255
+        vnew = (z - ut) & 255
+        z2 = z - prm.q                     # consumers re-mask mod 256
+        an = (a - z2) & 255
+        bn = (b - z2) & 255
+        anb = an ^ 128
+        bnb = bn ^ 128
+        if with_cigar:
+            if not right:
+                ta, tb = anb > 128, bnb > 128
+            else:
+                ta, tb = jnp.logical_not(anb < 128), \
+            jnp.logical_not(bnb < 128)
+            d = d | jnp.where(ta, 0x08, 0)
+            d = d | jnp.where(tb, 0x10, 0)
+        bmask = (tvec >= st) & (tvec <= en)
+        u[...] = jnp.where(bmask, unew, u[...])
+        v[...] = jnp.where(bmask, vnew, v[...])
+        x[...] = jnp.where(bmask, jnp.where(anb > 128, an, 0), x[...])
+        y[...] = jnp.where(bmask, jnp.where(bnb > 128, bn, 0), y[...])
+
+        if with_cigar:
+            dscr[pl.ds(0, R)] = d
+            row0_ = st // 128
+            p_ref[pl.ds(rr, 1)] = (
+                dscr[pl.ds(row0_, prm.p_rows), :].astype(jnp.int8)[None]
+            )
+
+
     def diag_body(rr, _):
+        """zdrop / approx variants: sequential scalar state in SMEM."""
         r = step * prm.chunk + rr
 
         @pl.when((r < prm.n_diag) & (ez[FIN] == 0))
@@ -379,94 +522,47 @@ def _extz_kernel_body(prm: ExtzParams, with_cigar: bool, refs):
                 en = (en0 + 16) // 16 * 16 - 1
                 in_range = (st - 1 >= ez[LASTST]) & (st - 1 <= ez[LASTEN])
                 need_ov = (st == 0) | jnp.logical_not(in_range)
-                ov_v = jnp.where(st == 0, jnp.where(r > 0, prm.q, 0), 0)
-                # first-column boundary (u[r]=q, y[r]=0 when en>=r) is folded
-                # into the recurrence reads: lane r is always rewritten by
-                # the masked store below, so the preset never persists.
-                col_mask = (en >= r) & (tvec == r)
-                ut = jnp.where(col_mask, jnp.where(r > 0, prm.q, 0), u[...])
-                yt = jnp.where(col_mask, 0, y[...])
-
-                # reversed-query window: shift right, inject query[r] at t=0
-                qv = _ld(query_ref, jnp.minimum(r, qlen - 1))
-                Qn = _shift_t(Q[...], qv)
-                Q[...] = Qn
-
-                # score profile over [st0, fill_hi] (16-block store extent),
-                # stored with the +2(q+e) shift and sign bias pre-applied
-                fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
-                eq = target_ref[...] == Qn
-                nm = (tn[...] != 0) | (Qn == prm.m - 1)
-                sval = jnp.where(eq, sb_mch, sb_mis)
-                sval = jnp.where(nm, sb_N, sval)
-                smask = (tvec >= st0) & (tvec <= fill_hi)
-                s[...] = jnp.where(smask, sval, s[...])
-
-                # core difference recurrence on unsigned byte values
-                ovm = (tvec == st) & need_ov
-                xs = jnp.where(ovm, 0, _shift_t(x[...], 0))
-                vs = jnp.where(ovm, ov_v, _shift_t(v[...], ov_v))
-                a = (xs + vs) & 255
-                b = (yt + ut) & 255
-                ab = a ^ 128                       # sign-biased view of a
-                if with_cigar:
-                    if not right:
-                        d = jnp.where(ab > s[...], 1, 0)
-                    else:
-                        d = jnp.where(s[...] > ab, 0, 1)
-                zb = jnp.maximum(s[...], ab)       # signed epi8 max (biased)
-                if with_cigar:
-                    bb = b ^ 128
-                    if not right:
-                        d = jnp.where(bb > zb, 2, d)
-                    else:
-                        d = jnp.where(zb > bb, d, 2)
-                z = zb ^ 128
-                z = jnp.maximum(z, b)              # max_epu8
-                z = jnp.minimum(z, clamp)          # min_epu8 vs constant
-                unew = (z - vs) & 255
-                vnew = (z - ut) & 255
-                z2 = z - prm.q                     # consumers re-mask mod 256
-                an = (a - z2) & 255
-                bn = (b - z2) & 255
-                anb = an ^ 128
-                bnb = bn ^ 128
-                if with_cigar:
-                    if not right:
-                        ta, tb = anb > 128, bnb > 128
-                    else:
-                        ta, tb = jnp.logical_not(anb < 128), \
-                            jnp.logical_not(bnb < 128)
-                    d = d | jnp.where(ta, 0x08, 0)
-                    d = d | jnp.where(tb, 0x10, 0)
-                bmask = (tvec >= st) & (tvec <= en)
-                u[...] = jnp.where(bmask, unew, u[...])
-                v[...] = jnp.where(bmask, vnew, v[...])
-                x[...] = jnp.where(bmask, jnp.where(anb > 128, an, 0), x[...])
-                y[...] = jnp.where(bmask, jnp.where(bnb > 128, bn, 0), y[...])
-
-                if with_cigar:
-                    dscr[pl.ds(0, R)] = d
-                    row0_ = st // 128
-                    p_ref[pl.ds(rr, 1)] = (
-                        dscr[pl.ds(row0_, prm.p_rows), :].astype(jnp.int8)[None]
-                    )
-
+                _sweep(r, rr, st0, en0, st, en, need_ov)
                 if approx:
                     _approx_update(r, st0, en0)
-                elif perlane:
-                    _perlane_update(r, st0, en0, en)
                 else:
                     _exact_update(r, st0, en0, en)
-
                 ez[LASTST] = st
                 ez[LASTEN] = en
 
-    jax.lax.fori_loop(0, prm.chunk, diag_body, None)
+    def diag_body_perlane(r_stop, rr, _):
+        """Deferred-max variant: no per-diagonal SMEM state or lane
+        extracts; the previous band and the stop diagonal are closed-form
+        functions of r, so the only scalar work is index arithmetic."""
+        r = step * prm.chunk + rr
+
+        @pl.when(r < r_stop)
+        def _():
+            st0 = jnp.maximum(0, jnp.maximum(r - qlen + 1, (r - w + 1) >> 1))
+            en0 = jnp.minimum(tlen - 1, jnp.minimum(r, (r + w) >> 1))
+            st = st0 // 16 * 16
+            en = (en0 + 16) // 16 * 16 - 1
+            r1 = r - 1
+            st0p = jnp.maximum(
+                0, jnp.maximum(r1 - qlen + 1, (r1 - w + 1) >> 1))
+            en0p = jnp.minimum(tlen - 1, jnp.minimum(r1, (r1 + w) >> 1))
+            stp = st0p // 16 * 16
+            enp = (en0p + 16) // 16 * 16 - 1
+            in_range = (r > 0) & (st - 1 >= stp) & (st - 1 <= enp)
+            need_ov = (st == 0) | jnp.logical_not(in_range)
+            _sweep(r, rr, st0, en0, st, en, need_ov)
+            _perlane_update(r, st0, en0)
+
     if perlane:
+        r_stop = _static_stop(qlen, tlen, w, prm.n_diag)
+        jax.lax.fori_loop(
+            0, prm.chunk, functools.partial(diag_body_perlane, r_stop), None)
+
         @pl.when(step == n_steps - 1)
         def _():
-            _perlane_finalize()
+            _perlane_finalize(r_stop)
+    else:
+        jax.lax.fori_loop(0, prm.chunk, diag_body, None)
     for k in range(NSTATE):
         res_ref[k] = ez[k] if k < 15 else 0
 
@@ -491,12 +587,16 @@ def build_extz_call(prm: ExtzParams, with_cigar: bool, interpret: bool = False):
         scratch += [
             pltpu.VMEM(shape, jnp.int32),  # HM (per-lane running max)
             pltpu.VMEM(shape, jnp.int32),  # RD (first-attainment diagonal)
+            pltpu.VMEM(shape, jnp.int32),  # MQ (query-end row samples)
         ]
     scratch += [
         pltpu.VMEM(shape, jnp.int32),  # tn (target wildcard mask)
         pltpu.SMEM((NSTATE,), jnp.int32),  # ez scalars
     ]
-    n_steps = (prm.n_diag + prm.chunk - 1) // prm.chunk
+    # deferred-max grids stop at the (static) first empty-band diagonal
+    n_live = (_static_stop(prm.qlen, prm.tlen, prm.w, prm.n_diag)
+              if perlane else prm.n_diag)
+    n_steps = (n_live + prm.chunk - 1) // prm.chunk
     grid = (n_steps,)
     kernel = functools.partial(_extz_kernel_body, prm, with_cigar)
 
