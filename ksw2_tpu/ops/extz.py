@@ -28,6 +28,11 @@ def _cached_call(prm: wf.ExtzParams, with_cigar: bool, interpret: bool):
     return jax.jit(call)
 
 
+@functools.lru_cache(maxsize=256)
+def _cached_phased(prm: wf.ExtzParams, interpret: bool):
+    return jax.jit(wf.build_extz_phased(prm, interpret=interpret))
+
+
 def _pad_seq(seq: np.ndarray, n: int) -> np.ndarray:
     out = np.zeros((n // 128, 128), np.int32)
     out.reshape(-1)[: len(seq)] = seq.astype(np.int32)
@@ -83,17 +88,23 @@ def extz2_device(
         q=int(q), e=int(e), w=int(w), zdrop=int(zdrop), flag=int(flag),
         chunk=int(chunk), n_diag=n_diag, n_rows=N // 128, p_rows=p_rows,
     )
-    call = _cached_call(prm, with_cigar, interpret)
-
+    perlane = not (flag & Flag.APPROX_MAX) and zdrop < 0
     qpad = _pad_seq(np.asarray(query), max(round_up(qlen, 128), 1024))
     tpad = _pad_seq(np.asarray(target), N)
-    out = call(jnp.asarray(qpad), jnp.asarray(tpad))
-    if with_cigar:
-        res, p = out
-        p = np.asarray(p)
-    else:
-        res = out[0]
+    if perlane and not with_cigar:
+        # row-windowed phase chain (see wavefront.build_extz_phased)
+        call = _cached_phased(prm, interpret)
+        res = call(jnp.asarray(qpad), jnp.asarray(tpad))
         p = None
+    else:
+        call = _cached_call(prm, with_cigar, interpret)
+        out = call(jnp.asarray(qpad), jnp.asarray(tpad))
+        if with_cigar:
+            res, p = out
+            p = np.asarray(p)
+        else:
+            res = out[0]
+            p = None
     res = np.asarray(res)
 
     ez.max = int(res[wf.MAX])

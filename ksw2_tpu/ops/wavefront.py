@@ -630,6 +630,307 @@ def build_extz_call(prm: ExtzParams, with_cigar: bool, interpret: bool = False):
     return call
 
 
-__all__ = ["ExtzParams", "build_extz_call", "MAX", "MAXT", "MAXQ", "MQE",
+# ---------------------------------------------------------------------------
+# Phased score-only kernel: static row windows
+#
+# Per-diagonal work in the monolithic kernel is proportional to the FULL
+# (R,128) state arrays even though a diagonal only touches its band rows.
+# The active row window [row_lo(r), row_hi(r)] is a pure function of r, so
+# the diagonal range splits into statically-known phases of bounded window
+# height; each phase is its own pallas_call specialized to that height, with
+# the delta state flowing between launches through aliased HBM buffers.  On
+# an unbanded square pair this halves the average vector work (triangle
+# phases); on banded runs (minimap2's production shape) the window is the
+# band, independent of sequence length.
+# ---------------------------------------------------------------------------
+
+def _window_rows(qlen, tlen, w, n_diag, R):
+    """Per-diagonal [row_lo, row_hi] of the rounded band, as numpy arrays."""
+    import numpy as np
+    r = np.arange(max(n_diag, 1), dtype=np.int64)
+    st0 = np.maximum(0, np.maximum(r - qlen + 1, (r - w + 1) >> 1))
+    en0 = np.minimum(tlen - 1, np.minimum(r, (r + w) >> 1))
+    st = st0 // 16 * 16
+    en = (en0 + 16) // 16 * 16 - 1
+    row_lo = np.maximum(0, (st - 1) // 128)       # shift reads lane st-1
+    row_hi = np.minimum(en // 128, R - 1)
+    return row_lo, row_hi
+
+
+def window_phases(qlen, tlen, w, n_diag, R, quant=64, min_len=1024):
+    """Split [0, r_stop) into phases of bounded window height.
+
+    Returns (phases, r_stop) with phases = [(r_lo, r_hi, Wcap), ...].
+    """
+    import numpy as np
+    r_stop = _static_stop(qlen, tlen, w, n_diag)
+    row_lo, row_hi = _window_rows(qlen, tlen, w, n_diag, R)
+    Wr = (row_hi - row_lo + 1)[:r_stop]
+    cap = np.minimum(R, (Wr + quant - 1) // quant * quant)
+    runs = []
+    i = 0
+    while i < r_stop:
+        j = i
+        while j < r_stop and cap[j] == cap[i]:
+            j += 1
+        runs.append([i, j, int(cap[i])])
+        i = j
+    phases = []
+    for run in runs:                              # merge short runs
+        if phases and (run[1] - run[0] < min_len
+                       or phases[-1][1] - phases[-1][0] < min_len):
+            phases[-1][1] = run[1]
+            phases[-1][2] = max(phases[-1][2], run[2])
+        else:
+            phases.append(run)
+    return [tuple(p) for p in phases], r_stop
+
+
+def _extz_phase_body(prm: ExtzParams, r_lo, r_hi, Wcap, is_last, refs):
+    """One phase of the score-only deferred-max kernel (windowed rows)."""
+    refs = list(refs)
+    qsmem_ref, target_ref = refs[:2]
+    state_in = refs[2:12]
+    del state_in                               # aliased with the outputs
+    if is_last:
+        res_ref = refs[12]
+        u, v, x, y, s, Q, H, HM, RD, MQ = refs[13:23]
+        ez = refs[23]
+    else:
+        res_ref = None
+        u, v, x, y, s, Q, H, HM, RD, MQ = refs[12:22]
+        ez = refs[22]
+
+    qlen, tlen, w = prm.qlen, prm.tlen, prm.w
+    qe = prm.q + prm.e
+    R = prm.n_rows
+    sb_mch = ((prm.sc_mch + 2 * qe) & 255) ^ 128
+    sb_mis = ((prm.sc_mis + 2 * qe) & 255) ^ 128
+    sb_N = ((prm.sc_N + 2 * qe) & 255) ^ 128
+    clamp = (prm.sc_mch + 2 * qe) & 255
+
+    step = pl.program_id(0)
+    wshape = (Wcap, 128)
+    tvw_base = (jax.lax.broadcasted_iota(I32, wshape, 0) * 128
+                + jax.lax.broadcasted_iota(I32, wshape, 1))
+    lane0_w = jax.lax.broadcasted_iota(I32, wshape, 1) == 0
+
+    def shiftw(arr, first_fix, fixm):
+        rolled = jnp.roll(arr, 1, axis=1)
+        carried = jnp.roll(rolled, 1, axis=0)
+        out = jnp.where(lane0_w, carried, rolled)
+        return jnp.where(fixm, first_fix, out)
+
+    def diag(rr, _):
+        r = r_lo + step * prm.chunk + rr
+
+        @pl.when(r < r_hi)
+        def _():
+            st0 = jnp.maximum(0, jnp.maximum(r - qlen + 1, (r - w + 1) >> 1))
+            en0 = jnp.minimum(tlen - 1, jnp.minimum(r, (r + w) >> 1))
+            st = st0 // 16 * 16
+            en = (en0 + 16) // 16 * 16 - 1
+            r1 = r - 1
+            st0p = jnp.maximum(
+                0, jnp.maximum(r1 - qlen + 1, (r1 - w + 1) >> 1))
+            en0p = jnp.minimum(tlen - 1, jnp.minimum(r1, (r1 + w) >> 1))
+            in_range = ((r > 0) & (st - 1 >= st0p // 16 * 16)
+                        & (st - 1 <= (en0p + 16) // 16 * 16 - 1))
+            need_ov = (st == 0) | jnp.logical_not(in_range)
+            ov_v = jnp.where(st == 0, jnp.where(r > 0, prm.q, 0), 0)
+
+            row_lo_c = jnp.minimum(jnp.maximum(0, (st - 1) // 128), R - Wcap)
+            win = pl.ds(row_lo_c, Wcap)
+            tvw = tvw_base + row_lo_c * 128
+            fixm = tvw == 0                    # flat t==0 (shift injection)
+
+            uc, vc, xc, yc = u[win, :], v[win, :], x[win, :], y[win, :]
+            Qc, Tc = Q[win, :], target_ref[win, :]
+
+            col_mask = (en >= r) & (tvw == r)
+            ut = jnp.where(col_mask, jnp.where(r > 0, prm.q, 0), uc)
+            yt = jnp.where(col_mask, 0, yc)
+
+            qv = qsmem_ref[jnp.minimum(r, qlen - 1)]
+            Qn = shiftw(Qc, qv, fixm)
+            Q[win, :] = Qn
+
+            fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
+            eq = Tc == Qn
+            nm = (Tc == prm.m - 1) | (Qn == prm.m - 1)
+            sval = jnp.where(eq, sb_mch, sb_mis)
+            sval = jnp.where(nm, sb_N, sval)
+            smask = (tvw >= st0) & (tvw <= fill_hi)
+            sn = jnp.where(smask, sval, s[win, :])
+            s[win, :] = sn
+
+            ovm = (tvw == st) & need_ov
+            xs = jnp.where(ovm, 0, shiftw(xc, 0, fixm))
+            vs = jnp.where(ovm, ov_v, shiftw(vc, ov_v, fixm))
+            a = (xs + vs) & 255
+            b = (yt + ut) & 255
+            zb = jnp.maximum(sn, a ^ 128)
+            z = zb ^ 128
+            z = jnp.maximum(z, b)
+            z = jnp.minimum(z, clamp)
+            unew = (z - vs) & 255
+            vnew = (z - ut) & 255
+            z2 = z - prm.q
+            an = (a - z2) & 255
+            bn = (b - z2) & 255
+            bmask = (tvw >= st) & (tvw <= en)
+            un = jnp.where(bmask, unew, uc)
+            vn = jnp.where(bmask, vnew, vc)
+            u[win, :] = un
+            v[win, :] = vn
+            x[win, :] = jnp.where(bmask, jnp.where((an ^ 128) > 128, an, 0), xc)
+            y[win, :] = jnp.where(bmask, jnp.where((bn ^ 128) > 128, bn, 0), yc)
+
+            Hc = H[win, :]
+            Hv = Hc + vn - qe
+            Hs = shiftw(Hc, NEG_INF, fixm) + un - qe
+            is0 = r == 0
+            scan_mask = ((tvw >= st0) & (tvw < en0) & jnp.logical_not(is0))
+            h_en0_vec = jnp.where(en0 > 0, Hs, Hv)
+            h_en0_vec = jnp.where(is0, vn - 2 * qe, h_en0_vec)
+            en0m = tvw == en0
+            Hn = jnp.where(en0m, h_en0_vec, jnp.where(scan_mask, Hv, Hc))
+            H[win, :] = Hn
+            HMc = HM[win, :]
+            better = Hn > HMc                  # H[t] <= HM[t] invariant
+            HM[win, :] = jnp.where(better, Hn, HMc)
+            RD[win, :] = jnp.where(better, r, RD[win, :])
+            MQ[win, :] = jnp.where(
+                ((r - st0) == (qlen - 1)) & (tvw == st0), Hn, MQ[win, :])
+
+    jax.lax.fori_loop(0, prm.chunk, diag, None)
+
+    if is_last:
+        tvec = (jax.lax.broadcasted_iota(I32, (R, 128), 0) * 128
+                + jax.lax.broadcasted_iota(I32, (R, 128), 1))
+        r_stop = r_hi                          # phases end at the stop diag
+
+        @pl.when(step == pl.num_programs(0) - 1)
+        def _fin():
+            for k in (MAXT, MAXQ, MQET, MTEQ):
+                ez[k] = -1
+            for k in (MQE, MTE, SCORE):
+                ez[k] = NEG_INF
+            for k in (MAX, ZDROP, H0, LASTH0T, FIN):
+                ez[k] = 0
+            ez[LASTST] = -1
+            ez[LASTEN] = -1
+            ez[STOPR] = prm.n_diag
+            V = jnp.max(HM[...])
+
+            @pl.when(V > 0)
+            def _():
+                cand = HM[...] == V
+                rstar = jnp.min(jnp.where(cand, RD[...], prm.n_diag + 1))
+                st0 = jnp.maximum(
+                    0, jnp.maximum(rstar - qlen + 1, (rstar - w + 1) >> 1))
+                en0 = jnp.minimum(
+                    tlen - 1, jnp.minimum(rstar, (rstar + w) >> 1))
+                first = cand & (RD[...] == rstar)
+                en0_hit = (_ld(HM, en0) == V) & (_ld(RD, en0) == rstar)
+                keym = jnp.where(first, _merge_key(tvec, st0, en0), _BIGKEY)
+                kmin = jnp.min(keym)
+                max_t = jnp.where(en0_hit | (rstar == 0),
+                                  jnp.where(rstar == 0, 0, en0),
+                                  kmin & ((1 << 26) - 1))
+                ez[MAX] = V
+                ez[MAXT] = max_t
+                ez[MAXQ] = rstar - max_t
+
+            mq = jnp.max(MQ[...])
+
+            @pl.when(mq > NEG_INF)
+            def _():
+                ez[MQE] = mq
+                ez[MQET] = jnp.min(jnp.where(MQ[...] == mq, tvec, _BIGKEY))
+
+            hmte = _ld(HM, tlen - 1)
+            rdte = _ld(RD, tlen - 1)
+            en_const = ((tlen - 1 + 16) // 16) * 16 - 1
+
+            @pl.when(hmte > NEG_INF)
+            def _():
+                ez[MTE] = hmte
+                ez[MTEQ] = rdte - en_const
+
+            if r_stop < prm.n_diag:
+                ez[ZDROP] = 1
+                ez[STOPR] = r_stop
+            score_ok = (r_stop == prm.n_diag and _static_en0(
+                prm.n_diag - 1, qlen, tlen, w) == tlen - 1)
+            if score_ok:
+                ez[SCORE] = _ld(H, tlen - 1)
+            for k in range(NSTATE):
+                res_ref[k] = ez[k] if k < 15 else 0
+
+
+def build_extz_phased(prm: ExtzParams, interpret: bool = False):
+    """Build the phased score-only call: (qpad, tpad) -> res[NSTATE].
+
+    Only valid for the deferred-max configuration (exact max, zdrop < 0,
+    SCORE_ONLY); callers dispatch here from :func:`extz2_device`.
+    """
+    R = prm.n_rows
+    shape = (R, 128)
+    phases, r_stop = window_phases(prm.qlen, prm.tlen, prm.w, prm.n_diag, R)
+    state_t = [jax.ShapeDtypeStruct(shape, jnp.int32)] * 10
+
+    calls = []
+    for pi, (p_lo, p_hi, Wcap) in enumerate(phases):
+        is_last = pi == len(phases) - 1
+        n_steps = (p_hi - p_lo + prm.chunk - 1) // prm.chunk
+        kernel = functools.partial(
+            _extz_phase_body, prm, p_lo, p_hi, Wcap, is_last)
+
+        def wrap(*refs, _k=kernel):
+            _k(refs)
+
+        out_shape = list(state_t)
+        out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10
+        scratch = [pltpu.SMEM((NSTATE,), jnp.int32)]
+        if is_last:
+            out_shape = [jax.ShapeDtypeStruct((NSTATE,), jnp.int32)] + out_shape
+            out_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + out_specs
+        aliases = {2 + i: (1 if is_last else 0) + i for i in range(10)}
+        calls.append(pl.pallas_call(
+            wrap,
+            grid=(n_steps,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+                     + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+            out_shape=out_shape,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+            input_output_aliases=aliases,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+        ))
+
+    qe = prm.q + prm.e
+    s_init = ((2 * qe) & 255) ^ 128
+
+    def run(qpad, tpad):
+        qflat = qpad.reshape(-1)
+        zero = jnp.zeros(shape, jnp.int32)
+        ninf = jnp.full(shape, NEG_INF, jnp.int32)
+        state = [zero, zero, zero, zero,
+                 jnp.full(shape, s_init, jnp.int32), zero,
+                 ninf, ninf, zero, ninf]
+        for call in calls[:-1]:
+            state = list(call(qflat, tpad, *state))
+        out = calls[-1](qflat, tpad, *state)
+        return out[0]
+
+    return run
+
+
+__all__ = ["ExtzParams", "build_extz_call", "build_extz_phased",
+           "window_phases", "MAX", "MAXT", "MAXQ", "MQE",
            "MQET", "MTE", "MTEQ", "SCORE", "ZDROP", "FIN", "H0", "LASTH0T",
            "STOPR", "NSTATE"]
