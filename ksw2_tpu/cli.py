@@ -91,11 +91,22 @@ def dispatch(
         else:
             ez, _ = diagdiff.extd2(qs, ts, m, mat, q, e, q2, e2, w=w, zdrop=zdrop, flag=flag)
     elif algo == "extf2_sse":
-        ez = diagdiff.extf2(qs, ts, int(mat[0]), int(mat[1]), e, w=w, xdrop=zdrop)
+        if use_tpu:
+            from .ops.extf import extf2_device
+            ez = extf2_device(qs, ts, int(mat[0]), int(mat[1]), e, w=w,
+                              xdrop=zdrop)
+        else:
+            ez = diagdiff.extf2(qs, ts, int(mat[0]), int(mat[1]), e, w=w,
+                                xdrop=zdrop)
     elif algo == "exts2_sse":
         smat = simple_mat(5, 1, -2)
-        ez, _ = diagdiff.exts2(qs, ts, 5, smat, 2, 1, 32, 4, zdrop=zdrop,
-                               junc_bonus=0, flag=flag | Flag.SPLICE_FOR)
+        if use_tpu:
+            from .ops.exts import exts2_device
+            ez, _ = exts2_device(qs, ts, 5, smat, 2, 1, 32, 4, zdrop=zdrop,
+                                 junc_bonus=0, flag=flag | Flag.SPLICE_FOR)
+        else:
+            ez, _ = diagdiff.exts2(qs, ts, 5, smat, 2, 1, 32, 4, zdrop=zdrop,
+                                   junc_bonus=0, flag=flag | Flag.SPLICE_FOR)
     elif algo == "test":
         if use_tpu:
             from .ops.extd import extd2_device

@@ -1,0 +1,145 @@
+"""Device op: spliced extension on TPU (exts2 semantics).
+
+Host wrapper around :mod:`ksw2_tpu.ops.wavefront_exts`: precomputes the
+donor/acceptor splice profiles on the host (same code path as the spec
+engine), runs the kernel, and tracebacks with ``min_intron_len=long_thres``
+so long target gaps emit N ops (ksw2_exts2_sse.c:410).  Byte parity target:
+``ksw_exts2_sse``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import cigar as cigarmod
+from ..core.flags import Flag
+from ..core.result import ExtzResult
+from ..native.bindings import backtrack  # native with Python fallback
+from ..spec.common import c_div
+from ..spec.diagdiff import Trace, _splice_profiles
+from . import wavefront as wf
+from . import wavefront_exts as wfs
+from .bands import band_bounds_rounded, n_col_bytes, round_up
+from .extz import _pad_seq
+
+
+@functools.lru_cache(maxsize=256)
+def _cached_call(prm: wfs.ExtsParams, with_cigar: bool, interpret: bool):
+    return jax.jit(wfs.build_exts_call(prm, with_cigar, interpret=interpret))
+
+
+def exts2_device(
+    query: np.ndarray,
+    target: np.ndarray,
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    q2: int,
+    noncan: int,
+    zdrop: int = -1,
+    junc_bonus: int = 0,
+    flag: Flag | int = Flag.NONE,
+    junc: Optional[np.ndarray] = None,
+    interpret: bool = False,
+    chunk: Optional[int] = None,
+) -> Tuple[ExtzResult, Optional[Trace]]:
+    """Run the exts wavefront kernel for one pair; returns (ez, trace)."""
+    flag = Flag(int(flag))
+    ez = ExtzResult()
+    ez.reset()
+    qlen, tlen = len(query), len(target)
+    q, e, q2, noncan = int(q), int(e), int(q2), int(noncan)
+    if m <= 1 or qlen <= 0 or tlen <= 0 or q2 <= q + e:
+        return ez, None
+    if flag & Flag.GENERIC_SC:
+        raise NotImplementedError("GENERIC_SC uses the spec engine for now")
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    min_sc = int(mat[1:].min())
+    if -min_sc > 2 * (q + e):
+        return ez, None
+    with_cigar = not (flag & Flag.SCORE_ONLY)
+
+    long_thres = c_div(q2 - q, e) - 1
+    if q2 > q + e + long_thres * e:
+        long_thres += 1
+    long_diff = long_thres * e - (q2 - q)
+
+    tlen_ = (tlen + 15) // 16
+    n_diag = qlen + tlen - 1
+    N = max(round_up(tlen_ * 16, 128), 1024)
+    w = qlen + tlen                  # no band: shape-only bounds
+    n_col16 = n_col_bytes(qlen, tlen, w)
+    p_rows = round_up(n_col16 + 128, 128) // 128 if with_cigar else 0
+    if chunk is None:
+        chunk = (max(8, min(128, (4 << 20) // max(1, p_rows * 128)))
+                 if with_cigar else 512)
+    sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+
+    prm = wfs.ExtsParams(
+        qlen=qlen, tlen=tlen, m=m,
+        sc_mch=int(mat[0]), sc_mis=int(mat[1]), sc_N=sc_N,
+        q=q, e=e, q2=q2,
+        long_thres=int(long_thres), long_diff=int(long_diff),
+        zdrop=int(zdrop), flag=int(flag),
+        chunk=int(chunk), n_diag=n_diag, n_rows=N // 128, p_rows=p_rows,
+    )
+    call = _cached_call(prm, with_cigar, interpret)
+
+    donor, acceptor = _splice_profiles(
+        np.asarray(target), tlen, N, noncan, flag, junc, junc_bonus)
+    donb = ((donor.astype(np.int32) + 128) & 255).reshape(N // 128, 128)
+    accb = ((acceptor.astype(np.int32) + 128) & 255).reshape(N // 128, 128)
+
+    qpad = _pad_seq(np.asarray(query), max(round_up(qlen, 128), 1024))
+    tpad = _pad_seq(np.asarray(target), N)
+    out = call(jnp.asarray(qpad.reshape(-1)), jnp.asarray(tpad),
+               jnp.asarray(donb), jnp.asarray(accb))
+    if with_cigar:
+        res, p = out
+        p = np.asarray(p)
+    else:
+        res = out[0]
+        p = None
+    res = np.asarray(res)
+
+    ez.max = int(res[wf.MAX])
+    ez.max_t = int(res[wf.MAXT])
+    ez.max_q = int(res[wf.MAXQ])
+    ez.mqe = int(res[wf.MQE])
+    ez.mqe_t = int(res[wf.MQET])
+    ez.mte = int(res[wf.MTE])
+    ez.mte_q = int(res[wf.MTEQ])
+    ez.score = int(res[wf.SCORE])
+    ez.zdropped = bool(res[wf.ZDROP])
+
+    trace = None
+    if with_cigar:
+        st0, en0, st, en = band_bounds_rounded(n_diag, qlen, tlen, w)
+        store_off = st // 128 * 128
+        pmat = p.reshape(p.shape[0], -1)[:n_diag]
+        trace = Trace(pmat, st, en, p_rows * 128)
+        rev = bool(flag & Flag.REV_CIGAR)
+        # traceback start (ksw2_exts2_sse.c:407-410; no end_bonus variant)
+        if not ez.zdropped and not (flag & Flag.EXTZ_ONLY):
+            i0, j0 = tlen - 1, qlen - 1
+        elif ez.max_t >= 0 and ez.max_q >= 0:
+            i0, j0 = ez.max_t, ez.max_q
+        else:
+            i0 = None
+        if i0 is not None:
+            ez.cigar = backtrack(
+                pmat, st, en, p_rows * 128, i0, j0,
+                is_rot=True, is_rev=rev, store_off=store_off,
+                min_intron_len=long_thres,
+            )
+        if (flag & Flag.EQX) and ez.cigar:
+            ez.cigar = cigarmod.to_eqx(ez.cigar, query, target)
+    return ez, trace
+
+
+__all__ = ["exts2_device"]

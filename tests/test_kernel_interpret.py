@@ -35,3 +35,48 @@ def test_kernel_interpret_matches_spec(idx):
     got, _ = extz2_device(qs, ts, 5, mat, 4, 2, w=w, zdrop=z, flag=flag,
                           interpret=True)
     assert got.tsv_fields() == want.tsv_fields()
+
+
+EXTF_CASES = []
+_rngf = np.random.default_rng(55)
+for _i in range(6):
+    _tlen = int(_rngf.integers(10, 90))
+    _t, _q = refcmp.random_pair(_rngf, _tlen, divergence=0.3, indel=0.1)
+    EXTF_CASES.append((_t, _q, int(_rngf.choice([-1, 8, 24])),
+                       int(_rngf.choice([-1, 30]))))
+
+
+@pytest.mark.parametrize("idx", range(len(EXTF_CASES)))
+def test_extf_kernel_interpret_matches_spec(idx):
+    from ksw2_tpu.ops.extf import extf2_device
+    t, q, w, xd = EXTF_CASES[idx]
+    qs, ts = encode_dna(q), encode_dna(t)
+    want = diagdiff.extf2(qs, ts, 2, -4, 2, w=w, xdrop=xd)
+    got = extf2_device(qs, ts, 2, -4, 2, w=w, xdrop=xd, interpret=True)
+    assert got.tsv_fields() == want.tsv_fields()
+
+
+EXTS_CASES = []
+_rngs = np.random.default_rng(66)
+for _i in range(6):
+    _tlen = int(_rngs.integers(10, 90))
+    _t, _q = refcmp.random_pair(_rngs, _tlen, divergence=0.25, indel=0.1,
+                                with_n=bool(_rngs.integers(0, 2)))
+    _fl = int(Flag.SPLICE_FOR)
+    _fl |= int(_rngs.integers(0, 2)) * int(Flag.SCORE_ONLY)
+    _fl |= int(_rngs.integers(0, 2)) * int(Flag.SPLICE_FLANK)
+    _fl |= int(_rngs.integers(0, 2)) * int(Flag.APPROX_MAX | Flag.APPROX_DROP)
+    EXTS_CASES.append((_t, _q, int(_rngs.choice([-1, 25])), _fl))
+
+
+@pytest.mark.parametrize("idx", range(len(EXTS_CASES)))
+def test_exts_kernel_interpret_matches_spec(idx):
+    from ksw2_tpu.ops.exts import exts2_device
+    t, q, z, fl = EXTS_CASES[idx]
+    mat = simple_mat(5, 1, -2)
+    qs, ts = encode_dna(q), encode_dna(t)
+    want, _ = diagdiff.exts2(qs, ts, 5, mat, 2, 1, 32, 4, zdrop=z,
+                             junc_bonus=0, flag=fl)
+    got, _ = exts2_device(qs, ts, 5, mat, 2, 1, 32, 4, zdrop=z,
+                          junc_bonus=0, flag=fl, interpret=True)
+    assert got.tsv_fields() == want.tsv_fields()

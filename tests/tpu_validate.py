@@ -89,6 +89,60 @@ def sweep_extd(n, rng):
     return fails
 
 
+def sweep_extf(n, rng):
+    from ksw2_tpu.ops.extf import extf2_device
+    fails = 0
+    for i in range(n):
+        tlen = int(rng.choice([40, 80, 120]))
+        t, q = refcmp.random_pair(rng, tlen, divergence=float(rng.uniform(0, 0.4)),
+                                  indel=float(rng.uniform(0, 0.15)))
+        w = int(rng.choice([-1, 5, 16]))
+        xd = int(rng.choice([-1, 20, 100]))
+        qs, ts = encode_dna(q), encode_dna(t)
+        ez_s = diagdiff.extf2(qs, ts, 2, -4, 2, w=w, xdrop=xd)
+        ez_d = extf2_device(qs, ts, 2, -4, 2, w=w, xdrop=xd)
+        if ez_s.tsv_fields() != ez_d.tsv_fields():
+            fails += 1
+            print("extf MISMATCH", dict(w=w, xd=xd))
+            print("  spec:", ez_s.tsv_fields())
+            print("  tpu :", ez_d.tsv_fields())
+    return fails
+
+
+def sweep_exts(n, rng):
+    from ksw2_tpu.ops.exts import exts2_device
+    fails = 0
+    for i in range(n):
+        tlen = int(rng.choice([40, 80, 120]))
+        t, q = refcmp.random_pair(rng, tlen, divergence=float(rng.uniform(0, 0.3)),
+                                  indel=float(rng.uniform(0, 0.15)),
+                                  with_n=bool(rng.integers(0, 2)))
+        z = int(rng.choice([-1, 20, 100]))
+        flag = Flag.SPLICE_FOR
+        if rng.integers(0, 2):
+            flag |= Flag.SCORE_ONLY
+        if rng.integers(0, 2):
+            flag |= Flag.RIGHT
+        if rng.integers(0, 2):
+            flag |= Flag.APPROX_MAX | Flag.APPROX_DROP
+        if rng.integers(0, 2):
+            flag |= Flag.SPLICE_FLANK
+        if rng.integers(0, 3) == 0:
+            flag |= Flag.SPLICE_REV
+        mat = simple_mat(5, 1, -2)
+        qs, ts = encode_dna(q), encode_dna(t)
+        ez_s, _ = diagdiff.exts2(qs, ts, 5, mat, 2, 1, 32, 4, zdrop=z,
+                                 junc_bonus=0, flag=flag)
+        ez_d, _ = exts2_device(qs, ts, 5, mat, 2, 1, 32, 4, zdrop=z,
+                               junc_bonus=0, flag=flag)
+        if ez_s.tsv_fields() != ez_d.tsv_fields():
+            fails += 1
+            print("exts MISMATCH", dict(z=z, flag=int(flag)))
+            print("  spec:", ez_s.tsv_fields())
+            print("  tpu :", ez_d.tsv_fields())
+    return fails
+
+
 def mt_anchors():
     from ksw2_tpu.ops.extz import extz2_device
     from ksw2_tpu.ops.extd import extd2_device
@@ -122,6 +176,12 @@ if __name__ == "__main__":
     fd = sweep_extd(n, rng)
     f += fd
     print(f"extd sweep done ({n} cases, {fd} fails)")
+    ff = sweep_extf(n, rng)
+    f += ff
+    print(f"extf sweep done ({n} cases, {ff} fails)")
+    fs = sweep_exts(n, rng)
+    f += fs
+    print(f"exts sweep done ({n} cases, {fs} fails)")
     f += mt_anchors()
     print("TPU VALIDATION", "FAILED" if f else "PASSED")
     sys.exit(1 if f else 0)
