@@ -70,7 +70,11 @@ def dispatch(
         ez.max, ez.max_t, ez.max_q = 0, -1, -1
         ez.cigar = cig if not (flag & Flag.SCORE_ONLY) else []
     elif algo == "gg2_sse":
-        score, cig, _ = diagdiff.gg2_sse(qs, ts, m, mat, q, e, w=w)
+        if use_tpu:
+            from .ops.gg2 import gg2_device
+            score, cig, _ = gg2_device(qs, ts, m, mat, q, e, w=w)
+        else:
+            score, cig, _ = diagdiff.gg2_sse(qs, ts, m, mat, q, e, w=w)
         ez.score = score
         ez.max, ez.max_t, ez.max_q = 0, -1, -1
         ez.cigar = cig

@@ -80,3 +80,23 @@ def test_exts_kernel_interpret_matches_spec(idx):
     got, _ = exts2_device(qs, ts, 5, mat, 2, 1, 32, 4, zdrop=z,
                           junc_bonus=0, flag=fl, interpret=True)
     assert got.tsv_fields() == want.tsv_fields()
+
+
+GG2_CASES = []
+_rngg = np.random.default_rng(88)
+for _i in range(6):
+    _tlen = int(_rngg.integers(10, 90))
+    _t, _q = refcmp.random_pair(_rngg, _tlen, divergence=0.3, indel=0.12,
+                                with_n=bool(_rngg.integers(0, 2)))
+    GG2_CASES.append((_t, _q, int(_rngg.choice([-1, 5, 16]))))
+
+
+@pytest.mark.parametrize("idx", range(len(GG2_CASES)))
+def test_gg2_kernel_interpret_matches_spec(idx):
+    from ksw2_tpu.ops.gg2 import gg2_device
+    t, q, w = GG2_CASES[idx]
+    mat = simple_mat(5, 2, 4)
+    qs, ts = encode_dna(q), encode_dna(t)
+    ws, wc, _ = diagdiff.gg2_sse(qs, ts, 5, mat, 4, 2, w=w)
+    gs, gc, _ = gg2_device(qs, ts, 5, mat, 4, 2, w=w, interpret=True)
+    assert (gs, gc) == (ws, wc)

@@ -143,6 +143,27 @@ def sweep_exts(n, rng):
     return fails
 
 
+def sweep_gg2(n, rng):
+    from ksw2_tpu.ops.gg2 import gg2_device
+    fails = 0
+    for i in range(n):
+        tlen = int(rng.choice([40, 80, 120]))
+        t, q = refcmp.random_pair(rng, tlen, divergence=float(rng.uniform(0, 0.35)),
+                                  indel=float(rng.uniform(0, 0.15)),
+                                  with_n=bool(rng.integers(0, 2)))
+        w = int(rng.choice([-1, 5, 16]))
+        qs, ts = encode_dna(q), encode_dna(t)
+        mat = simple_mat(5, 2, 4)
+        ws, wc, _ = diagdiff.gg2_sse(qs, ts, 5, mat, 4, 2, w=w)
+        gs, gc, _ = gg2_device(qs, ts, 5, mat, 4, 2, w=w)
+        if (ws, wc) != (gs, gc):
+            fails += 1
+            print("gg2 MISMATCH", dict(w=w))
+            print("  spec:", ws, wc[:10])
+            print("  tpu :", gs, gc[:10])
+    return fails
+
+
 def mt_anchors():
     from ksw2_tpu.ops.extz import extz2_device
     from ksw2_tpu.ops.extd import extd2_device
@@ -182,6 +203,9 @@ if __name__ == "__main__":
     fs = sweep_exts(n, rng)
     f += fs
     print(f"exts sweep done ({n} cases, {fs} fails)")
+    fg = sweep_gg2(n, rng)
+    f += fg
+    print(f"gg2 sweep done ({n} cases, {fg} fails)")
     f += mt_anchors()
     print("TPU VALIDATION", "FAILED" if f else "PASSED")
     sys.exit(1 if f else 0)
