@@ -1,0 +1,150 @@
+"""Host wrapper for the batched Pallas extz engine (one pair per row).
+
+``extz_batch_device`` scores a padded batch of pairs with ``tlen <= 128``
+on the TPU in one kernel launch — the production path for short-read
+workloads (the reference's CLI loops pairs serially; inter-pair batching is
+the TPU's main parallel axis, SURVEY.md section 2).
+
+All derived planes (lane-replicated lengths, closed-form stopping
+diagonals, the query-injection plane) are computed on device inside one
+jitted program, so the host transfers only the compact int8 sequences.
+Longer targets fall back to the per-pair kernel via the scheduler.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.flags import NEG_INF, Flag
+from . import wavefront_batch as wb
+from .bands import round_up
+
+
+@functools.lru_cache(maxsize=128)
+def _cached_run(prm: wb.BatchParams, interpret: bool):
+    call = wb.build_batch_call(prm, interpret=interpret)
+    R, n_diag = prm.n_rows, prm.n_diag
+
+    def run(query, target, qlen, tlen, w):
+        """query (R,Lq) int8, target (R,128) int8, lens (R,) int32."""
+        I = jnp.int32
+        qlen = qlen.astype(I)
+        tlen = tlen.astype(I)
+        w = w.astype(I)
+        rr = jnp.arange(n_diag, dtype=I)[None, :]
+        st0 = jnp.maximum(0, jnp.maximum(rr - qlen[:, None] + 1,
+                                         (rr - w[:, None] + 1) >> 1))
+        en0 = jnp.minimum(tlen[:, None] - 1,
+                          jnp.minimum(rr, (rr + w[:, None]) >> 1))
+        ndb = qlen + tlen - 1
+        bad = (st0 > en0) & (rr < ndb[:, None])
+        rstop = jnp.where(bad.any(axis=1), jnp.argmax(bad, axis=1), ndb)
+        rlim = jnp.minimum(rstop, ndb).astype(I)
+
+        ones = jnp.ones((R, 128), I)
+        qlp = qlen[:, None] * ones
+        tlp = tlen[:, None] * ones
+        wpl = w[:, None] * ones
+        rlp = rlim[:, None] * ones
+        tpad = jnp.zeros((R, 128), I).at[:, :target.shape[1]].set(
+            target.astype(I))
+        ridx = jnp.minimum(rr, jnp.maximum(qlen - 1, 0)[:, None])
+        qinj = jnp.take_along_axis(query.astype(I), ridx, axis=1)
+        res = call(qlp, tlp, wpl, rlp, tpad, qinj)[0]
+        return res[:, :wb.NFIELDS]
+
+    return jax.jit(run)
+
+
+def extz_batch_device(
+    query: np.ndarray,        # (B, Lq) int encoded, zero-padded
+    target: np.ndarray,       # (B, Lt) int encoded, Lt <= 128
+    qlen: np.ndarray,         # (B,)
+    tlen: np.ndarray,         # (B,)
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    w: Optional[np.ndarray] = None,   # (B,) resolved >= 0; None = unbanded
+    zdrop: int = -1,
+    flag: Flag | int = Flag.SCORE_ONLY,
+    interpret: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Batched one-piece extension, score-only; returns per-pair ez fields."""
+    flag = Flag(int(flag))
+    if not (flag & Flag.SCORE_ONLY):
+        raise ValueError("batched engine is score-only; use extz2_device")
+    if flag & (Flag.APPROX_MAX | Flag.GENERIC_SC):
+        raise NotImplementedError("approx/generic batched paths pending")
+    B, Lq = query.shape
+    Bt, Lt = target.shape
+    assert B == Bt and Lt <= 128
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    if w is None:
+        w = np.maximum(qlen, tlen)
+    w = np.asarray(w, np.int32)
+
+    # VMEM bounds one launch at ~512 rows; larger batches run as slices
+    RMAX = 512
+    if B > RMAX:
+        outs = [
+            extz_batch_device(query[i:i + RMAX], target[i:i + RMAX],
+                              qlen[i:i + RMAX], tlen[i:i + RMAX], m, mat,
+                              q, e, w[i:i + RMAX], zdrop, flag, interpret)
+            for i in range(0, B, RMAX)
+        ]
+        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+    min_sc = int(mat[1:].min())
+
+    R = max(round_up(B, 8), 8)
+    n_diag = int((qlen + tlen).max()) - 1 if B else 1
+    n_diag = max(round_up(n_diag, wb.CHUNK), wb.CHUNK)
+
+    prm = wb.BatchParams(
+        n_rows=R, n_diag=n_diag, m=m,
+        sc_mch=int(mat[0]), sc_mis=int(mat[1]), sc_N=sc_N,
+        q=int(q), e=int(e), zdrop=int(zdrop), flag=int(flag),
+    )
+    run = _cached_run(prm, interpret)
+
+    qpad = np.zeros((R, Lq), np.int8)
+    qpad[:B] = np.asarray(query, np.int8)
+    tpad = np.zeros((R, Lt), np.int8)
+    tpad[:B] = np.asarray(target, np.int8)
+    lens = np.zeros((3, R), np.int32)
+    lens[0, :B], lens[1, :B], lens[2, :B] = qlen, tlen, w
+
+    res = np.asarray(run(jnp.asarray(qpad), jnp.asarray(tpad),
+                         jnp.asarray(lens[0]), jnp.asarray(lens[1]),
+                         jnp.asarray(lens[2])))[:B]
+
+    out = {
+        "max": res[:, wb.F_MAX].copy(),
+        "max_t": res[:, wb.F_MAXT].copy(),
+        "max_q": res[:, wb.F_MAXQ].copy(),
+        "mqe": res[:, wb.F_MQE].copy(),
+        "mqe_t": res[:, wb.F_MQET].copy(),
+        "mte": res[:, wb.F_MTE].copy(),
+        "mte_q": res[:, wb.F_MTEQ].copy(),
+        "score": res[:, wb.F_SCORE].copy(),
+        "zdropped": res[:, wb.F_ZDROP].copy(),
+    }
+    if -min_sc > 2 * (q + e):
+        # reference guard: mismatches invisible in the delta range -> no
+        # result for every pair (ksw2_extz2_sse.c:78-82)
+        for k in out:
+            out[k][:] = 0 if k in ("max", "zdropped") else (
+                -1 if k.endswith(("_t", "_q")) else NEG_INF)
+        out["max_t"][:] = -1
+        out["max_q"][:] = -1
+    return out
+
+
+__all__ = ["extz_batch_device"]

@@ -1,0 +1,341 @@
+"""Batched Pallas TPU wavefront: one pair per sublane row (extz2 semantics).
+
+The production inter-pair engine for short targets (tlen <= 128): each of
+the R sublane rows holds one pair's t-axis in its 128 lanes, so the whole
+batch advances one anti-diagonal per loop step with *no cross-row carries*
+(the SSE byte-shift becomes a pure lane roll).
+
+Layout discipline: every per-pair scalar of the reference (band bounds,
+running max, Z-drop state) is carried as a *lane-replicated* (R,128) plane
+— the native TPU representation — never as an (R,1) column, because
+sublane-scalar -> lane broadcasts are relayout-heavy on the VPU.  Cross-lane
+reductions appear only where the semantics force them: per diagonal in the
+Z-drop variant (the drop test consults the running max every step), and
+once at finalization otherwise (the same deferred per-lane HM/RD max as the
+single-pair kernel, vectorized over rows).  Reductions are computed as
+log2(128) butterfly steps (max/min with lane rolls) so the result stays
+lane-replicated.
+
+Byte parity per pair matches ``ksw_extz2_sse`` exactly (same unsigned-byte
+representation, 16-lane band rounding, merge-order argmax, stopping
+diagonal).  Score-only; CIGAR batches go through the per-pair kernel.
+
+Query symbols stream in via a host-precomputed injection plane
+``qinj[b, r] = query[b, min(r, qlen_b-1)]``, blocked (R,128) per grid step;
+the per-diagonal injection is one dynamic lane roll.  Per-pair empty-band
+stopping diagonals are closed-form, so the host passes them in as the
+``rlim`` plane and the kernel never branches on them.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.flags import NEG_INF
+
+I32 = jnp.int32
+_INT_MIN = -(2 ** 31) + 1
+_BIGKEY = 2 ** 30
+CHUNK = 128               # diagonals per grid step == qinj block width
+
+# field lanes of the result plane
+F_MAX, F_MAXT, F_MAXQ, F_MQE, F_MQET, F_MTE, F_MTEQ, F_SCORE, F_ZDROP = \
+    range(9)
+NFIELDS = 9
+
+
+class BatchParams(NamedTuple):
+    n_rows: int      # R = number of pairs in the bucket (padded)
+    n_diag: int      # max diagonals over the bucket (padded to CHUNK)
+    m: int
+    sc_mch: int
+    sc_mis: int
+    sc_N: int
+    q: int
+    e: int
+    zdrop: int
+    flag: int        # SCORE_ONLY implied; RIGHT has no effect on scores
+
+
+def _bmax(arr):
+    """Butterfly max along lanes; every lane ends up holding the row max."""
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        arr = jnp.maximum(arr, pltpu.roll(arr, k, axis=1))
+    return arr
+
+
+def _bmin(arr):
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        arr = jnp.minimum(arr, pltpu.roll(arr, k, axis=1))
+    return arr
+
+
+def _batch_kernel_body(prm: BatchParams, refs):
+    withz = prm.zdrop >= 0
+    refs = list(refs)
+    qlp_ref, tlp_ref, wp_ref, rlim_ref, target_ref, qinj_ref, res_ref = \
+        refs[:7]
+    rest = refs[7:]
+    u, v, x, y, s, Q, H, HM, RD, MQ = rest[:10]
+    rest = rest[10:]
+    if withz:
+        mxp, mtp, mqp, zdp = rest[:4]
+    else:
+        mxp = mtp = mqp = zdp = None
+
+    qe = prm.q + prm.e
+    R = prm.n_rows
+    shape = (R, 128)
+    sb_mch = ((prm.sc_mch + 2 * qe) & 255) ^ 128
+    sb_mis = ((prm.sc_mis + 2 * qe) & 255) ^ 128
+    sb_N = ((prm.sc_N + 2 * qe) & 255) ^ 128
+    clamp = (prm.sc_mch + 2 * qe) & 255
+
+    step = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(I32, shape, 1)
+    lane0 = lane == 0
+
+    @pl.when(step == 0)
+    def _init():
+        zero = jnp.zeros(shape, I32)
+        u[...] = zero
+        v[...] = zero
+        x[...] = zero
+        y[...] = zero
+        s[...] = jnp.full(shape, ((2 * qe) & 255) ^ 128, I32)
+        Q[...] = zero
+        H[...] = jnp.full(shape, NEG_INF, I32)
+        HM[...] = jnp.full(shape, NEG_INF, I32)
+        RD[...] = zero
+        MQ[...] = jnp.full(shape, NEG_INF, I32)
+        if withz:
+            mxp[...] = zero
+            mtp[...] = jnp.full(shape, -1, I32)
+            mqp[...] = jnp.full(shape, -1, I32)
+            zdp[...] = zero
+
+    qlp = qlp_ref[...]
+    tlp = tlp_ref[...]
+    wp = wp_ref[...]
+    rlim = rlim_ref[...]
+    T = target_ref[...]
+    tN = T == prm.m - 1
+
+    def bounds(r):
+        st0 = jnp.maximum(0, jnp.maximum(r - qlp + 1, (r - wp + 1) >> 1))
+        en0 = jnp.minimum(tlp - 1, jnp.minimum(r, (r + wp) >> 1))
+        stb = st0 // 16 * 16
+        enb = (en0 + 16) // 16 * 16 - 1
+        return st0, en0, stb, enb
+
+    def diag_body(rr, _):
+        r = step * CHUNK + rr
+        act = r < rlim
+        if withz:
+            act = act & (zdp[...] == 0)
+        st0, en0, stb, enb = bounds(r)
+        # previous rounded band from the closed form (valid whenever r-1 was
+        # itself live; for r == 0 the st==0 branch below takes over anyway)
+        _, _, pstb, penb = bounds(r - 1)
+        in_range = (r > 0) & (stb - 1 >= pstb) & (stb - 1 <= penb)
+        need_ov = (stb == 0) | jnp.logical_not(in_range)
+        ov_v = jnp.where(stb == 0, jnp.where(r > 0, prm.q, 0), 0)
+
+        col_mask = act & (enb >= r) & (lane == r)
+        ucol = jnp.where(r > 0, prm.q, 0)
+        ut = jnp.where(col_mask, ucol, u[...])
+        yt = jnp.where(col_mask, 0, y[...])
+
+        # query injection: lane rr of this step's qinj block, rolled to lane 0
+        qv = pltpu.roll(qinj_ref[...], -rr, axis=1)
+        Qn = jnp.where(lane0, qv, jnp.roll(Q[...], 1, axis=1))
+        Qn = jnp.where(act, Qn, Q[...])
+        Q[...] = Qn
+
+        fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
+        eq = T == Qn
+        nm = tN | (Qn == prm.m - 1)
+        sval = jnp.where(eq, sb_mch, sb_mis)
+        sval = jnp.where(nm, sb_N, sval)
+        smask = act & (lane >= st0) & (lane <= fill_hi)
+        sn = jnp.where(smask, sval, s[...])
+        s[...] = sn
+
+        ovn = (lane == stb) & need_ov
+        xs = jnp.where(lane0, 0, jnp.roll(x[...], 1, axis=1))
+        xs = jnp.where(ovn, 0, xs)
+        vs = jnp.where(lane0, ov_v, jnp.roll(v[...], 1, axis=1))
+        vs = jnp.where(ovn, ov_v, vs)
+        a = (xs + vs) & 255
+        b = (yt + ut) & 255
+        zb = jnp.maximum(sn, a ^ 128)             # signed epi8 max (biased)
+        z = zb ^ 128
+        z = jnp.maximum(z, b)                     # max_epu8
+        z = jnp.minimum(z, clamp)                 # min_epu8 vs constant
+        unew = (z - vs) & 255
+        vnew = (z - ut) & 255
+        z2 = z - prm.q
+        an = (a - z2) & 255
+        bn = (b - z2) & 255
+        bmask = act & (lane >= stb) & (lane <= enb)
+        un = jnp.where(bmask, unew, u[...])
+        vn = jnp.where(bmask, vnew, v[...])
+        u[...] = un
+        v[...] = vn
+        x[...] = jnp.where(bmask, jnp.where((an ^ 128) > 128, an, 0), x[...])
+        y[...] = jnp.where(bmask, jnp.where((bn ^ 128) > 128, bn, 0), y[...])
+
+        # vectorized H column (same identities as the single-pair kernel)
+        is0 = r == 0
+        Hc = H[...]
+        Hv = Hc + vn - qe
+        Hs = jnp.where(lane0, NEG_INF, jnp.roll(Hc, 1, axis=1)) + un - qe
+        h_en0_vec = jnp.where(en0 > 0, Hs, Hv)
+        h_en0_vec = jnp.where(is0, vn - 2 * qe, h_en0_vec)
+        scan_mask = act & (lane >= st0) & (lane < en0) & jnp.logical_not(is0)
+        en0m = act & (lane == en0)
+        Hn = jnp.where(en0m, h_en0_vec, jnp.where(scan_mask, Hv, Hc))
+        H[...] = Hn
+        # deferred per-lane running max (invariant H[t] <= HM[t])
+        better = Hn > HM[...]
+        HM[...] = jnp.where(better, Hn, HM[...])
+        RD[...] = jnp.where(better, r, RD[...])
+        # mqe one-shot samples on the last query row
+        MQ[...] = jnp.where(
+            act & ((r - st0) == (qlp - 1)) & (lane == st0), Hn, MQ[...])
+
+        if withz:
+            # per-diagonal running max + Z-drop test (ksw2.h:191-207)
+            band = scan_mask | en0m
+            M = _bmax(jnp.where(band, Hn, _INT_MIN))
+            en1 = st0 + (en0 - st0) // 4 * 4
+            cls = (lane - st0) & 3
+            key = jnp.where(lane < en1, cls * (1 << 26) + lane,
+                            (1 << 28) + lane)
+            keym = jnp.where(scan_mask & (Hn == M), key, _BIGKEY)
+            kmin = _bmin(keym)
+            h_hit = _bmax(jnp.where(en0m & (Hn == M), 1, 0))
+            max_t = jnp.where(h_hit > 0, en0, kmin & ((1 << 26) - 1))
+            max_t = jnp.where(is0, 0, max_t)
+            betterz = act & (M > mxp[...])
+            l = jnp.abs((max_t - mtp[...]) - ((r - max_t) - mqp[...]))
+            trig = (act & jnp.logical_not(M > mxp[...]) & (max_t >= mtp[...])
+                    & (r - max_t >= mqp[...])
+                    & (mxp[...] - M > prm.zdrop + l * prm.e))
+            mxp[...] = jnp.where(betterz, M, mxp[...])
+            mtp[...] = jnp.where(betterz, max_t, mtp[...])
+            mqp[...] = jnp.where(betterz, r - max_t, mqp[...])
+            zdp[...] = jnp.where(trig, 1 + r, zdp[...])   # 1 + stop diagonal
+
+    jax.lax.fori_loop(0, CHUNK, diag_body, None)
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _emit():
+        ndc = qlp + tlp - 1
+        HMv = HM[...]
+        RDv = RD[...]
+        if withz:
+            # the Z-drop variant tracked the running max per diagonal;
+            # its values are exact for dropped and completed pairs alike
+            dropped = zdp[...] > 0
+            vmax = mxp[...]
+            vmaxt = mtp[...]
+            vmaxq = mqp[...]
+        else:
+            dropped = jnp.zeros(shape, jnp.bool_)
+            V = _bmax(HMv)
+            cand = HMv == V
+            rstar = _bmin(jnp.where(cand, RDv, prm.n_diag + 1))
+            st0s = jnp.maximum(0, jnp.maximum(rstar - qlp + 1,
+                                              (rstar - wp + 1) >> 1))
+            en0s = jnp.minimum(tlp - 1, jnp.minimum(rstar, (rstar + wp) >> 1))
+            first = cand & (RDv == rstar)
+            en0_hit = _bmax(jnp.where(first & (lane == en0s), 1, 0))
+            en1 = st0s + (en0s - st0s) // 4 * 4
+            cls = (lane - st0s) & 3
+            key = jnp.where(lane < en1, cls * (1 << 26) + lane,
+                            (1 << 28) + lane)
+            kmin = _bmin(jnp.where(first, key, _BIGKEY))
+            max_t = jnp.where((en0_hit > 0) | (rstar == 0),
+                              jnp.where(rstar == 0, 0, en0s),
+                              kmin & ((1 << 26) - 1))
+            vmax = jnp.where(V > 0, V, 0)
+            vmaxt = jnp.where(V > 0, max_t, -1)
+            vmaxq = jnp.where(V > 0, rstar - max_t, -1)
+
+        mqe = _bmax(MQ[...])
+        mqet = _bmin(jnp.where(MQ[...] == mqe, lane, _BIGKEY))
+        has_mqe = mqe > NEG_INF
+        mqe = jnp.where(has_mqe, mqe, NEG_INF)
+        mqet = jnp.where(has_mqe, mqet, -1)
+
+        corner = lane == tlp - 1
+        mte = _bmax(jnp.where(corner, HMv, _INT_MIN))
+        rdte = _bmax(jnp.where(corner, RDv, _INT_MIN))
+        has_mte = mte > NEG_INF
+        en_c = ((tlp - 1 + 16) // 16) * 16 - 1
+        mteq = jnp.where(has_mte, rdte - en_c, -1)
+        mte = jnp.where(has_mte, mte, NEG_INF)
+
+        # score: corner H if the pair ran to its final diagonal with the
+        # corner inside the band
+        fin_en0 = jnp.minimum(tlp - 1,
+                              jnp.minimum(ndc - 1, (ndc - 1 + wp) >> 1))
+        done = (rlim == ndc) & (fin_en0 == tlp - 1)
+        if withz:
+            done = done & jnp.logical_not(dropped)
+        hcorner = _bmax(jnp.where(corner, H[...], _INT_MIN))
+        score = jnp.where(done, hcorner, NEG_INF)
+        zflag = (rlim < ndc).astype(I32)
+        if withz:
+            zflag = jnp.maximum(zflag, (dropped).astype(I32))
+
+        out = jnp.zeros(shape, I32)
+        for fid, val in ((F_MAX, vmax), (F_MAXT, vmaxt), (F_MAXQ, vmaxq),
+                         (F_MQE, mqe), (F_MQET, mqet), (F_MTE, mte),
+                         (F_MTEQ, mteq), (F_SCORE, score), (F_ZDROP, zflag)):
+            out = jnp.where(lane == fid, val, out)
+        res_ref[...] = out
+
+
+def build_batch_call(prm: BatchParams, interpret: bool = False):
+    R = prm.n_rows
+    shape = (R, 128)
+    n_steps = (prm.n_diag + CHUNK - 1) // CHUNK
+    n_scr = 10 + (4 if prm.zdrop >= 0 else 0)
+    scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(n_scr)]
+    kernel = functools.partial(_batch_kernel_body, prm)
+
+    def wrap(*refs):
+        kernel(refs)
+
+    return pl.pallas_call(
+        wrap,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # qlp
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # tlp
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # wp
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # rlim
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # target
+            pl.BlockSpec((R, CHUNK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),                 # qinj
+        ],
+        out_shape=[jax.ShapeDtypeStruct(shape, jnp.int32)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )
+
+
+__all__ = ["BatchParams", "build_batch_call", "CHUNK", "NFIELDS",
+           "F_MAX", "F_MAXT", "F_MAXQ", "F_MQE", "F_MQET", "F_MTE",
+           "F_MTEQ", "F_SCORE", "F_ZDROP"]

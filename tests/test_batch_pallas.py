@@ -1,0 +1,66 @@
+"""Batched Pallas engine (one pair per row) vs the spec engine."""
+import numpy as np
+import pytest
+
+import refcmp
+from ksw2_tpu.core.flags import Flag
+from ksw2_tpu.core.matrix import encode_dna, simple_mat
+from ksw2_tpu.ops.batch_pallas import extz_batch_device
+from ksw2_tpu.spec import diagdiff
+
+
+def _make_batch(seed, B):
+    rng = np.random.default_rng(seed)
+    pairs = []
+    for _ in range(B):
+        tlen = int(rng.integers(8, 128))
+        t, q = refcmp.random_pair(
+            rng, tlen, divergence=float(rng.uniform(0, 0.4)),
+            indel=float(rng.uniform(0, 0.2)), with_n=bool(rng.integers(0, 2)))
+        pairs.append((encode_dna(q), encode_dna(t)))
+    Lq = max(len(q) for q, t in pairs)
+    Q = np.zeros((B, Lq), np.int32)
+    T = np.zeros((B, 128), np.int32)
+    qlen = np.zeros(B, np.int32)
+    tlen = np.zeros(B, np.int32)
+    for i, (q, t) in enumerate(pairs):
+        Q[i, : len(q)] = q
+        T[i, : len(t)] = t
+        qlen[i], tlen[i] = len(q), len(t)
+    return pairs, Q, T, qlen, tlen
+
+
+@pytest.mark.parametrize("zdrop", [-1, 25])
+@pytest.mark.parametrize("seed", [3, 11])
+def test_batch_matches_spec(zdrop, seed):
+    B = 12
+    pairs, Q, T, qlen, tlen = _make_batch(seed, B)
+    mat = simple_mat(5, 2, 4)
+    out = extz_batch_device(Q, T, qlen, tlen, 5, mat, 4, 2, zdrop=zdrop,
+                            flag=Flag.SCORE_ONLY, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        ez, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, w=-1, zdrop=zdrop,
+                               flag=Flag.SCORE_ONLY)
+        got = {k: int(out[k][i]) for k in out}
+        assert got["score"] == ez.score, (i, got, ez.tsv_fields())
+        assert (got["max"], got["max_t"], got["max_q"]) == \
+            (ez.max, ez.max_t, ez.max_q), i
+        assert (got["mqe"], got["mqe_t"]) == (ez.mqe, ez.mqe_t), i
+        assert (got["mte"], got["mte_q"]) == (ez.mte, ez.mte_q), i
+        assert bool(got["zdropped"]) == ez.zdropped, i
+
+
+def test_batch_banded_and_mixed_lengths():
+    B = 10
+    rng = np.random.default_rng(77)
+    pairs, Q, T, qlen, tlen = _make_batch(5, B)
+    w = rng.integers(4, 40, B).astype(np.int32)
+    mat = simple_mat(5, 2, 4)
+    out = extz_batch_device(Q, T, qlen, tlen, 5, mat, 4, 2, w=w, zdrop=30,
+                            flag=Flag.SCORE_ONLY, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        ez, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, w=int(w[i]), zdrop=30,
+                               flag=Flag.SCORE_ONLY)
+        assert int(out["score"][i]) == ez.score, i
+        assert int(out["max"][i]) == ez.max, i
+        assert bool(out["zdropped"][i]) == ez.zdropped, i
