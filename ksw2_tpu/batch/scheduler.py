@@ -44,12 +44,18 @@ def align_batch_scores(
     zdrop: int = -1,
     flag: Flag | int = Flag.SCORE_ONLY,
     run_fn=None,
+    engine: str = "auto",
 ) -> List[ExtzResult]:
     """Score a batch of extension jobs (one-piece affine), bucketed by shape.
 
     ``run_fn(spec, Q, T, qlen, tlen, w) -> dict`` defaults to the local
     single-device batched engine; :mod:`ksw2_tpu.parallel` supplies a
     mesh-sharded variant with the same signature.
+
+    ``engine`` picks the per-bucket backend: "pallas" (the one-pair-per-row
+    TPU kernel, targets <= 128 bases), "xla" (the scan engine, any shape),
+    or "auto" (pallas where eligible, xla otherwise).  An explicit
+    ``run_fn`` overrides the choice.
     """
     flag = Flag(int(flag)) | Flag.SCORE_ONLY
     mat = np.asarray(mat, dtype=np.int8).reshape(-1)
@@ -82,12 +88,21 @@ def align_batch_scores(
             qlen[k] = len(job.query)
             tlen[k] = len(job.target)
             wv[k] = job.w if job.w >= 0 else max(len(job.query), len(job.target))
-        spec = BatchSpec(Lq=Lq, Lt=Lt, m=m, sc_mch=int(mat[0]),
-                         sc_mis=int(mat[1]), sc_N=sc_N, q=int(q), e=int(e),
-                         zdrop=int(zdrop), flag=int(flag))
-        out = run(spec, jnp.asarray(Q), jnp.asarray(T), jnp.asarray(qlen),
-                  jnp.asarray(tlen), jnp.asarray(wv))
-        out = {k: np.asarray(v) for k, v in out.items()}
+        use_pallas = (
+            run_fn is None and engine in ("auto", "pallas") and Lt <= 128
+            and not (flag & (Flag.APPROX_MAX | Flag.GENERIC_SC))
+        )
+        if use_pallas:
+            from ..ops.batch_pallas import extz_batch_device
+            out = extz_batch_device(Q, T, qlen, tlen, m, mat, q, e, wv,
+                                    zdrop=zdrop, flag=flag)
+        else:
+            spec = BatchSpec(Lq=Lq, Lt=Lt, m=m, sc_mch=int(mat[0]),
+                             sc_mis=int(mat[1]), sc_N=sc_N, q=int(q),
+                             e=int(e), zdrop=int(zdrop), flag=int(flag))
+            out = run(spec, jnp.asarray(Q), jnp.asarray(T), jnp.asarray(qlen),
+                      jnp.asarray(tlen), jnp.asarray(wv))
+            out = {k: np.asarray(v) for k, v in out.items()}
         for k, i in enumerate(idxs):
             ez = ExtzResult()
             ez.reset()

@@ -76,6 +76,8 @@ def extz_batch_device(
 ) -> Dict[str, np.ndarray]:
     """Batched one-piece extension, score-only; returns per-pair ez fields."""
     flag = Flag(int(flag))
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True          # Pallas TPU kernels interpret on CPU
     if not (flag & Flag.SCORE_ONLY):
         raise ValueError("batched engine is score-only; use extz2_device")
     if flag & (Flag.APPROX_MAX | Flag.GENERIC_SC):

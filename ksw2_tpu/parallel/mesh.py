@@ -18,7 +18,15 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map as _shard_map
+
+    def shard_map(f=None, **kw):            # jax >= 0.8 renamed check_rep
+        if "check_rep" in kw:
+            kw["check_vma"] = kw.pop("check_rep")
+        return _shard_map(f, **kw) if f is not None else _shard_map(**kw)
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.batch_xla import BatchSpec, extz_batch_scores
