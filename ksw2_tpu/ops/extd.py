@@ -49,7 +49,9 @@ def extd2_device(
     if m <= 1 or qlen <= 0 or tlen <= 0:
         return ez, None
     if flag & Flag.GENERIC_SC:
-        raise NotImplementedError("GENERIC_SC uses the spec engine for now")
+        from ..spec.diagdiff import extd2 as _spec
+        return _spec(query, target, m, mat, q, e, q2, e2, w=w, zdrop=zdrop,
+                     end_bonus=end_bonus, flag=flag)
     mat = np.asarray(mat, dtype=np.int8).reshape(-1)
     q, e, q2, e2 = int(q), int(e), int(q2), int(e2)
     qe_pre_swap = q + e

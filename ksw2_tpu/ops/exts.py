@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import cigar as cigarmod
 from ..core.flags import Flag
 from ..core.result import ExtzResult
 from ..native.bindings import backtrack  # native with Python fallback
@@ -57,7 +56,9 @@ def exts2_device(
     if m <= 1 or qlen <= 0 or tlen <= 0 or q2 <= q + e:
         return ez, None
     if flag & Flag.GENERIC_SC:
-        raise NotImplementedError("GENERIC_SC uses the spec engine for now")
+        from ..spec.diagdiff import exts2 as _spec
+        return _spec(query, target, m, mat, q, e, q2, noncan, zdrop=zdrop,
+                     junc_bonus=junc_bonus, flag=flag, junc=junc)
     mat = np.asarray(mat, dtype=np.int8).reshape(-1)
     min_sc = int(mat[1:].min())
     if -min_sc > 2 * (q + e):
@@ -137,8 +138,7 @@ def exts2_device(
                 is_rot=True, is_rev=rev, store_off=store_off,
                 min_intron_len=long_thres,
             )
-        if (flag & Flag.EQX) and ez.cigar:
-            ez.cigar = cigarmod.to_eqx(ez.cigar, query, target)
+        # note: unlike extd2, the reference exts2 has no EQX post-pass
     return ez, trace
 
 

@@ -61,7 +61,11 @@ def extz2_device(
     if m <= 0 or qlen <= 0 or tlen <= 0:
         return ez, None
     if flag & Flag.GENERIC_SC:
-        raise NotImplementedError("GENERIC_SC uses the spec engine for now")
+        # generic scoring matrices run through the (slower) spec engine;
+        # the CLI and minimap2-style callers use specialized fills
+        from ..spec.diagdiff import extz2 as _spec
+        return _spec(query, target, m, mat, q, e, w=w, zdrop=zdrop,
+                     end_bonus=end_bonus, flag=flag)
     mat = np.asarray(mat, dtype=np.int8).reshape(-1)
     min_sc = int(mat[1:].min())
     if -min_sc > 2 * (q + e):
