@@ -25,6 +25,11 @@ def _cached_call(prm: wfd.ExtdParams, with_cigar: bool, interpret: bool):
     return jax.jit(wfd.build_extd_call(prm, with_cigar, interpret=interpret))
 
 
+@functools.lru_cache(maxsize=256)
+def _cached_phased(prm: wfd.ExtdParams, interpret: bool):
+    return jax.jit(wfd.build_extd_phased(prm, interpret=interpret))
+
+
 def extd2_device(
     query: np.ndarray,
     target: np.ndarray,
@@ -87,16 +92,23 @@ def extd2_device(
         w=int(w), zdrop=int(zdrop), flag=int(flag),
         chunk=int(chunk), n_diag=n_diag, n_rows=N // 128, p_rows=p_rows,
     )
-    call = _cached_call(prm, with_cigar, interpret)
+    perlane = not (flag & Flag.APPROX_MAX) and zdrop < 0
     qpad = _pad_seq(np.asarray(query), max(round_up(qlen, 128), 1024))
     tpad = _pad_seq(np.asarray(target), N)
-    out = call(jnp.asarray(qpad), jnp.asarray(tpad))
-    if with_cigar:
-        res, p = out
-        p = np.asarray(p)
-    else:
-        res = out[0]
+    if perlane and not with_cigar:
+        # row-windowed phase chain (see wavefront_extd.build_extd_phased)
+        call = _cached_phased(prm, interpret)
+        res = call(jnp.asarray(qpad.reshape(-1)), jnp.asarray(tpad))
         p = None
+    else:
+        call = _cached_call(prm, with_cigar, interpret)
+        out = call(jnp.asarray(qpad), jnp.asarray(tpad))
+        if with_cigar:
+            res, p = out
+            p = np.asarray(p)
+        else:
+            res = out[0]
+            p = None
     res = np.asarray(res)
 
     ez.max = int(res[wf.MAX])

@@ -435,4 +435,279 @@ def build_extd_call(prm: ExtdParams, with_cigar: bool, interpret: bool = False):
     )
 
 
-__all__ = ["ExtdParams", "build_extd_call"]
+# ---------------------------------------------------------------------------
+# Phased score-only kernel: static row windows (see wavefront.py's phased
+# extz kernel for the design rationale; this is the two-piece variant).
+# On banded runs — minimap2's production shape for extd2 — the per-diagonal
+# work scales with the band, not the target length.
+# ---------------------------------------------------------------------------
+
+from .wavefront import (_static_en0, _static_stop, window_phases)
+
+
+def _extd_phase_body(prm: ExtdParams, r_lo, r_hi, Wcap, is_last, refs):
+    refs = list(refs)
+    qsmem_ref, target_ref = refs[:2]
+    # refs[2:14] are the aliased state inputs (same buffers as the outputs)
+    if is_last:
+        res_ref = refs[14]
+        u, v, x, y, x2, y2, s, Q, H, HM, RD, MQ = refs[15:27]
+        ez = refs[27]
+    else:
+        res_ref = None
+        u, v, x, y, x2, y2, s, Q, H, HM, RD, MQ = refs[14:26]
+        ez = refs[26]
+
+    qlen, tlen, w = prm.qlen, prm.tlen, prm.w
+    qe, qe2 = prm.q + prm.e, prm.q2 + prm.e2
+    R = prm.n_rows
+    sb_mch, sb_mis, sb_N = _b(prm.sc_mch), _b(prm.sc_mis), _b(prm.sc_N)
+
+    step = pl.program_id(0)
+    wshape = (Wcap, 128)
+    tvw_base = (jax.lax.broadcasted_iota(I32, wshape, 0) * 128
+                + jax.lax.broadcasted_iota(I32, wshape, 1))
+    lane0_w = jax.lax.broadcasted_iota(I32, wshape, 1) == 0
+
+    def shiftw(arr, first_fix, fixm):
+        rolled = jnp.roll(arr, 1, axis=1)
+        carried = jnp.roll(rolled, 1, axis=0)
+        out = jnp.where(lane0_w, carried, rolled)
+        return jnp.where(fixm, first_fix, out)
+
+    def _ucol(r):
+        return jnp.where(
+            r == 0, _b(-qe),
+            jnp.where(r < prm.long_thres, _b(-prm.e),
+                      jnp.where(r == prm.long_thres,
+                                (prm.long_diff + BIAS) & 255, _b(-prm.e2))))
+
+    def diag(rr, _):
+        r = r_lo + step * prm.chunk + rr
+
+        @pl.when(r < r_hi)
+        def _():
+            st0 = jnp.maximum(0, jnp.maximum(r - qlen + 1, (r - w + 1) >> 1))
+            en0 = jnp.minimum(tlen - 1, jnp.minimum(r, (r + w) >> 1))
+            st = st0 // 16 * 16
+            en = (en0 + 16) // 16 * 16 - 1
+            r1 = r - 1
+            st0p = jnp.maximum(
+                0, jnp.maximum(r1 - qlen + 1, (r1 - w + 1) >> 1))
+            en0p = jnp.minimum(tlen - 1, jnp.minimum(r1, (r1 + w) >> 1))
+            in_range = ((r > 0) & (st - 1 >= st0p // 16 * 16)
+                        & (st - 1 <= (en0p + 16) // 16 * 16 - 1))
+            need_ov = (st == 0) | jnp.logical_not(in_range)
+            ov_x = _b(-qe)
+            ov_x2 = _b(-qe2)
+            ov_v = jnp.where(st == 0, _ucol(r), _b(-qe))
+
+            row_lo_c = jnp.minimum(jnp.maximum(0, (st - 1) // 128), R - Wcap)
+            win = pl.ds(row_lo_c, Wcap)
+            tvw = tvw_base + row_lo_c * 128
+            fixm = tvw == 0
+
+            uc, vc, xc, yc = u[win, :], v[win, :], x[win, :], y[win, :]
+            x2c, y2c = x2[win, :], y2[win, :]
+            Qc, Tc = Q[win, :], target_ref[win, :]
+
+            col_mask = (en >= r) & (tvw == r)
+            ut = jnp.where(col_mask, _ucol(r), uc)
+            yt = jnp.where(col_mask, _b(-qe), yc)
+            y2t = jnp.where(col_mask, _b(-qe2), y2c)
+
+            qv = qsmem_ref[jnp.minimum(r, qlen - 1)]
+            Qn = shiftw(Qc, qv, fixm)
+            Q[win, :] = Qn
+
+            fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
+            eq = Tc == Qn
+            nm = (Tc == prm.m - 1) | (Qn == prm.m - 1)
+            sval = jnp.where(eq, sb_mch, sb_mis)
+            sval = jnp.where(nm, sb_N, sval)
+            smask = (tvw >= st0) & (tvw <= fill_hi)
+            sn = jnp.where(smask, sval, s[win, :])
+            s[win, :] = sn
+
+            ovm = (tvw == st) & need_ov
+            xs = jnp.where(ovm, ov_x, shiftw(xc, ov_x, fixm))
+            x2s = jnp.where(ovm, ov_x2, shiftw(x2c, ov_x2, fixm))
+            vs = jnp.where(ovm, ov_v, shiftw(vc, ov_v, fixm))
+            a = (xs + vs - BIAS) & 255
+            b = (yt + ut - BIAS) & 255
+            a2 = (x2s + vs - BIAS) & 255
+            b2 = (y2t + ut - BIAS) & 255
+            z = sn
+            for cand in (a, b, a2, b2):
+                z = jnp.maximum(z, cand)
+            z = jnp.minimum(z, sb_mch)
+            unew = (z - vs + BIAS) & 255
+            vnew = (z - ut + BIAS) & 255
+            t1 = z - prm.q
+            t2 = z - prm.q2
+            an = (a - t1 + BIAS) & 255
+            bn = (b - t1 + BIAS) & 255
+            a2n = (a2 - t2 + BIAS) & 255
+            b2n = (b2 - t2 + BIAS) & 255
+            bmask = (tvw >= st) & (tvw <= en)
+            un = jnp.where(bmask, unew, uc)
+            vn = jnp.where(bmask, vnew, vc)
+            u[win, :] = un
+            v[win, :] = vn
+            x[win, :] = jnp.where(
+                bmask, (jnp.maximum(an, BIAS) - qe) & 255, xc)
+            y[win, :] = jnp.where(
+                bmask, (jnp.maximum(bn, BIAS) - qe) & 255, yc)
+            x2[win, :] = jnp.where(
+                bmask, (jnp.maximum(a2n, BIAS) - qe2) & 255, x2c)
+            y2[win, :] = jnp.where(
+                bmask, (jnp.maximum(b2n, BIAS) - qe2) & 255, y2c)
+
+            # vectorized H column (extd: no -qe offset, pre-swap qe seed)
+            Hc = H[win, :]
+            Hv = Hc + vn - BIAS
+            Hs = shiftw(Hc, NEG_INF, fixm) + un - BIAS
+            is0 = r == 0
+            scan_mask = ((tvw >= st0) & (tvw < en0) & jnp.logical_not(is0))
+            h_en0_vec = jnp.where(en0 > 0, Hs, Hv)
+            h_en0_vec = jnp.where(
+                is0, vn - BIAS - prm.qe_pre_swap, h_en0_vec)
+            en0m = tvw == en0
+            Hn = jnp.where(en0m, h_en0_vec, jnp.where(scan_mask, Hv, Hc))
+            H[win, :] = Hn
+            HMc = HM[win, :]
+            better = Hn > HMc
+            HM[win, :] = jnp.where(better, Hn, HMc)
+            RD[win, :] = jnp.where(better, r, RD[win, :])
+            MQ[win, :] = jnp.where(
+                ((r - st0) == (qlen - 1)) & (tvw == st0), Hn, MQ[win, :])
+
+    jax.lax.fori_loop(0, prm.chunk, diag, None)
+
+    if is_last:
+        tvec = (jax.lax.broadcasted_iota(I32, (R, 128), 0) * 128
+                + jax.lax.broadcasted_iota(I32, (R, 128), 1))
+        r_stop = r_hi
+
+        @pl.when(step == pl.num_programs(0) - 1)
+        def _fin():
+            for k in (MAXT, MAXQ, MQET, MTEQ):
+                ez[k] = -1
+            for k in (MQE, MTE, SCORE):
+                ez[k] = NEG_INF
+            for k in (MAX, ZDROP, H0, LASTH0T, FIN):
+                ez[k] = 0
+            ez[LASTST] = -1
+            ez[LASTEN] = -1
+            ez[STOPR] = prm.n_diag
+            V = jnp.max(HM[...])
+
+            @pl.when(V > 0)
+            def _():
+                cand = HM[...] == V
+                rstar = jnp.min(jnp.where(cand, RD[...], prm.n_diag + 1))
+                st0 = jnp.maximum(
+                    0, jnp.maximum(rstar - qlen + 1, (rstar - w + 1) >> 1))
+                en0 = jnp.minimum(
+                    tlen - 1, jnp.minimum(rstar, (rstar + w) >> 1))
+                first = cand & (RD[...] == rstar)
+                en0_hit = (_ld(HM, en0) == V) & (_ld(RD, en0) == rstar)
+                keym = jnp.where(first, _merge_key(tvec, st0, en0), _BIGKEY)
+                kmin = jnp.min(keym)
+                max_t = jnp.where(en0_hit | (rstar == 0),
+                                  jnp.where(rstar == 0, 0, en0),
+                                  kmin & ((1 << 26) - 1))
+                ez[MAX] = V
+                ez[MAXT] = max_t
+                ez[MAXQ] = rstar - max_t
+
+            mq = jnp.max(MQ[...])
+
+            @pl.when(mq > NEG_INF)
+            def _():
+                ez[MQE] = mq
+                ez[MQET] = jnp.min(jnp.where(MQ[...] == mq, tvec, _BIGKEY))
+
+            hmte = _ld(HM, tlen - 1)
+            rdte = _ld(RD, tlen - 1)
+            en_const = ((tlen - 1 + 16) // 16) * 16 - 1
+
+            @pl.when(hmte > NEG_INF)
+            def _():
+                ez[MTE] = hmte
+                ez[MTEQ] = rdte - en_const
+
+            if r_stop < prm.n_diag:
+                ez[ZDROP] = 1
+                ez[STOPR] = r_stop
+            score_ok = (r_stop == prm.n_diag and _static_en0(
+                prm.n_diag - 1, qlen, tlen, w) == tlen - 1)
+            if score_ok:
+                ez[SCORE] = _ld(H, tlen - 1)
+            for k in range(NSTATE):
+                res_ref[k] = ez[k] if k < 15 else 0
+
+
+def build_extd_phased(prm: ExtdParams, interpret: bool = False):
+    """Phased score-only extd call: (qflat, tpad) -> res[NSTATE].
+
+    Valid for the deferred-max configuration only (exact max, zdrop < 0,
+    SCORE_ONLY); :func:`extd2_device` dispatches here.
+    """
+    R = prm.n_rows
+    shape = (R, 128)
+    phases, r_stop = window_phases(prm.qlen, prm.tlen, prm.w, prm.n_diag, R)
+    state_t = [jax.ShapeDtypeStruct(shape, jnp.int32)] * 12
+
+    calls = []
+    for pi, (p_lo, p_hi, Wcap) in enumerate(phases):
+        is_last = pi == len(phases) - 1
+        n_steps = (p_hi - p_lo + prm.chunk - 1) // prm.chunk
+        kernel = functools.partial(
+            _extd_phase_body, prm, p_lo, p_hi, Wcap, is_last)
+
+        def wrap(*refs, _k=kernel):
+            _k(refs)
+
+        out_shape = list(state_t)
+        out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
+        scratch = [pltpu.SMEM((NSTATE,), jnp.int32)]
+        if is_last:
+            out_shape = [jax.ShapeDtypeStruct((NSTATE,), jnp.int32)] \
+                + out_shape
+            out_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + out_specs
+        aliases = {2 + i: (1 if is_last else 0) + i for i in range(12)}
+        calls.append(pl.pallas_call(
+            wrap,
+            grid=(n_steps,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+                    + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
+            out_shape=out_shape,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+            input_output_aliases=aliases,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+        ))
+
+    qe, qe2 = prm.q + prm.e, prm.q2 + prm.e2
+
+    def run(qflat, tpad):
+        bqe = jnp.full(shape, _b(-qe), jnp.int32)
+        bqe2 = jnp.full(shape, _b(-qe2), jnp.int32)
+        zero = jnp.zeros(shape, jnp.int32)
+        ninf = jnp.full(shape, NEG_INF, jnp.int32)
+        state = [bqe, bqe, bqe, bqe, bqe2, bqe2,
+                 jnp.full(shape, _b(0), jnp.int32), zero,
+                 ninf, ninf, zero, ninf]
+        for call in calls[:-1]:
+            state = list(call(qflat, tpad, *state))
+        out = calls[-1](qflat, tpad, *state)
+        return out[0]
+
+    return run
+
+
+__all__ = ["ExtdParams", "build_extd_call", "build_extd_phased"]
