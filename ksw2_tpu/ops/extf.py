@@ -34,6 +34,8 @@ def extf2_device(
     chunk: int = 512,
 ) -> ExtzResult:
     """Run the extf wavefront kernel for one pair; returns the ez record."""
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True          # Pallas TPU kernels interpret elsewhere
     ez = ExtzResult()
     ez.reset()
     qlen, tlen = len(query), len(target)

@@ -55,6 +55,8 @@ def extz2_device(
 ) -> Tuple[ExtzResult, Optional[Trace]]:
     """Run the extz wavefront kernel for one pair; returns (ez, trace)."""
     flag = Flag(int(flag))
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True          # Pallas TPU kernels interpret elsewhere
     ez = ExtzResult()
     ez.reset()
     qlen, tlen = len(query), len(target)

@@ -38,6 +38,8 @@ def gg2_device(
     chunk: Optional[int] = None,
 ) -> Tuple[int, List[int], Optional[Trace]]:
     """Run the gg2 wavefront kernel; returns (score, cigar, trace)."""
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True          # Pallas TPU kernels interpret elsewhere
     qlen, tlen = len(query), len(target)
     mat = np.asarray(mat, dtype=np.int8).reshape(-1)
     q, e = int(q), int(e)
