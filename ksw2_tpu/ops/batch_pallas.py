@@ -25,8 +25,8 @@ from .bands import round_up
 
 
 @functools.lru_cache(maxsize=128)
-def _cached_run(prm: wb.BatchParams, interpret: bool):
-    call = wb.build_batch_call(prm, interpret=interpret)
+def _cached_run(prm: wb.BatchParams, interpret: bool, with_cigar: bool = False):
+    call = wb.build_batch_call(prm, with_cigar, interpret=interpret)
     R, n_diag = prm.n_rows, prm.n_diag
 
     def run(query, target, qlen, tlen, w):
@@ -54,8 +54,10 @@ def _cached_run(prm: wb.BatchParams, interpret: bool):
             target.astype(I))
         ridx = jnp.minimum(rr, jnp.maximum(qlen - 1, 0)[:, None])
         qinj = jnp.take_along_axis(query.astype(I), ridx, axis=1)
-        res = call(qlp, tlp, wpl, rlp, tpad, qinj)[0]
-        return res[:, :wb.NFIELDS]
+        out = call(qlp, tlp, wpl, rlp, tpad, qinj)
+        if with_cigar:
+            return out[0][:, :wb.NFIELDS], out[1]
+        return out[0][:, :wb.NFIELDS]
 
     return jax.jit(run)
 
@@ -149,4 +151,135 @@ def extz_batch_device(
     return out
 
 
-__all__ = ["extz_batch_device"]
+__all__ = ["extz_batch_device", "extz_batch_align"]
+
+
+def extz_batch_align(
+    query: np.ndarray,
+    target: np.ndarray,
+    qlen: np.ndarray,
+    tlen: np.ndarray,
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    w: Optional[np.ndarray] = None,
+    zdrop: int = -1,
+    end_bonus: int = 0,
+    flag: Flag | int = Flag.NONE,
+    interpret: bool = False,
+):
+    """Batched one-piece extension *with CIGARs* for short targets.
+
+    Returns a list of ``ExtzResult`` (same traceback-start selection as
+    ``ksw_extz2_sse``, ksw2_extz2_sse.c:292-301; native C++ backtrack per
+    pair over the streamed direction planes).
+    """
+    from ..core.result import ExtzResult
+    from ..native.bindings import backtrack
+
+    flag = Flag(int(flag))
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    if flag & (Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.GENERIC_SC):
+        raise ValueError("use extz_batch_device for score-only batches")
+    B, Lq = query.shape
+    Bt, Lt = target.shape
+    assert B == Bt and Lt <= 128
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    if w is None:
+        w = np.maximum(qlen, tlen)
+    w = np.asarray(w, np.int32)
+
+    RMAX = 256                       # direction planes bound VMEM harder
+    if B > RMAX:
+        out = []
+        for i in range(0, B, RMAX):
+            out.extend(extz_batch_align(
+                query[i:i + RMAX], target[i:i + RMAX], qlen[i:i + RMAX],
+                tlen[i:i + RMAX], m, mat, q, e, w[i:i + RMAX], zdrop,
+                end_bonus, flag, interpret))
+        return out
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+    min_sc = int(mat[1:].min())
+    if -min_sc > 2 * (q + e):
+        out = []
+        for _ in range(B):
+            ez = ExtzResult()
+            ez.reset()
+            out.append(ez)
+        return out
+
+    R = max(round_up(B, 8), 8)
+    n_diag = int((qlen + tlen).max()) - 1 if B else 1
+    n_diag = max(round_up(n_diag, 32), 32)
+
+    prm = wb.BatchParams(
+        n_rows=R, n_diag=n_diag, m=m,
+        sc_mch=int(mat[0]), sc_mis=int(mat[1]), sc_N=sc_N,
+        q=int(q), e=int(e), zdrop=int(zdrop), flag=int(flag), chunk=32,
+    )
+    run = _cached_run(prm, interpret, True)
+
+    qpad = np.zeros((R, Lq), np.int8)
+    qpad[:B] = np.asarray(query, np.int8)
+    tpad = np.zeros((R, Lt), np.int8)
+    tpad[:B] = np.asarray(target, np.int8)
+    lens = np.zeros((3, R), np.int32)
+    lens[0, :B], lens[1, :B], lens[2, :B] = qlen, tlen, w
+
+    res, p = run(jnp.asarray(qpad), jnp.asarray(tpad),
+                 jnp.asarray(lens[0]), jnp.asarray(lens[1]),
+                 jnp.asarray(lens[2]))
+    res = np.asarray(res)[:B]
+    p = np.asarray(p)                # (n_diag_pad, R, 128) int8
+
+    # per-pair band bookkeeping (closed form, same as the kernel)
+    rr = np.arange(n_diag, dtype=np.int64)[None, :]
+    st0 = np.maximum(0, np.maximum(rr - qlen[:, None] + 1,
+                                   (rr - w[:, None] + 1) >> 1))
+    en0 = np.minimum(tlen[:, None] - 1,
+                     np.minimum(rr, (rr + w[:, None]) >> 1))
+    stb = st0 // 16 * 16
+    enb = (en0 + 16) // 16 * 16 - 1
+    zero_off = np.zeros(n_diag, np.int32)
+
+    out = []
+    rev = bool(flag & Flag.REV_CIGAR)
+    for b in range(B):
+        ez = ExtzResult()
+        ez.reset()
+        ez.max = int(res[b, wb.F_MAX])
+        ez.max_t = int(res[b, wb.F_MAXT])
+        ez.max_q = int(res[b, wb.F_MAXQ])
+        ez.mqe = int(res[b, wb.F_MQE])
+        ez.mqe_t = int(res[b, wb.F_MQET])
+        ez.mte = int(res[b, wb.F_MTE])
+        ez.mte_q = int(res[b, wb.F_MTEQ])
+        ez.score = int(res[b, wb.F_SCORE])
+        ez.zdropped = bool(res[b, wb.F_ZDROP])
+        qln, tln = int(qlen[b]), int(tlen[b])
+        if qln <= 0 or tln <= 0:
+            out.append(ez)
+            continue
+        # traceback start cell (ksw2_extz2_sse.c:292-301)
+        if not ez.zdropped and not (flag & Flag.EXTZ_ONLY):
+            i0, j0 = tln - 1, qln - 1
+        elif (not ez.zdropped and (flag & Flag.EXTZ_ONLY)
+              and ez.mqe + end_bonus > ez.max):
+            ez.reach_end = True
+            i0, j0 = ez.mqe_t, qln - 1
+        elif ez.max_t >= 0 and ez.max_q >= 0:
+            i0, j0 = ez.max_t, ez.max_q
+        else:
+            out.append(ez)
+            continue
+        nd = qln + tln - 1
+        pmat = np.ascontiguousarray(p[:nd, b, :])
+        ez.cigar = backtrack(
+            pmat, stb[b, :nd].astype(np.int32), enb[b, :nd].astype(np.int32),
+            128, i0, j0, is_rot=True, is_rev=rev, store_off=zero_off[:nd])
+        out.append(ez)
+    return out

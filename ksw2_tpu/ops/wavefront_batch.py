@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.flags import NEG_INF
+from ..core.flags import NEG_INF, Flag
 
 I32 = jnp.int32
 _INT_MIN = -(2 ** 31) + 1
@@ -51,7 +51,7 @@ NFIELDS = 9
 
 class BatchParams(NamedTuple):
     n_rows: int      # R = number of pairs in the bucket (padded)
-    n_diag: int      # max diagonals over the bucket (padded to CHUNK)
+    n_diag: int      # max diagonals over the bucket (padded to chunk)
     m: int
     sc_mch: int
     sc_mis: int
@@ -59,7 +59,8 @@ class BatchParams(NamedTuple):
     q: int
     e: int
     zdrop: int
-    flag: int        # SCORE_ONLY implied; RIGHT has no effect on scores
+    flag: int        # RIGHT selects the gap-tie variant in CIGAR mode
+    chunk: int = CHUNK   # diagonals per grid step (divides CHUNK)
 
 
 def _bmax(arr):
@@ -75,12 +76,14 @@ def _bmin(arr):
     return arr
 
 
-def _batch_kernel_body(prm: BatchParams, refs):
+def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
     withz = prm.zdrop >= 0
+    right = bool(prm.flag & int(Flag.RIGHT))
     refs = list(refs)
     qlp_ref, tlp_ref, wp_ref, rlim_ref, target_ref, qinj_ref, res_ref = \
         refs[:7]
     rest = refs[7:]
+    p_ref = rest.pop(0) if with_cigar else None
     u, v, x, y, s, Q, H, HM, RD, MQ = rest[:10]
     rest = rest[10:]
     if withz:
@@ -134,7 +137,7 @@ def _batch_kernel_body(prm: BatchParams, refs):
         return st0, en0, stb, enb
 
     def diag_body(rr, _):
-        r = step * CHUNK + rr
+        r = step * prm.chunk + rr
         act = r < rlim
         if withz:
             act = act & (zdp[...] == 0)
@@ -151,8 +154,9 @@ def _batch_kernel_body(prm: BatchParams, refs):
         ut = jnp.where(col_mask, ucol, u[...])
         yt = jnp.where(col_mask, 0, y[...])
 
-        # query injection: lane rr of this step's qinj block, rolled to lane 0
-        qv = pltpu.roll(qinj_ref[...], -rr, axis=1)
+        # query injection: lane (r % CHUNK) of the current qinj block,
+        # rolled to lane 0
+        qv = pltpu.roll(qinj_ref[...], -(r % CHUNK), axis=1)
         Qn = jnp.where(lane0, qv, jnp.roll(Q[...], 1, axis=1))
         Qn = jnp.where(act, Qn, Q[...])
         Q[...] = Qn
@@ -173,7 +177,19 @@ def _batch_kernel_body(prm: BatchParams, refs):
         vs = jnp.where(ovn, ov_v, vs)
         a = (xs + vs) & 255
         b = (yt + ut) & 255
-        zb = jnp.maximum(sn, a ^ 128)             # signed epi8 max (biased)
+        ab = a ^ 128
+        if with_cigar:
+            if not right:
+                d = jnp.where(ab > sn, 1, 0)
+            else:
+                d = jnp.where(sn > ab, 0, 1)
+        zb = jnp.maximum(sn, ab)                  # signed epi8 max (biased)
+        if with_cigar:
+            bb = b ^ 128
+            if not right:
+                d = jnp.where(bb > zb, 2, d)
+            else:
+                d = jnp.where(zb > bb, d, 2)
         z = zb ^ 128
         z = jnp.maximum(z, b)                     # max_epu8
         z = jnp.minimum(z, clamp)                 # min_epu8 vs constant
@@ -182,13 +198,23 @@ def _batch_kernel_body(prm: BatchParams, refs):
         z2 = z - prm.q
         an = (a - z2) & 255
         bn = (b - z2) & 255
+        anb = an ^ 128
+        bnb = bn ^ 128
+        if with_cigar:
+            if not right:
+                ta, tb = anb > 128, bnb > 128
+            else:
+                ta = jnp.logical_not(anb < 128)
+                tb = jnp.logical_not(bnb < 128)
+            d = d | jnp.where(ta, 0x08, 0) | jnp.where(tb, 0x10, 0)
+            p_ref[pl.ds(rr, 1)] = d.astype(jnp.int8)[None]
         bmask = act & (lane >= stb) & (lane <= enb)
         un = jnp.where(bmask, unew, u[...])
         vn = jnp.where(bmask, vnew, v[...])
         u[...] = un
         v[...] = vn
-        x[...] = jnp.where(bmask, jnp.where((an ^ 128) > 128, an, 0), x[...])
-        y[...] = jnp.where(bmask, jnp.where((bn ^ 128) > 128, bn, 0), y[...])
+        x[...] = jnp.where(bmask, jnp.where(anb > 128, an, 0), x[...])
+        y[...] = jnp.where(bmask, jnp.where(bnb > 128, bn, 0), y[...])
 
         # vectorized H column (same identities as the single-pair kernel)
         is0 = r == 0
@@ -232,7 +258,7 @@ def _batch_kernel_body(prm: BatchParams, refs):
             mqp[...] = jnp.where(betterz, r - max_t, mqp[...])
             zdp[...] = jnp.where(trig, 1 + r, zdp[...])   # 1 + stop diagonal
 
-    jax.lax.fori_loop(0, CHUNK, diag_body, None)
+    jax.lax.fori_loop(0, prm.chunk, diag_body, None)
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _emit():
@@ -303,16 +329,28 @@ def _batch_kernel_body(prm: BatchParams, refs):
         res_ref[...] = out
 
 
-def build_batch_call(prm: BatchParams, interpret: bool = False):
+def build_batch_call(prm: BatchParams, with_cigar: bool = False,
+                     interpret: bool = False):
     R = prm.n_rows
     shape = (R, 128)
-    n_steps = (prm.n_diag + CHUNK - 1) // CHUNK
+    chunk = prm.chunk
+    assert CHUNK % chunk == 0
+    n_steps = (prm.n_diag + chunk - 1) // chunk
     n_scr = 10 + (4 if prm.zdrop >= 0 else 0)
     scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(n_scr)]
-    kernel = functools.partial(_batch_kernel_body, prm)
+    kernel = functools.partial(_batch_kernel_body, prm, with_cigar)
 
     def wrap(*refs):
         kernel(refs)
+
+    out_shape = [jax.ShapeDtypeStruct(shape, jnp.int32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    if with_cigar:
+        out_shape.append(jax.ShapeDtypeStruct(
+            (n_steps * chunk, R, 128), jnp.int8))
+        out_specs.append(pl.BlockSpec(
+            (chunk, R, 128), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM))
 
     return pl.pallas_call(
         wrap,
@@ -323,11 +361,11 @@ def build_batch_call(prm: BatchParams, interpret: bool = False):
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # wp
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # rlim
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # target
-            pl.BlockSpec((R, CHUNK), lambda i: (0, i),
+            pl.BlockSpec((R, CHUNK), lambda i: (0, (i * chunk) // CHUNK),
                          memory_space=pltpu.VMEM),                 # qinj
         ],
-        out_shape=[jax.ShapeDtypeStruct(shape, jnp.int32)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_shape=out_shape,
+        out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(

@@ -64,3 +64,18 @@ def test_batch_banded_and_mixed_lengths():
         assert int(out["score"][i]) == ez.score, i
         assert int(out["max"][i]) == ez.max, i
         assert bool(out["zdropped"][i]) == ez.zdropped, i
+
+
+@pytest.mark.parametrize("zdrop,flag", [(-1, Flag.NONE), (25, Flag.NONE),
+                                        (25, Flag.RIGHT)])
+def test_batch_align_cigars_match_spec(zdrop, flag):
+    B = 10
+    pairs, Q, T, qlen, tlen = _make_batch(21, B)
+    mat = simple_mat(5, 2, 4)
+    from ksw2_tpu.ops.batch_pallas import extz_batch_align
+    ezs = extz_batch_align(Q, T, qlen, tlen, 5, mat, 4, 2, zdrop=zdrop,
+                           flag=flag, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, w=-1, zdrop=zdrop,
+                                 flag=flag)
+        assert ezs[i].tsv_fields() == want.tsv_fields(), i
