@@ -1,0 +1,166 @@
+"""Full benchmark suite: every engine, one JSON line per metric.
+
+Usage:  python bench/suite.py [--trace DIR]
+
+Runs on whatever backend JAX resolves (TPU in the driver environment; CPU
+falls back to interpret mode for Pallas kernels and is only a smoke test).
+``--trace DIR`` wraps the headline runs in the JAX profiler and writes
+traces for perfetto/XProf.
+
+Each metric reports the best of N runs with per-run parity anchors, which
+keeps results honest against this terminal's flaky device tunnel.
+"""
+from __future__ import annotations
+
+import argparse
+import gzip
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference/test"
+
+
+def read_fa(path):
+    op = gzip.open if str(path).endswith(".gz") else open
+    cur = []
+    with op(path, "rt") as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith(">"):
+                if cur:
+                    break
+            else:
+                cur.append(line)
+    return "".join(cur)
+
+
+def best_of(fn, n=4, retries=3):
+    fn()  # compile
+    best, fails = None, 0
+    for _ in range(n):
+        try:
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+        except AssertionError:
+            raise
+        except Exception:
+            fails += 1
+            if fails > retries:
+                raise
+            time.sleep(2)
+            continue
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def emit(metric, value, unit, baseline=None):
+    rec = {"metric": metric, "value": round(value, 3), "unit": unit}
+    if baseline:
+        rec["vs_baseline"] = round(value / baseline, 2)
+    print(json.dumps(rec), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", default=None,
+                    help="write JAX profiler traces to this directory")
+    args = ap.parse_args()
+
+    import jax
+    from ksw2_tpu.core.flags import Flag
+    from ksw2_tpu.core.matrix import encode_dna, simple_mat
+
+    t50 = encode_dna(read_fa(f"{REF}/t2.fa.gz"))
+    q50 = encode_dna(read_fa(f"{REF}/q2.fa.gz"))
+    tmt = encode_dna(read_fa(f"{REF}/MT-human.fa"))
+    qmt = encode_dna(read_fa(f"{REF}/MT-orang.fa"))
+    mat = simple_mat(5, 2, 4)
+    c50 = len(t50) * len(q50) / 1e9
+    cmt = len(tmt) * len(qmt) / 1e9
+
+    from ksw2_tpu.ops.extz import extz2_device
+    from ksw2_tpu.ops.extd import extd2_device
+    from ksw2_tpu.ops.extf import extf2_device
+    from ksw2_tpu.ops.gg2 import gg2_device
+
+    ctx = None
+    if args.trace:
+        ctx = jax.profiler.trace(args.trace)
+        ctx.__enter__()
+
+    def run_extz():
+        ez, _ = extz2_device(q50, t50, 5, mat, 4, 2, flag=Flag.SCORE_ONLY)
+        assert ez.score == 69932, ez.score
+
+    emit("extz_50k_exact_score_gcells_per_s", c50 / best_of(run_extz),
+         "Gcells/s", baseline=1.31)
+
+    def run_extd():
+        ez, _ = extd2_device(q50, t50, 5, mat, 4, 2, 13, 1,
+                             flag=Flag.SCORE_ONLY)
+        assert ez.score == 70098, ez.score
+
+    emit("extd_50k_exact_score_gcells_per_s", c50 / best_of(run_extd),
+         "Gcells/s", baseline=1.2)
+
+    def run_extz_mt_cigar():
+        ez, _ = extz2_device(qmt, tmt, 5, mat, 4, 2)
+        assert ez.score == 16102, ez.score
+
+    emit("extz_mt_cigar_gcells_per_s", cmt / best_of(run_extz_mt_cigar),
+         "Gcells/s", baseline=0.68)  # ref 16.5k +cigar 0.40s
+
+    def run_extf():
+        ez = extf2_device(q50, t50, 2, -4, 2, xdrop=-1)
+        assert ez.score != 0
+
+    emit("extf_50k_score_gcells_per_s", c50 / best_of(run_extf), "Gcells/s")
+
+    def run_gg2_mt():
+        s, cig, _ = gg2_device(qmt, tmt, 5, mat, 4, 2)
+        assert s == 16102, s
+
+    emit("gg2_mt_cigar_gcells_per_s", cmt / best_of(run_gg2_mt), "Gcells/s",
+         baseline=0.083)  # ref gg2 +cigar 3.3s
+
+    # batched short pairs (device-resident timing; chained to force sync)
+    from ksw2_tpu.ops import wavefront_batch as wb
+    from ksw2_tpu.ops.batch_pallas import _cached_run
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    B, L = 512, 128
+    Q = rng.integers(0, 4, size=(B, L)).astype(np.int8)
+    T = np.where(rng.random((B, L)) < 0.12,
+                 rng.integers(0, 4, size=(B, L)), Q).astype(np.int8)
+    prm = wb.BatchParams(n_rows=B, n_diag=256, m=5, sc_mch=2, sc_mis=-4,
+                         sc_N=-2, q=4, e=2, zdrop=100, flag=1)
+    run = _cached_run(prm, False)
+    dQ, dT = jnp.asarray(Q), jnp.asarray(T)
+    dl = jnp.full((B,), L, jnp.int32)
+    acc = run(dQ, dT, dl, dl, dl)
+    jax.block_until_ready(acc)
+    reps = 50
+    t0 = time.time()
+    cur = dQ
+    for _ in range(reps):
+        cur = jnp.roll(cur, 1, axis=0)
+        acc = acc + run(cur, dT, dl, dl, dl)
+    jax.block_until_ready(acc)
+    dt = (time.time() - t0) / reps
+    emit("batch_512x128_zdrop_pairs_per_s", B / dt, "pairs/s",
+         baseline=80000)  # ref ~1.31 Gc/s / (128*128) cells
+
+    if ctx is not None:
+        ctx.__exit__(None, None, None)
+
+
+if __name__ == "__main__":
+    main()

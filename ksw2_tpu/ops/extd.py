@@ -45,8 +45,12 @@ def extd2_device(
     flag: Flag | int = Flag.NONE,
     interpret: bool = False,
     chunk: Optional[int] = None,
+    device_tb: Optional[bool] = None,
 ) -> Tuple[ExtzResult, Optional[Trace]]:
     """Run the extd wavefront kernel for one pair; returns (ez, trace)."""
+    import os as _os
+    if device_tb is None:
+        device_tb = _os.environ.get("KSW2_HOST_TB") != "1"
     flag = Flag(int(flag))
     if not interpret and jax.default_backend() != "tpu":
         interpret = True          # Pallas TPU kernels interpret elsewhere
@@ -82,6 +86,7 @@ def extd2_device(
     N = max(round_up(tlen_ * 16, 128), 1024)
     n_col16 = n_col_bytes(qlen, tlen, w)
     p_rows = round_up(n_col16 + 128, 128) // 128 if with_cigar else 0
+    p_rows = round_up(p_rows, 32)  # tile alignment for the device traceback
     if chunk is None:
         chunk = max(8, min(128, (4 << 20) // max(1, p_rows * 128))) if with_cigar else 512
     sc_N = -e2 if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
@@ -125,10 +130,6 @@ def extd2_device(
 
     trace = None
     if with_cigar:
-        st0, en0, st, en = band_bounds_rounded(n_diag, qlen, tlen, w)
-        store_off = st // 128 * 128
-        pmat = p.reshape(p.shape[0], -1)[:n_diag]
-        trace = Trace(pmat, st, en, p_rows * 128)
         rev = bool(flag & Flag.REV_CIGAR)
         if not ez.zdropped and not (flag & Flag.EXTZ_ONLY):
             i0, j0 = tlen - 1, qlen - 1
@@ -139,7 +140,16 @@ def extd2_device(
             i0, j0 = ez.max_t, ez.max_q
         else:
             i0 = None
-        if i0 is not None:
+        if i0 is not None and device_tb:
+            from .extz import device_backtrack
+            ez.cigar = device_backtrack(
+                p, p.shape[0] // chunk, chunk, p_rows, qlen, tlen, w,
+                i0, j0, 0, rev, interpret)
+        elif i0 is not None:
+            st0, en0, st, en = band_bounds_rounded(n_diag, qlen, tlen, w)
+            store_off = st // 128 * 128
+            pmat = np.asarray(p).reshape(p.shape[0], -1)[:n_diag]
+            trace = Trace(pmat, st, en, p_rows * 128)
             ez.cigar = backtrack(
                 pmat, st, en, p_rows * 128, i0, j0,
                 is_rot=True, is_rev=rev, store_off=store_off,

@@ -33,6 +33,31 @@ def _cached_phased(prm: wf.ExtzParams, interpret: bool):
     return jax.jit(wf.build_extz_phased(prm, interpret=interpret))
 
 
+@functools.lru_cache(maxsize=256)
+def _cached_tb(prm, interpret: bool):
+    from . import traceback_device as tbd
+    return jax.jit(tbd.build_traceback_call(prm, interpret=interpret))
+
+
+def device_backtrack(p_dev, n_steps, chunk, p_rows, qlen, tlen, w,
+                     i0, j0, min_intron, is_rev, interpret, upper_force=1):
+    """Walk the traceback on device; only the op string leaves the chip."""
+    from . import traceback_device as tbd
+    prm = tbd.TbParams(
+        qlen=qlen, tlen=tlen, w=int(w), n_diag=qlen + tlen - 1,
+        p_rows=p_rows, blk=chunk, n_blocks=n_steps,
+        min_intron=int(min_intron), upper_force=int(upper_force),
+    )
+    call = _cached_tb(prm, interpret)
+    res, ops = call(jnp.asarray(np.array([i0, j0], np.int32)), p_dev)
+    res = np.asarray(res)
+    if res[3]:
+        return None   # walk escaped the stored rows: replay on the host
+    ops_flat = np.asarray(ops).reshape(-1)
+    return tbd.finish_cigar(ops_flat, int(res[2]), int(res[0]), int(res[1]),
+                            int(min_intron), is_rev)
+
+
 def _pad_seq(seq: np.ndarray, n: int) -> np.ndarray:
     out = np.zeros((n // 128, 128), np.int32)
     out.reshape(-1)[: len(seq)] = seq.astype(np.int32)
@@ -52,8 +77,17 @@ def extz2_device(
     flag: Flag | int = Flag.NONE,
     interpret: bool = False,
     chunk: Optional[int] = None,
+    device_tb: Optional[bool] = None,
 ) -> Tuple[ExtzResult, Optional[Trace]]:
-    """Run the extz wavefront kernel for one pair; returns (ez, trace)."""
+    """Run the extz wavefront kernel for one pair; returns (ez, trace).
+
+    ``device_tb`` walks the traceback on the TPU (default: on) so the
+    direction matrix never crosses to the host; pass False to fetch the
+    matrix and use the native host backtrack (also returns the Trace).
+    """
+    import os as _os
+    if device_tb is None:
+        device_tb = _os.environ.get("KSW2_HOST_TB") != "1"
     flag = Flag(int(flag))
     if not interpret and jax.default_backend() != "tpu":
         interpret = True          # Pallas TPU kernels interpret elsewhere
@@ -81,6 +115,7 @@ def extz2_device(
     N = max(round_up(tlen_ * 16, 128), 1024)
     n_col16 = n_col_bytes(qlen, tlen, w)
     p_rows = round_up(n_col16 + 128, 128) // 128 if with_cigar else 0
+    p_rows = round_up(p_rows, 32)  # tile alignment for the device traceback
     if chunk is None:
         if with_cigar:
             chunk = max(8, min(128, (4 << 20) // max(1, p_rows * 128)))
@@ -106,8 +141,7 @@ def extz2_device(
         call = _cached_call(prm, with_cigar, interpret)
         out = call(jnp.asarray(qpad), jnp.asarray(tpad))
         if with_cigar:
-            res, p = out
-            p = np.asarray(p)
+            res, p = out            # p stays on device for the traceback
         else:
             res = out[0]
             p = None
@@ -125,10 +159,6 @@ def extz2_device(
 
     trace = None
     if with_cigar:
-        st0, en0, st, en = band_bounds_rounded(n_diag, qlen, tlen, w)
-        store_off = st // 128 * 128
-        pmat = p.reshape(p.shape[0], -1)[:n_diag]
-        trace = Trace(pmat, st, en, p_rows * 128)
         # traceback start cell (ksw2_extz2_sse.c:292-301)
         rev = bool(flag & Flag.REV_CIGAR)
         if not ez.zdropped and not (flag & Flag.EXTZ_ONLY):
@@ -140,7 +170,17 @@ def extz2_device(
             i0, j0 = ez.max_t, ez.max_q
         else:
             i0 = None
-        if i0 is not None:
+        if i0 is not None and device_tb:
+            # walk on device: only the op string crosses to the host
+            n_steps = p.shape[0] // chunk
+            ez.cigar = device_backtrack(
+                p, n_steps, chunk, p_rows, qlen, tlen, w, i0, j0,
+                0, rev, interpret)
+        elif i0 is not None:
+            st0, en0, st, en = band_bounds_rounded(n_diag, qlen, tlen, w)
+            store_off = st // 128 * 128
+            pmat = np.asarray(p).reshape(p.shape[0], -1)[:n_diag]
+            trace = Trace(pmat, st, en, p_rows * 128)
             ez.cigar = backtrack(
                 pmat, st, en, p_rows * 128, i0, j0,
                 is_rot=True, is_rev=rev, store_off=store_off,

@@ -36,8 +36,12 @@ def gg2_device(
     w: int = -1,
     interpret: bool = False,
     chunk: Optional[int] = None,
+    device_tb: Optional[bool] = None,
 ) -> Tuple[int, List[int], Optional[Trace]]:
     """Run the gg2 wavefront kernel; returns (score, cigar, trace)."""
+    import os as _os
+    if device_tb is None:
+        device_tb = _os.environ.get("KSW2_HOST_TB") != "1"
     if not interpret and jax.default_backend() != "tpu":
         interpret = True          # Pallas TPU kernels interpret elsewhere
     qlen, tlen = len(query), len(target)
@@ -52,7 +56,7 @@ def gg2_device(
     n_diag = qlen + tlen - 1
     N = max(round_up(tlen_ * 16, 128), 1024)
     R = N // 128
-    p_rows = round_up(n_col + 128, 128) // 128
+    p_rows = round_up(round_up(n_col + 128, 128) // 128, 32)
     if chunk is None:
         chunk = max(8, min(128, (4 << 20) // max(1, p_rows * 128)))
 
@@ -77,15 +81,31 @@ def gg2_device(
     res, p = call(jnp.asarray(qpad.reshape(-1)), jnp.asarray(tpad),
                   jnp.asarray(prof))
     res = np.asarray(res)
-    p = np.asarray(p)
 
     score = int(res[0])
+    if device_tb:
+        from .extz import device_backtrack
+        cig = device_backtrack(
+            p, p.shape[0] // chunk, chunk, p_rows, qlen, tlen, w,
+            tlen - 1, qlen - 1, 0, False, interpret, upper_force=0)
+        if cig is not None:
+            return score, cig, None
+        # the walk escaped the band upward: replay with the reference's
+        # exact flat row layout (its reads run into the next diagonal)
+    p = np.asarray(p)
     st0, en0, st, en = band_bounds_rounded(n_diag, qlen, tlen, w)
     store_off = st // 128 * 128
     pmat = p.reshape(p.shape[0], -1)[:n_diag]
-    trace = Trace(pmat, st, None, p_rows * 128)
-    cig = backtrack(pmat, st, None, p_rows * 128, tlen - 1, qlen - 1,
-                    is_rot=True, store_off=store_off)
+    # repack to the reference's n_col-wide rows so flat overflow reads
+    # land on the same bytes (ksw2_gg2_sse.c:41-47)
+    pspec = np.zeros((n_diag, n_col), np.int8)
+    for r in range(n_diag):
+        lo = int(st[r] - store_off[r])
+        span = min(n_col, p_rows * 128 - lo)
+        pspec[r, :span] = pmat[r, lo:lo + span]
+    trace = Trace(pspec, st, None, n_col)
+    cig = backtrack(pspec, st, None, n_col, tlen - 1, qlen - 1,
+                    is_rot=True, store_off=st)
     return score, cig, trace
 
 

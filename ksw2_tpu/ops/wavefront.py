@@ -605,9 +605,11 @@ def build_extz_call(prm: ExtzParams, with_cigar: bool, interpret: bool = False):
 
     out_shape = [jax.ShapeDtypeStruct((NSTATE,), jnp.int32)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    import os as _os
+    _pdt = jnp.int32 if _os.environ.get("KSW2_CG") == "4" else jnp.int8
     if with_cigar:
         out_shape.append(jax.ShapeDtypeStruct(
-            (n_steps * prm.chunk, prm.p_rows, 128), jnp.int8))
+            (n_steps * prm.chunk, prm.p_rows, 128), _pdt))
         out_specs.append(pl.BlockSpec(
             (prm.chunk, prm.p_rows, 128), lambda i: (i, 0, 0),
             memory_space=pltpu.VMEM))
