@@ -76,3 +76,21 @@ def test_all_vs_all_mode(tmp_path):
     lines = out.strip().splitlines()
     assert len(lines) == 2
     assert lines[0].startswith("a\tx\t8")
+
+
+def test_cli_tpu_backend_matches_golden(tmp_path):
+    """The tpu backend (interpret mode on CPU) prints the same TSV."""
+    import subprocess
+    import sys
+    out = subprocess.run(
+        [sys.executable, "-m", "ksw2_tpu.cli", "--backend", "tpu",
+         "-t", "extz2_sse", "/root/reference/test/t1.fa",
+         "/root/reference/test/q1.fa"],
+        capture_output=True, text=True, check=True,
+        cwd="/root/repo").stdout
+    ref = subprocess.run(
+        [sys.executable, "-m", "ksw2_tpu.cli", "-t", "extz2_sse",
+         "/root/reference/test/t1.fa", "/root/reference/test/q1.fa"],
+        capture_output=True, text=True, check=True,
+        cwd="/root/repo").stdout
+    assert out == ref and out.strip()
