@@ -151,7 +151,8 @@ def extz_batch_device(
     return out
 
 
-__all__ = ["extz_batch_device", "extz_batch_align"]
+__all__ = ["extz_batch_device", "extz_batch_align",
+           "extd_batch_device", "extd_batch_align"]
 
 
 def extz_batch_align(
@@ -281,5 +282,265 @@ def extz_batch_align(
         ez.cigar = backtrack(
             pmat, stb[b, :nd].astype(np.int32), enb[b, :nd].astype(np.int32),
             128, i0, j0, is_rot=True, is_rev=rev, store_off=zero_off[:nd])
+        out.append(ez)
+    return out
+
+
+@functools.lru_cache(maxsize=128)
+def _cached_run_extd(prm, interpret: bool, with_cigar: bool = False):
+    from . import wavefront_batch_extd as wbe
+    call = wbe.build_batch_extd_call(prm, with_cigar, interpret=interpret)
+    R, n_diag = prm.n_rows, prm.n_diag
+
+    def run(query, target, qlen, tlen, w):
+        I = jnp.int32
+        qlen = qlen.astype(I)
+        tlen = tlen.astype(I)
+        w = w.astype(I)
+        rr = jnp.arange(n_diag, dtype=I)[None, :]
+        st0 = jnp.maximum(0, jnp.maximum(rr - qlen[:, None] + 1,
+                                         (rr - w[:, None] + 1) >> 1))
+        en0 = jnp.minimum(tlen[:, None] - 1,
+                          jnp.minimum(rr, (rr + w[:, None]) >> 1))
+        ndb = qlen + tlen - 1
+        bad = (st0 > en0) & (rr < ndb[:, None])
+        rstop = jnp.where(bad.any(axis=1), jnp.argmax(bad, axis=1), ndb)
+        rlim = jnp.minimum(rstop, ndb).astype(I)
+        ones = jnp.ones((R, 128), I)
+        qlp = qlen[:, None] * ones
+        tlp = tlen[:, None] * ones
+        wpl = w[:, None] * ones
+        rlp = rlim[:, None] * ones
+        tpad = jnp.zeros((R, 128), I).at[:, :target.shape[1]].set(
+            target.astype(I))
+        ridx = jnp.minimum(rr, jnp.maximum(qlen - 1, 0)[:, None])
+        qinj = jnp.take_along_axis(query.astype(I), ridx, axis=1)
+        out = call(qlp, tlp, wpl, rlp, tpad, qinj)
+        if with_cigar:
+            return out[0][:, :wb.NFIELDS], out[1]
+        return out[0][:, :wb.NFIELDS]
+
+    return jax.jit(run)
+
+
+def _extd_batch_params(B, Lq, qlen, tlen, m, mat, q, e, q2, e2, zdrop, flag,
+                       chunk):
+    from ..spec.common import c_div
+    from . import wavefront_batch_extd as wbe
+
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    q, e, q2, e2 = int(q), int(e), int(q2), int(e2)
+    qe_pre_swap = q + e
+    if q2 + e2 < q + e:              # canonicalize (ksw2_extd2_sse.c:78)
+        q, q2 = q2, q
+        e, e2 = e2, e
+    long_thres = c_div(q2 - q, e - e2) - 1 if e != e2 else 0
+    if q2 + e2 + long_thres * e2 > q + e + long_thres * e:
+        long_thres += 1
+    long_diff = long_thres * (e - e2) - (q2 - q) - e2
+    sc_N = -e2 if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+    R = max(round_up(B, 8), 8)
+    n_diag = int((qlen + tlen).max()) - 1 if B else 1
+    n_diag = max(round_up(n_diag, chunk), chunk)
+    return wbe.BatchExtdParams(
+        n_rows=R, n_diag=n_diag, m=m,
+        sc_mch=int(mat[0]), sc_mis=int(mat[1]), sc_N=sc_N,
+        q=q, e=e, q2=q2, e2=e2, qe_pre_swap=qe_pre_swap,
+        long_thres=int(long_thres), long_diff=int(long_diff),
+        zdrop=int(zdrop), flag=int(flag), chunk=chunk,
+    ), int(mat[1:].min()), (q, e)
+
+
+def extd_batch_device(
+    query: np.ndarray,
+    target: np.ndarray,
+    qlen: np.ndarray,
+    tlen: np.ndarray,
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    q2: int,
+    e2: int,
+    w: Optional[np.ndarray] = None,
+    zdrop: int = -1,
+    flag: Flag | int = Flag.SCORE_ONLY,
+    interpret: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Batched two-piece extension, score-only (extd2 semantics)."""
+    flag = Flag(int(flag))
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    if not (flag & Flag.SCORE_ONLY):
+        raise ValueError("score-only entry; use extd_batch_align for CIGARs")
+    if flag & (Flag.APPROX_MAX | Flag.GENERIC_SC):
+        raise NotImplementedError("approx/generic batched paths pending")
+    B, Lq = query.shape
+    Bt, Lt = target.shape
+    assert B == Bt and Lt <= 128
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    if w is None:
+        w = np.maximum(qlen, tlen)
+    w = np.asarray(w, np.int32)
+    RMAX = 384
+    if B > RMAX:
+        outs = [
+            extd_batch_device(query[i:i + RMAX], target[i:i + RMAX],
+                              qlen[i:i + RMAX], tlen[i:i + RMAX], m, mat,
+                              q, e, q2, e2, w[i:i + RMAX], zdrop, flag,
+                              interpret)
+            for i in range(0, B, RMAX)
+        ]
+        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+    prm, min_sc, (qc, ec) = _extd_batch_params(
+        B, Lq, qlen, tlen, m, mat, q, e, q2, e2, zdrop, flag, wb.CHUNK)
+    run = _cached_run_extd(prm, interpret)
+    R = prm.n_rows
+    qpad = np.zeros((R, Lq), np.int8)
+    qpad[:B] = np.asarray(query, np.int8)
+    tpad = np.zeros((R, Lt), np.int8)
+    tpad[:B] = np.asarray(target, np.int8)
+    lens = np.zeros((3, R), np.int32)
+    lens[0, :B], lens[1, :B], lens[2, :B] = qlen, tlen, w
+    res = np.asarray(run(jnp.asarray(qpad), jnp.asarray(tpad),
+                         jnp.asarray(lens[0]), jnp.asarray(lens[1]),
+                         jnp.asarray(lens[2])))[:B]
+    out = {
+        "max": res[:, wb.F_MAX].copy(),
+        "max_t": res[:, wb.F_MAXT].copy(),
+        "max_q": res[:, wb.F_MAXQ].copy(),
+        "mqe": res[:, wb.F_MQE].copy(),
+        "mqe_t": res[:, wb.F_MQET].copy(),
+        "mte": res[:, wb.F_MTE].copy(),
+        "mte_q": res[:, wb.F_MTEQ].copy(),
+        "score": res[:, wb.F_SCORE].copy(),
+        "zdropped": res[:, wb.F_ZDROP].copy(),
+    }
+    if -min_sc > 2 * (qc + ec):
+        for k in out:
+            out[k][:] = 0 if k in ("max", "zdropped") else (
+                -1 if k.endswith(("_t", "_q")) else NEG_INF)
+        out["max_t"][:] = -1
+        out["max_q"][:] = -1
+    return out
+
+
+def extd_batch_align(
+    query: np.ndarray,
+    target: np.ndarray,
+    qlen: np.ndarray,
+    tlen: np.ndarray,
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    q2: int,
+    e2: int,
+    w: Optional[np.ndarray] = None,
+    zdrop: int = -1,
+    end_bonus: int = 0,
+    flag: Flag | int = Flag.NONE,
+    interpret: bool = False,
+):
+    """Batched two-piece extension with CIGARs for short targets."""
+    from ..core import cigar as cigarmod
+    from ..core.result import ExtzResult
+    from ..native.bindings import backtrack
+
+    flag = Flag(int(flag))
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    if flag & (Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.GENERIC_SC):
+        raise ValueError("use extd_batch_device for score-only batches")
+    B, Lq = query.shape
+    Bt, Lt = target.shape
+    assert B == Bt and Lt <= 128
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    if w is None:
+        w = np.maximum(qlen, tlen)
+    w = np.asarray(w, np.int32)
+    RMAX = 256
+    if B > RMAX:
+        out = []
+        for i in range(0, B, RMAX):
+            out.extend(extd_batch_align(
+                query[i:i + RMAX], target[i:i + RMAX], qlen[i:i + RMAX],
+                tlen[i:i + RMAX], m, mat, q, e, q2, e2, w[i:i + RMAX],
+                zdrop, end_bonus, flag, interpret))
+        return out
+
+    prm, min_sc, (qc, ec) = _extd_batch_params(
+        B, Lq, qlen, tlen, m, mat, q, e, q2, e2, zdrop, flag, 32)
+    if -min_sc > 2 * (qc + ec):
+        out = []
+        for _ in range(B):
+            ez = ExtzResult()
+            ez.reset()
+            out.append(ez)
+        return out
+    run = _cached_run_extd(prm, interpret, True)
+    R = prm.n_rows
+    n_diag = prm.n_diag
+    qpad = np.zeros((R, Lq), np.int8)
+    qpad[:B] = np.asarray(query, np.int8)
+    tpad = np.zeros((R, Lt), np.int8)
+    tpad[:B] = np.asarray(target, np.int8)
+    lens = np.zeros((3, R), np.int32)
+    lens[0, :B], lens[1, :B], lens[2, :B] = qlen, tlen, w
+    res, p = run(jnp.asarray(qpad), jnp.asarray(tpad),
+                 jnp.asarray(lens[0]), jnp.asarray(lens[1]),
+                 jnp.asarray(lens[2]))
+    res = np.asarray(res)[:B]
+    p = np.asarray(p)
+
+    rr = np.arange(n_diag, dtype=np.int64)[None, :]
+    st0 = np.maximum(0, np.maximum(rr - qlen[:, None] + 1,
+                                   (rr - w[:, None] + 1) >> 1))
+    en0 = np.minimum(tlen[:, None] - 1,
+                     np.minimum(rr, (rr + w[:, None]) >> 1))
+    stb = st0 // 16 * 16
+    enb = (en0 + 16) // 16 * 16 - 1
+    zero_off = np.zeros(n_diag, np.int32)
+
+    out = []
+    rev = bool(flag & Flag.REV_CIGAR)
+    for b in range(B):
+        ez = ExtzResult()
+        ez.reset()
+        ez.max = int(res[b, wb.F_MAX])
+        ez.max_t = int(res[b, wb.F_MAXT])
+        ez.max_q = int(res[b, wb.F_MAXQ])
+        ez.mqe = int(res[b, wb.F_MQE])
+        ez.mqe_t = int(res[b, wb.F_MQET])
+        ez.mte = int(res[b, wb.F_MTE])
+        ez.mte_q = int(res[b, wb.F_MTEQ])
+        ez.score = int(res[b, wb.F_SCORE])
+        ez.zdropped = bool(res[b, wb.F_ZDROP])
+        qln, tln = int(qlen[b]), int(tlen[b])
+        if qln <= 0 or tln <= 0:
+            out.append(ez)
+            continue
+        if not ez.zdropped and not (flag & Flag.EXTZ_ONLY):
+            i0, j0 = tln - 1, qln - 1
+        elif (not ez.zdropped and (flag & Flag.EXTZ_ONLY)
+              and ez.mqe + end_bonus > ez.max):
+            ez.reach_end = True
+            i0, j0 = ez.mqe_t, qln - 1
+        elif ez.max_t >= 0 and ez.max_q >= 0:
+            i0, j0 = ez.max_t, ez.max_q
+        else:
+            out.append(ez)
+            continue
+        nd = qln + tln - 1
+        pmat = np.ascontiguousarray(p[:nd, b, :])
+        ez.cigar = backtrack(
+            pmat, stb[b, :nd].astype(np.int32), enb[b, :nd].astype(np.int32),
+            128, i0, j0, is_rot=True, is_rev=rev, store_off=zero_off[:nd])
+        if (flag & Flag.EQX) and ez.cigar:
+            ez.cigar = cigarmod.to_eqx(ez.cigar, query[b][:qln],
+                                       target[b][:tln])
         out.append(ez)
     return out

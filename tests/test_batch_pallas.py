@@ -79,3 +79,34 @@ def test_batch_align_cigars_match_spec(zdrop, flag):
         want, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, w=-1, zdrop=zdrop,
                                  flag=flag)
         assert ezs[i].tsv_fields() == want.tsv_fields(), i
+
+
+@pytest.mark.parametrize("zdrop", [-1, 25])
+def test_extd_batch_scores_match_spec(zdrop):
+    B = 10
+    pairs, Q, T, qlen, tlen = _make_batch(31, B)
+    mat = simple_mat(5, 2, 4)
+    from ksw2_tpu.ops.batch_pallas import extd_batch_device
+    out = extd_batch_device(Q, T, qlen, tlen, 5, mat, 4, 2, 13, 1,
+                            zdrop=zdrop, flag=Flag.SCORE_ONLY, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extd2(q, t, 5, mat, 4, 2, 13, 1, w=-1,
+                                 zdrop=zdrop, flag=Flag.SCORE_ONLY)
+        assert int(out["score"][i]) == want.score, i
+        assert int(out["max"][i]) == want.max, i
+        assert int(out["mte"][i]) == want.mte, i
+        assert bool(out["zdropped"][i]) == want.zdropped, i
+
+
+@pytest.mark.parametrize("flag", [Flag.NONE, Flag.EQX])
+def test_extd_batch_align_cigars_match_spec(flag):
+    B = 8
+    pairs, Q, T, qlen, tlen = _make_batch(41, B)
+    mat = simple_mat(5, 2, 4)
+    from ksw2_tpu.ops.batch_pallas import extd_batch_align
+    ezs = extd_batch_align(Q, T, qlen, tlen, 5, mat, 4, 2, 13, 1,
+                           zdrop=25, flag=flag, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extd2(q, t, 5, mat, 4, 2, 13, 1, w=-1,
+                                 zdrop=25, flag=flag)
+        assert ezs[i].tsv_fields() == want.tsv_fields(), i
