@@ -117,6 +117,14 @@ def main():
     emit("extz_mt_cigar_gcells_per_s", cmt / best_of(run_extz_mt_cigar),
          "Gcells/s", baseline=0.68)  # ref 16.5k +cigar 0.40s
 
+    def run_extz_50k_cigar():
+        ez, _ = extz2_device(q50, t50, 5, mat, 4, 2)
+        assert ez.score == 69932 and len(ez.cigar) == 3995, \
+            (ez.score, len(ez.cigar))
+
+    emit("extz_50k_cigar_gcells_per_s", c50 / best_of(run_extz_50k_cigar, n=2),
+         "Gcells/s", baseline=0.28)  # est: ref score 2.7s + traceback alloc
+
     def run_extf():
         ez = extf2_device(q50, t50, 2, -4, 2, xdrop=-1)
         assert ez.score != 0
