@@ -82,8 +82,8 @@ def extz_batch_device(
         interpret = True          # Pallas TPU kernels interpret on CPU
     if not (flag & Flag.SCORE_ONLY):
         raise ValueError("batched engine is score-only; use extz2_device")
-    if flag & (Flag.APPROX_MAX | Flag.GENERIC_SC):
-        raise NotImplementedError("approx/generic batched paths pending")
+    if flag & Flag.GENERIC_SC:
+        raise NotImplementedError("generic batched scoring pending")
     B, Lq = query.shape
     Bt, Lt = target.shape
     assert B == Bt and Lt <= 128

@@ -77,6 +77,7 @@ def _bmin(arr):
 
 
 def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
+    approx = bool(prm.flag & int(Flag.APPROX_MAX))
     withz = prm.zdrop >= 0
     right = bool(prm.flag & int(Flag.RIGHT))
     refs = list(refs)
@@ -86,6 +87,11 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
     p_ref = rest.pop(0) if with_cigar else None
     u, v, x, y, s, Q, H, HM, RD, MQ = rest[:10]
     rest = rest[10:]
+    if approx:
+        h0p, ltp = rest[:2]
+        rest = rest[2:]
+    else:
+        h0p = ltp = None
     if withz:
         mxp, mtp, mqp, zdp = rest[:4]
     else:
@@ -116,6 +122,9 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
         HM[...] = jnp.full(shape, NEG_INF, I32)
         RD[...] = zero
         MQ[...] = jnp.full(shape, NEG_INF, I32)
+        if approx:
+            h0p[...] = zero
+            ltp[...] = zero
         if withz:
             mxp[...] = zero
             mtp[...] = jnp.full(shape, -1, I32)
@@ -235,7 +244,39 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
         MQ[...] = jnp.where(
             act & ((r - st0) == (qlp - 1)) & (lane == st0), Hn, MQ[...])
 
-        if withz:
+        if approx:
+            # O(1) per-row H0 walk (ksw2_extz2_sse.c:270-286): one lane
+            # select per operand, butterflied so results stay replicated
+            lt = ltp[...]
+            c1 = (lt >= st0) & (lt <= en0)
+            c2 = (lt + 1 >= st0) & (lt + 1 <= en0)
+            d0 = _bmax(jnp.where(lane == lt, vn, _INT_MIN)) - qe
+            d1 = _bmax(jnp.where(lane == jnp.minimum(lt + 1, 127), un,
+                                 _INT_MIN)) - qe
+            both = c1 & c2
+            newH0 = jnp.where(both, h0p[...] + jnp.maximum(d0, d1),
+                              jnp.where(c1, h0p[...] + d0, h0p[...] + d1))
+            newlt = jnp.where(both, jnp.where(d0 > d1, lt, lt + 1),
+                              jnp.where(c1, lt, lt + 1))
+            h00 = _bmax(jnp.where(lane == 0, vn, _INT_MIN)) - 2 * qe
+            h0p[...] = jnp.where(act, jnp.where(is0, h00, newH0), h0p[...])
+            ltp[...] = jnp.where(act, jnp.where(is0, 0, newlt), ltp[...])
+
+        if withz and approx and (prm.flag & int(Flag.APPROX_DROP)):
+            nis0 = act & jnp.logical_not(is0)
+            M0 = h0p[...]
+            t0_ = ltp[...]
+            betterz = nis0 & (M0 > mxp[...])
+            l = jnp.abs((t0_ - mtp[...]) - ((r - t0_) - mqp[...]))
+            trig = (nis0 & jnp.logical_not(M0 > mxp[...]) & (t0_ >= mtp[...])
+                    & (r - t0_ >= mqp[...])
+                    & (mxp[...] - M0 > prm.zdrop + l * prm.e))
+            mxp[...] = jnp.where(betterz, M0, mxp[...])
+            mtp[...] = jnp.where(betterz, t0_, mtp[...])
+            mqp[...] = jnp.where(betterz, r - t0_, mqp[...])
+            zdp[...] = jnp.where(trig, 1 + r, zdp[...])
+
+        if withz and not approx:
             # per-diagonal running max + Z-drop test (ksw2.h:191-207)
             band = scan_mask | en0m
             M = _bmax(jnp.where(band, Hn, _INT_MIN))
@@ -265,7 +306,17 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
         ndc = qlp + tlp - 1
         HMv = HM[...]
         RDv = RD[...]
-        if withz:
+        if approx:
+            dropped = (zdp[...] > 0) if withz else jnp.zeros(shape, jnp.bool_)
+            if withz:
+                vmax = mxp[...]
+                vmaxt = mtp[...]
+                vmaxq = mqp[...]
+            else:
+                vmax = jnp.zeros(shape, I32)
+                vmaxt = jnp.full(shape, -1, I32)
+                vmaxq = jnp.full(shape, -1, I32)
+        elif withz:
             # the Z-drop variant tracked the running max per diagonal;
             # its values are exact for dropped and completed pairs alike
             dropped = zdp[...] > 0
@@ -294,19 +345,27 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
             vmaxt = jnp.where(V > 0, max_t, -1)
             vmaxq = jnp.where(V > 0, rstar - max_t, -1)
 
-        mqe = _bmax(MQ[...])
-        mqet = _bmin(jnp.where(MQ[...] == mqe, lane, _BIGKEY))
-        has_mqe = mqe > NEG_INF
-        mqe = jnp.where(has_mqe, mqe, NEG_INF)
-        mqet = jnp.where(has_mqe, mqet, -1)
+        if approx:
+            # the reference's approx branch never updates mqe/mte
+            # (ksw2_extz2_sse.c:270-286)
+            mqe = jnp.full(shape, NEG_INF, I32)
+            mqet = jnp.full(shape, -1, I32)
+            mte = jnp.full(shape, NEG_INF, I32)
+            mteq = jnp.full(shape, -1, I32)
+        else:
+            mqe = _bmax(MQ[...])
+            mqet = _bmin(jnp.where(MQ[...] == mqe, lane, _BIGKEY))
+            has_mqe = mqe > NEG_INF
+            mqe = jnp.where(has_mqe, mqe, NEG_INF)
+            mqet = jnp.where(has_mqe, mqet, -1)
 
-        corner = lane == tlp - 1
-        mte = _bmax(jnp.where(corner, HMv, _INT_MIN))
-        rdte = _bmax(jnp.where(corner, RDv, _INT_MIN))
-        has_mte = mte > NEG_INF
-        en_c = ((tlp - 1 + 16) // 16) * 16 - 1
-        mteq = jnp.where(has_mte, rdte - en_c, -1)
-        mte = jnp.where(has_mte, mte, NEG_INF)
+            corner = lane == tlp - 1
+            mte = _bmax(jnp.where(corner, HMv, _INT_MIN))
+            rdte = _bmax(jnp.where(corner, RDv, _INT_MIN))
+            has_mte = mte > NEG_INF
+            en_c = ((tlp - 1 + 16) // 16) * 16 - 1
+            mteq = jnp.where(has_mte, rdte - en_c, -1)
+            mte = jnp.where(has_mte, mte, NEG_INF)
 
         # score: corner H if the pair ran to its final diagonal with the
         # corner inside the band
@@ -315,8 +374,11 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
         done = (rlim == ndc) & (fin_en0 == tlp - 1)
         if withz:
             done = done & jnp.logical_not(dropped)
-        hcorner = _bmax(jnp.where(corner, H[...], _INT_MIN))
-        score = jnp.where(done, hcorner, NEG_INF)
+        if approx:
+            score = jnp.where(done, h0p[...], NEG_INF)
+        else:
+            hcorner = _bmax(jnp.where(corner, H[...], _INT_MIN))
+            score = jnp.where(done, hcorner, NEG_INF)
         zflag = (rlim < ndc).astype(I32)
         if withz:
             zflag = jnp.maximum(zflag, (dropped).astype(I32))
@@ -336,7 +398,8 @@ def build_batch_call(prm: BatchParams, with_cigar: bool = False,
     chunk = prm.chunk
     assert CHUNK % chunk == 0
     n_steps = (prm.n_diag + chunk - 1) // chunk
-    n_scr = 10 + (4 if prm.zdrop >= 0 else 0)
+    n_scr = (10 + (2 if prm.flag & int(Flag.APPROX_MAX) else 0)
+             + (4 if prm.zdrop >= 0 else 0))
     scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(n_scr)]
     kernel = functools.partial(_batch_kernel_body, prm, with_cigar)
 

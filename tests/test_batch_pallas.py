@@ -110,3 +110,23 @@ def test_extd_batch_align_cigars_match_spec(flag):
         want, _ = diagdiff.extd2(q, t, 5, mat, 4, 2, 13, 1, w=-1,
                                  zdrop=25, flag=flag)
         assert ezs[i].tsv_fields() == want.tsv_fields(), i
+
+
+@pytest.mark.parametrize("zdrop,flag", [
+    (-1, Flag.SCORE_ONLY | Flag.APPROX_MAX),
+    (25, Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.APPROX_DROP),
+])
+def test_batch_approx_matches_spec(zdrop, flag):
+    B = 10
+    pairs, Q, T, qlen, tlen = _make_batch(51, B)
+    mat = simple_mat(5, 2, 4)
+    out = extz_batch_device(Q, T, qlen, tlen, 5, mat, 4, 2, zdrop=zdrop,
+                            flag=flag, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, w=-1, zdrop=zdrop,
+                                 flag=flag)
+        got = [int(out[k][i]) for k in ("score", "max", "max_t", "max_q",
+                                        "mqe", "mte")]
+        assert got == [want.score, want.max, want.max_t, want.max_q,
+                       want.mqe, want.mte], i
+        assert bool(out["zdropped"][i]) == want.zdropped, i
