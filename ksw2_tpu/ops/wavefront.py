@@ -717,10 +717,20 @@ def _extz_phase_body(prm: ExtzParams, r_lo, r_hi, Wcap, is_last, refs):
                 + jax.lax.broadcasted_iota(I32, wshape, 1))
     lane0_w = jax.lax.broadcasted_iota(I32, wshape, 1) == 0
 
+    # static phase facts: st==0 (the t=0 injection) only while st0 < 16,
+    # and the first-column preset only while r <= en (~ tlen + 15)
+    st_min_phase = min(
+        max(0, max(rr_ - qlen + 1, (rr_ - w + 1) >> 1)) // 16 * 16
+        for rr_ in (r_lo, r_hi - 1))
+    may_fix = st_min_phase == 0
+    may_col = r_lo <= tlen + 15
+
     def shiftw(arr, first_fix, fixm):
         rolled = jnp.roll(arr, 1, axis=1)
         carried = jnp.roll(rolled, 1, axis=0)
         out = jnp.where(lane0_w, carried, rolled)
+        if fixm is None:
+            return out
         return jnp.where(fixm, first_fix, out)
 
     def diag(rr, _):
@@ -744,14 +754,19 @@ def _extz_phase_body(prm: ExtzParams, r_lo, r_hi, Wcap, is_last, refs):
             row_lo_c = jnp.minimum(jnp.maximum(0, (st - 1) // 128), R - Wcap)
             win = pl.ds(row_lo_c, Wcap)
             tvw = tvw_base + row_lo_c * 128
-            fixm = tvw == 0                    # flat t==0 (shift injection)
+            # flat t==0 (shift injection); None when this phase's bands
+            # never touch t==0 (st_min_phase > 0, monotone in r)
+            fixm = (tvw == 0) if may_fix else None
 
             uc, vc, xc, yc = u[win, :], v[win, :], x[win, :], y[win, :]
             Qc, Tc = Q[win, :], target_ref[win, :]
 
-            col_mask = (en >= r) & (tvw == r)
-            ut = jnp.where(col_mask, jnp.where(r > 0, prm.q, 0), uc)
-            yt = jnp.where(col_mask, 0, yc)
+            if may_col:
+                col_mask = (en >= r) & (tvw == r)
+                ut = jnp.where(col_mask, jnp.where(r > 0, prm.q, 0), uc)
+                yt = jnp.where(col_mask, 0, yc)
+            else:
+                ut, yt = uc, yc
 
             qv = qsmem_ref[jnp.minimum(r, qlen - 1)]
             Qn = shiftw(Qc, qv, fixm)
