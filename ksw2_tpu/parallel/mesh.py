@@ -79,6 +79,50 @@ _FIELDS = ("max", "max_t", "max_q", "mqe", "mqe_t", "mte", "mte_q",
            "score", "zdropped")
 
 
+def sharded_extz_scores_pallas(mesh: Mesh, query, target, qlen, tlen, w,
+                               m, mat, q, e, zdrop=-1,
+                               interpret: bool = False):
+    """Shard the one-pair-per-row Pallas engine over the mesh.
+
+    Each device runs the production batch kernel on its pair shard; the
+    field records gather back on fetch.  ``interpret`` enables the CPU
+    interpreter per shard (for simulated-mesh tests).
+    """
+    import numpy as np_
+    from ..core.flags import Flag
+    from ..ops import wavefront_batch as wb
+    from ..ops.batch_pallas import _cached_run
+
+    axis = mesh.axis_names[0]
+    n_shards = mesh.devices.size
+    B, Lq = query.shape
+    assert B % n_shards == 0, "pad the batch to the mesh size"
+    Rs = max(B // n_shards, 8)
+    mat = np_.asarray(mat, dtype=np_.int8).reshape(-1)
+    sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+    n_diag = int(np_.asarray(qlen + tlen).max()) - 1
+    n_diag = max((n_diag + wb.CHUNK - 1) // wb.CHUNK * wb.CHUNK, wb.CHUNK)
+    prm = wb.BatchParams(
+        n_rows=Rs, n_diag=n_diag, m=m,
+        sc_mch=int(mat[0]), sc_mis=int(mat[1]), sc_N=sc_N,
+        q=int(q), e=int(e), zdrop=int(zdrop), flag=int(Flag.SCORE_ONLY),
+    )
+    run = _cached_run(prm, interpret)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(None, axis),
+        check_rep=False,
+    )
+    def _run(Q, T, ql, tl, wv):
+        res = run(Q, T, ql, tl, wv)            # (Rs, NFIELDS)
+        return res.T[:, :, None].reshape(res.shape[1], -1)
+
+    stacked = _run(query, target, qlen, tlen, w)
+    return {k: stacked[i] for i, k in enumerate(_FIELDS)}
+
+
 def pad_batch_for_mesh(arrays, n_shards: int):
     """Pad the leading batch dim of each array to a multiple of n_shards."""
     B = arrays[0].shape[0]
@@ -93,4 +137,4 @@ def pad_batch_for_mesh(arrays, n_shards: int):
 
 
 __all__ = ["init_distributed", "make_mesh", "sharded_extz_scores",
-           "pad_batch_for_mesh"]
+           "sharded_extz_scores_pallas", "pad_batch_for_mesh"]
