@@ -97,7 +97,7 @@ def sharded_extz_scores_pallas(mesh: Mesh, query, target, qlen, tlen, w,
     n_shards = mesh.devices.size
     B, Lq = query.shape
     assert B % n_shards == 0, "pad the batch to the mesh size"
-    Rs = max(B // n_shards, 8)
+    Rs = B // n_shards
     mat = np_.asarray(mat, dtype=np_.int8).reshape(-1)
     sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
     n_diag = int(np_.asarray(qlen + tlen).max()) - 1
