@@ -119,4 +119,111 @@ def align_batch_scores(
     return results  # type: ignore[return-value]
 
 
-__all__ = ["AlignJob", "align_batch_scores"]
+
+
+def align_batch(
+    jobs: Sequence[AlignJob],
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    q2: Optional[int] = None,
+    e2: Optional[int] = None,
+    zdrop: int = -1,
+    end_bonus: int = 0,
+    flag: Flag | int = Flag.NONE,
+) -> List[ExtzResult]:
+    """Full alignment (scores + CIGARs) for a batch of jobs.
+
+    The complete replacement for the reference's serial per-pair loop:
+    one-piece (``q2 is None``) or two-piece gap costs, bucketed by shape.
+    Short-target buckets (tlen <= 128) run through the one-pair-per-row
+    batched kernels; longer pairs run the single-pair wavefront kernels
+    with on-device traceback.
+    """
+    flag = Flag(int(flag))
+    two_piece = q2 is not None
+    if two_piece and e2 is None:
+        raise ValueError("two-piece costs need both q2 and e2")
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    results: List[Optional[ExtzResult]] = [None] * len(jobs)
+    min_sc = int(mat[1:].min())
+
+    score_only = bool(flag & Flag.SCORE_ONLY)
+    if score_only and not two_piece:
+        return align_batch_scores(jobs, m, mat, q, e, zdrop=zdrop, flag=flag)
+
+    buckets: Dict[Tuple[int, int], List[int]] = {}
+    for i, job in enumerate(jobs):
+        if len(job.query) == 0 or len(job.target) == 0 or \
+                -min_sc > 2 * (q + e):
+            ez = ExtzResult()
+            ez.reset()
+            results[i] = ez
+            continue
+        key = (_bucket_len(len(job.query)), _bucket_len(len(job.target)))
+        buckets.setdefault(key, []).append(i)
+
+    from ..ops.batch_pallas import extd_batch_align, extz_batch_align
+    from ..ops.batch_pallas import extd_batch_device
+    from ..ops.extd import extd2_device
+    from ..ops.extz import extz2_device
+
+    for (Lq, Lt), idxs in buckets.items():
+        batchable = (Lt <= 128
+                     and not (flag & (Flag.APPROX_MAX | Flag.GENERIC_SC
+                                      | Flag.EXTZ_ONLY)))
+        if batchable:
+            B = len(idxs)
+            Q = np.zeros((B, Lq), np.int32)
+            T = np.zeros((B, Lt), np.int32)
+            qlen = np.zeros(B, np.int32)
+            tlen = np.zeros(B, np.int32)
+            wv = np.zeros(B, np.int32)
+            for k, i in enumerate(idxs):
+                job = jobs[i]
+                Q[k, : len(job.query)] = job.query
+                T[k, : len(job.target)] = job.target
+                qlen[k] = len(job.query)
+                tlen[k] = len(job.target)
+                wv[k] = job.w if job.w >= 0 else max(len(job.query),
+                                                     len(job.target))
+            if two_piece and score_only:
+                out = extd_batch_device(Q, T, qlen, tlen, m, mat, q, e,
+                                        q2, e2, wv, zdrop=zdrop, flag=flag)
+                for k, i in enumerate(idxs):
+                    ez = ExtzResult()
+                    ez.reset()
+                    for f in ("max", "max_t", "max_q", "mqe", "mqe_t",
+                              "mte", "mte_q", "score"):
+                        setattr(ez, f, int(out[f][k]))
+                    ez.zdropped = bool(out["zdropped"][k])
+                    results[i] = ez
+            elif two_piece:
+                ezs = extd_batch_align(Q, T, qlen, tlen, m, mat, q, e,
+                                       q2, e2, wv, zdrop=zdrop,
+                                       end_bonus=end_bonus, flag=flag)
+                for k, i in enumerate(idxs):
+                    results[i] = ezs[k]
+            else:
+                ezs = extz_batch_align(Q, T, qlen, tlen, m, mat, q, e, wv,
+                                       zdrop=zdrop, end_bonus=end_bonus,
+                                       flag=flag)
+                for k, i in enumerate(idxs):
+                    results[i] = ezs[k]
+        else:
+            for i in idxs:
+                job = jobs[i]
+                if two_piece:
+                    ez, _ = extd2_device(job.query, job.target, m, mat, q, e,
+                                         q2, e2, w=job.w, zdrop=zdrop,
+                                         end_bonus=end_bonus, flag=flag)
+                else:
+                    ez, _ = extz2_device(job.query, job.target, m, mat, q, e,
+                                         w=job.w, zdrop=zdrop,
+                                         end_bonus=end_bonus, flag=flag)
+                results[i] = ez
+    return results  # type: ignore[return-value]
+
+
+__all__ = ["AlignJob", "align_batch_scores", "align_batch"]

@@ -43,3 +43,45 @@ def test_empty_and_degenerate_jobs():
                              flag=Flag.SCORE_ONLY)
     assert out[0].score == want.score
     assert out[1].score == -0x40000000 and out[1].max_t == -1
+
+
+def test_align_batch_full_results():
+    import refcmp
+    from ksw2_tpu.batch.scheduler import AlignJob, align_batch
+    from ksw2_tpu.core.matrix import encode_dna, simple_mat
+    from ksw2_tpu.spec import diagdiff
+
+    rng = np.random.default_rng(7)
+    jobs, wants = [], []
+    mat = simple_mat(5, 2, 4)
+    for i in range(10):
+        tlen = int(rng.integers(8, 200))   # crosses the 128 batch boundary
+        t, q = refcmp.random_pair(rng, tlen, divergence=0.3, indel=0.12)
+        qs, ts = encode_dna(q), encode_dna(t)
+        jobs.append(AlignJob(qs, ts))
+        want, _ = diagdiff.extz2(qs, ts, 5, mat, 4, 2, w=-1, zdrop=60)
+        wants.append(want)
+    ezs = align_batch(jobs, 5, mat, 4, 2, zdrop=60)
+    for i, (got, want) in enumerate(zip(ezs, wants)):
+        assert got.tsv_fields() == want.tsv_fields(), i
+
+
+def test_align_batch_two_piece():
+    import refcmp
+    from ksw2_tpu.batch.scheduler import AlignJob, align_batch
+    from ksw2_tpu.core.matrix import encode_dna, simple_mat
+    from ksw2_tpu.spec import diagdiff
+
+    rng = np.random.default_rng(8)
+    jobs, wants = [], []
+    mat = simple_mat(5, 2, 4)
+    for i in range(8):
+        tlen = int(rng.integers(8, 120))
+        t, q = refcmp.random_pair(rng, tlen, divergence=0.3, indel=0.12)
+        qs, ts = encode_dna(q), encode_dna(t)
+        jobs.append(AlignJob(qs, ts))
+        want, _ = diagdiff.extd2(qs, ts, 5, mat, 4, 2, 13, 1, w=-1, zdrop=60)
+        wants.append(want)
+    ezs = align_batch(jobs, 5, mat, 4, 2, q2=13, e2=1, zdrop=60)
+    for i, (got, want) in enumerate(zip(ezs, wants)):
+        assert got.tsv_fields() == want.tsv_fields(), i
