@@ -191,16 +191,34 @@ def main(argv: Optional[List[str]] = None) -> int:
     from .io.fasta import read_fastx
 
     if not args.all_vs_all:
-        for trec, qrec in zip(read_fastx(args.target), read_fastx(args.query)):
-            for _ in range(args.rep):
-                ez = dispatch(args.algo, qrec.seq, trec.seq, **kw)
-            print_aln(trec.name, qrec.name, ez)
+        pairs = [(trec, qrec) for trec, qrec in
+                 zip(read_fastx(args.target), read_fastx(args.query))]
     else:
         targets = list(read_fastx(args.target))
-        for qrec in read_fastx(args.query):
-            for trec in targets:
-                ez = dispatch(args.algo, qrec.seq, trec.seq, **kw)
-                print_aln(trec.name, qrec.name, ez)
+        pairs = [(trec, qrec) for qrec in read_fastx(args.query)
+                 for trec in targets]
+
+    if args.backend == "batch" and args.algo in ("extz2_sse", "extd2_sse"):
+        # whole-file batched dispatch through the scheduler
+        from .batch.scheduler import AlignJob, align_batch
+        from .core.matrix import encode_dna, simple_mat
+
+        jobs = [AlignJob(encode_dna(qrec.seq), encode_dna(trec.seq),
+                         w=args.w) for trec, qrec in pairs]
+        two = args.algo == "extd2_sse"
+        mat = simple_mat(5, args.a, -args.b)
+        for _ in range(args.rep):
+            ezs = align_batch(jobs, 5, mat, q, e,
+                              q2=q2 if two else None, e2=e2 if two else None,
+                              zdrop=args.zdrop, flag=flag)
+        for (trec, qrec), ez in zip(pairs, ezs):
+            print_aln(trec.name, qrec.name, ez)
+        return 0
+
+    for trec, qrec in pairs:
+        for _ in range(args.rep):
+            ez = dispatch(args.algo, qrec.seq, trec.seq, **kw)
+        print_aln(trec.name, qrec.name, ez)
     return 0
 
 
