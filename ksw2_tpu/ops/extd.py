@@ -88,7 +88,7 @@ def extd2_device(
     p_rows = round_up(n_col16 + 128, 128) // 128 if with_cigar else 0
     p_rows = round_up(p_rows, 32)  # tile alignment for the device traceback
     if chunk is None:
-        chunk = max(8, min(128, (4 << 20) // max(1, p_rows * 128))) if with_cigar else 512
+        chunk = max(8, min(128, (4 << 20) // max(1, p_rows * 128))) if with_cigar else 1024
     sc_N = -e2 if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
 
     prm = wfd.ExtdParams(

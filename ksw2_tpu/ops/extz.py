@@ -120,7 +120,7 @@ def extz2_device(
         if with_cigar:
             chunk = max(8, min(128, (4 << 20) // max(1, p_rows * 128)))
         else:
-            chunk = 512
+            chunk = 1024
     sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
 
     prm = wf.ExtzParams(

@@ -659,7 +659,7 @@ def _window_rows(qlen, tlen, w, n_diag, R):
     return row_lo, row_hi
 
 
-def window_phases(qlen, tlen, w, n_diag, R, quant=64, min_len=1024):
+def window_phases(qlen, tlen, w, n_diag, R, quant=32, min_len=1024):
     """Split [0, r_stop) into phases of bounded window height.
 
     Returns (phases, r_stop) with phases = [(r_lo, r_hi, Wcap), ...].
