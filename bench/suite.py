@@ -155,7 +155,9 @@ def main():
     dl = jnp.full((B,), L, jnp.int32)
     acc = run(dQ, dT, dl, dl, dl)
     jax.block_until_ready(acc)
-    reps = 50
+    # many chained reps amortize this terminal's per-dispatch tunnel
+    # latency; inputs are varied per call to defeat any caching
+    reps = 200
     t0 = time.time()
     cur = dQ
     for _ in range(reps):
