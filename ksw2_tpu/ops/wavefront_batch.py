@@ -277,17 +277,24 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
             zdp[...] = jnp.where(trig, 1 + r, zdp[...])
 
         if withz and not approx:
-            # per-diagonal running max + Z-drop test (ksw2.h:191-207)
+            # per-diagonal running max + Z-drop test (ksw2.h:191-207).
+            # One butterfly: pack (H, tie-key) into a single int32. Scores
+            # are bounded by 127*128 here (tlen <= 128), so H*1024 fits;
+            # deeply negative H is clamped, which cannot change the drop
+            # decision (the margin is already far beyond any zdrop).
             band = scan_mask | en0m
-            M = _bmax(jnp.where(band, Hn, _INT_MIN))
             en1 = st0 + (en0 - st0) // 4 * 4
             cls = (lane - st0) & 3
-            key = jnp.where(lane < en1, cls * (1 << 26) + lane,
-                            (1 << 28) + lane)
-            keym = jnp.where(scan_mask & (Hn == M), key, _BIGKEY)
-            kmin = _bmin(keym)
-            h_hit = _bmax(jnp.where(en0m & (Hn == M), 1, 0))
-            max_t = jnp.where(h_hit > 0, en0, kmin & ((1 << 26) - 1))
+            kf = jnp.where(lane < en1, cls * 128 + lane, 512 + lane) + 1
+            kf = jnp.where(en0m, 0, kf)        # boundary cell wins ties
+            hcl = jnp.maximum(Hn, -(1 << 20))
+            packedv = jnp.where(band, hcl * 1024 + (1023 - kf), _INT_MIN)
+            Cbest = _bmax(packedv)
+            M = Cbest >> 10
+            kstar = 1023 - (Cbest & 1023)
+            max_t = jnp.where(kstar == 0, en0,
+                              jnp.where(kstar <= 512, (kstar - 1) & 127,
+                                        kstar - 513))
             max_t = jnp.where(is0, 0, max_t)
             betterz = act & (M > mxp[...])
             l = jnp.abs((max_t - mtp[...]) - ((r - max_t) - mqp[...]))
