@@ -152,7 +152,8 @@ def extz_batch_device(
 
 
 __all__ = ["extz_batch_device", "extz_batch_align",
-           "extd_batch_device", "extd_batch_align"]
+           "extd_batch_device", "extd_batch_align",
+           "exts_batch_align"]
 
 
 def extz_batch_align(
@@ -542,5 +543,186 @@ def extd_batch_align(
         if (flag & Flag.EQX) and ez.cigar:
             ez.cigar = cigarmod.to_eqx(ez.cigar, query[b][:qln],
                                        target[b][:tln])
+        out.append(ez)
+    return out
+
+
+@functools.lru_cache(maxsize=128)
+def _cached_run_exts(prm, interpret: bool, with_cigar: bool = False):
+    from . import wavefront_batch_exts as wbs
+    call = wbs.build_batch_exts_call(prm, with_cigar, interpret=interpret)
+    R, n_diag = prm.n_rows, prm.n_diag
+
+    def run(query, target, donb, accb, qlen, tlen):
+        I = jnp.int32
+        qlen = qlen.astype(I)
+        tlen = tlen.astype(I)
+        ndb = qlen + tlen - 1
+        ones = jnp.ones((R, 128), I)
+        qlp = qlen[:, None] * ones
+        tlp = tlen[:, None] * ones
+        rlp = ndb[:, None] * ones         # exts never goes band-empty
+        tpad = jnp.zeros((R, 128), I).at[:, :target.shape[1]].set(
+            target.astype(I))
+        rr = jnp.arange(n_diag, dtype=I)[None, :]
+        ridx = jnp.minimum(rr, jnp.maximum(qlen - 1, 0)[:, None])
+        qinj = jnp.take_along_axis(query.astype(I), ridx, axis=1)
+        out = call(qlp, tlp, rlp, tpad, donb.astype(I), accb.astype(I), qinj)
+        if with_cigar:
+            return out[0][:, :wb.NFIELDS], out[1]
+        return out[0][:, :wb.NFIELDS]
+
+    return jax.jit(run)
+
+
+def _exts_batch_prep(B, target, tlen, m, mat, q, e, q2, noncan, flag, junc,
+                     junc_bonus, R):
+    """Per-pair donor/acceptor planes (biased) + canonicalized params."""
+    from ..spec.common import c_div
+    from ..spec.diagdiff import _splice_profiles
+
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    long_thres = c_div(q2 - q, e) - 1
+    if q2 > q + e + long_thres * e:
+        long_thres += 1
+    long_diff = long_thres * e - (q2 - q)
+    sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+    donb = np.full((R, 128), 128, np.int32)
+    accb = np.full((R, 128), 128, np.int32)
+    for b in range(B):
+        tl = int(tlen[b])
+        dn, ac = _splice_profiles(
+            np.asarray(target[b][:tl]), tl, 128, noncan, Flag(int(flag)),
+            None if junc is None else junc[b][:tl], junc_bonus)
+        donb[b] = (dn.astype(np.int32) + 128) & 255
+        accb[b] = (ac.astype(np.int32) + 128) & 255
+    return mat, long_thres, long_diff, sc_N, donb, accb
+
+
+def exts_batch_align(
+    query: np.ndarray,
+    target: np.ndarray,
+    qlen: np.ndarray,
+    tlen: np.ndarray,
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    q2: int,
+    noncan: int,
+    zdrop: int = -1,
+    junc_bonus: int = 0,
+    flag: Flag | int = Flag.NONE,
+    junc: Optional[np.ndarray] = None,
+    interpret: bool = False,
+):
+    """Batched spliced extension; CIGARs unless SCORE_ONLY is set."""
+    from ..core.result import ExtzResult
+    from ..native.bindings import backtrack
+    from . import wavefront_batch_exts as wbs
+
+    flag = Flag(int(flag))
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    if flag & (Flag.APPROX_MAX | Flag.GENERIC_SC):
+        raise NotImplementedError("approx/generic batched splice pending")
+    with_cigar = not (flag & Flag.SCORE_ONLY)
+    B, Lq = query.shape
+    Bt, Lt = target.shape
+    assert B == Bt and Lt <= 128
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    RMAX = 256 if with_cigar else 384
+    if B > RMAX:
+        out = []
+        for i in range(0, B, RMAX):
+            out.extend(exts_batch_align(
+                query[i:i + RMAX], target[i:i + RMAX], qlen[i:i + RMAX],
+                tlen[i:i + RMAX], m, mat, q, e, q2, noncan, zdrop,
+                junc_bonus, flag,
+                None if junc is None else junc[i:i + RMAX], interpret))
+        return out
+
+    q, e, q2, noncan = int(q), int(e), int(q2), int(noncan)
+    R = max(round_up(B, 8), 8)
+    matf, long_thres, long_diff, sc_N, donb, accb = _exts_batch_prep(
+        B, target, tlen, m, mat, q, e, q2, noncan, flag, junc, junc_bonus, R)
+    min_sc = int(matf[1:].min())
+    invalid = (m <= 1 or q2 <= q + e or -min_sc > 2 * (q + e))
+    if invalid:
+        out = []
+        for _ in range(B):
+            ez = ExtzResult()
+            ez.reset()
+            out.append(ez)
+        return out
+
+    chunk = 32 if with_cigar else wb.CHUNK
+    n_diag = int((qlen + tlen).max()) - 1 if B else 1
+    n_diag = max(round_up(n_diag, chunk), chunk)
+    prm = wbs.BatchExtsParams(
+        n_rows=R, n_diag=n_diag, m=m,
+        sc_mch=int(matf[0]), sc_mis=int(matf[1]), sc_N=sc_N,
+        q=q, e=e, q2=q2,
+        long_thres=int(long_thres), long_diff=int(long_diff),
+        zdrop=int(zdrop), flag=int(flag), chunk=chunk,
+    )
+    run = _cached_run_exts(prm, interpret, with_cigar)
+    qpad = np.zeros((R, Lq), np.int8)
+    qpad[:B] = np.asarray(query, np.int8)
+    tpad = np.zeros((R, Lt), np.int8)
+    tpad[:B] = np.asarray(target, np.int8)
+    lens = np.zeros((2, R), np.int32)
+    lens[0, :B], lens[1, :B] = qlen, tlen
+    out_dev = run(jnp.asarray(qpad), jnp.asarray(tpad), jnp.asarray(donb),
+                  jnp.asarray(accb), jnp.asarray(lens[0]),
+                  jnp.asarray(lens[1]))
+    if with_cigar:
+        res, p = out_dev
+        p = np.asarray(p)
+    else:
+        res = out_dev
+        p = None
+    res = np.asarray(res)[:B]
+
+    rr = np.arange(n_diag, dtype=np.int64)[None, :]
+    st0 = np.maximum(0, rr - qlen[:, None] + 1)
+    en0 = np.minimum(tlen[:, None] - 1, rr)
+    stb = (st0 // 16 * 16).astype(np.int32)
+    enb = ((en0 + 16) // 16 * 16 - 1).astype(np.int32)
+    zero_off = np.zeros(n_diag, np.int32)
+
+    out = []
+    rev = bool(flag & Flag.REV_CIGAR)
+    for b in range(B):
+        ez = ExtzResult()
+        ez.reset()
+        ez.max = int(res[b, wb.F_MAX])
+        ez.max_t = int(res[b, wb.F_MAXT])
+        ez.max_q = int(res[b, wb.F_MAXQ])
+        ez.mqe = int(res[b, wb.F_MQE])
+        ez.mqe_t = int(res[b, wb.F_MQET])
+        ez.mte = int(res[b, wb.F_MTE])
+        ez.mte_q = int(res[b, wb.F_MTEQ])
+        ez.score = int(res[b, wb.F_SCORE])
+        ez.zdropped = bool(res[b, wb.F_ZDROP])
+        qln, tln = int(qlen[b]), int(tlen[b])
+        if not with_cigar or qln <= 0 or tln <= 0:
+            out.append(ez)
+            continue
+        # traceback start (ksw2_exts2_sse.c:407-410)
+        if not ez.zdropped and not (flag & Flag.EXTZ_ONLY):
+            i0, j0 = tln - 1, qln - 1
+        elif ez.max_t >= 0 and ez.max_q >= 0:
+            i0, j0 = ez.max_t, ez.max_q
+        else:
+            out.append(ez)
+            continue
+        nd = qln + tln - 1
+        pmat = np.ascontiguousarray(p[:nd, b, :])
+        ez.cigar = backtrack(
+            pmat, stb[b, :nd], enb[b, :nd], 128, i0, j0,
+            is_rot=True, is_rev=rev, store_off=zero_off[:nd],
+            min_intron_len=long_thres)
         out.append(ez)
     return out

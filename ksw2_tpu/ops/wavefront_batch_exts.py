@@ -1,0 +1,352 @@
+"""Batched Pallas TPU wavefront, spliced extension (exts2 semantics).
+
+One pair per sublane row (see :mod:`ksw2_tpu.ops.wavefront_batch`),
+specialised to the splice model of ``ksw2_exts2_sse.c``: states
+{H, E, F, E2=intron}, x2 on the deletion side only, per-pair
+donor/acceptor profile planes (host-precomputed, lanes = target
+positions), the long_thres/long_diff first-column switch with the
+0-cost tail, H recurrences without offsets, and Z-drop with zero gap
+compensation.  exts2 has no band: bounds come from the matrix shape.
+
+Score mode and CIGAR mode (codes 1..3, continuation bits
+0x08/0x10/0x20; the traceback maps state 3 to N ops above
+``min_intron_len``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.flags import NEG_INF, Flag
+from .wavefront_batch import CHUNK, _bmax, _bmin
+from .wavefront_batch import (F_MAX, F_MAXT, F_MAXQ, F_MQE, F_MQET, F_MTE,
+                              F_MTEQ, F_SCORE, F_ZDROP)
+from .wavefront_extd import BIAS, _b
+
+I32 = jnp.int32
+_INT_MIN = -(2 ** 31) + 1
+
+
+class BatchExtsParams(NamedTuple):
+    n_rows: int
+    n_diag: int
+    m: int
+    sc_mch: int
+    sc_mis: int
+    sc_N: int
+    q: int
+    e: int
+    q2: int
+    long_thres: int
+    long_diff: int
+    zdrop: int
+    flag: int
+    chunk: int = CHUNK
+
+
+def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
+    withz = prm.zdrop >= 0
+    right = bool(prm.flag & int(Flag.RIGHT))
+    refs = list(refs)
+    (qlp_ref, tlp_ref, rlim_ref, target_ref, don_ref, acc_ref,
+     qinj_ref, res_ref) = refs[:8]
+    rest = refs[8:]
+    p_ref = rest.pop(0) if with_cigar else None
+    u, v, x, y, x2, s, Q, H, HM, RD, MQ = rest[:11]
+    rest = rest[11:]
+    if withz:
+        mxp, mtp, mqp, zdp = rest[:4]
+    else:
+        mxp = mtp = mqp = zdp = None
+
+    qe = prm.q + prm.e
+    R = prm.n_rows
+    shape = (R, 128)
+    sb_mch, sb_mis, sb_N = _b(prm.sc_mch), _b(prm.sc_mis), _b(prm.sc_N)
+
+    step = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(I32, shape, 1)
+    lane0 = lane == 0
+
+    @pl.when(step == 0)
+    def _init():
+        u[...] = jnp.full(shape, _b(-qe), I32)
+        v[...] = jnp.full(shape, _b(-qe), I32)
+        x[...] = jnp.full(shape, _b(-qe), I32)
+        y[...] = jnp.full(shape, _b(-qe), I32)
+        x2[...] = jnp.full(shape, _b(-prm.q2), I32)
+        s[...] = jnp.full(shape, _b(0), I32)
+        Q[...] = jnp.zeros(shape, I32)
+        H[...] = jnp.full(shape, NEG_INF, I32)
+        HM[...] = jnp.full(shape, NEG_INF, I32)
+        RD[...] = jnp.zeros(shape, I32)
+        MQ[...] = jnp.full(shape, NEG_INF, I32)
+        if withz:
+            mxp[...] = jnp.zeros(shape, I32)
+            mtp[...] = jnp.full(shape, -1, I32)
+            mqp[...] = jnp.full(shape, -1, I32)
+            zdp[...] = jnp.zeros(shape, I32)
+
+    qlp = qlp_ref[...]
+    tlp = tlp_ref[...]
+    rlim = rlim_ref[...]
+    T = target_ref[...]
+    don = don_ref[...]
+    acc = acc_ref[...]
+    tN = T == prm.m - 1
+
+    def _ucol(r):
+        """First-column switch, biased (exts: tail cost 0)."""
+        return jnp.where(
+            r == 0, _b(-qe),
+            jnp.where(r < prm.long_thres, _b(-prm.e),
+                      jnp.where(r == prm.long_thres,
+                                (prm.long_diff + BIAS) & 255, _b(0))))
+
+    def diag_body(rr, _):
+        r = step * prm.chunk + rr
+        act = r < rlim
+        if withz:
+            act = act & (zdp[...] == 0)
+        st0 = jnp.maximum(0, r - qlp + 1)
+        en0 = jnp.minimum(tlp - 1, r)
+        stb = st0 // 16 * 16
+        enb = (en0 + 16) // 16 * 16 - 1
+        # exts has no band; the rounded start only leaves [0,16) when the
+        # query is exhausted and never jumps, so the boundary values are
+        # only injected at st == 0 (mirrors ksw2_exts2_sse.c:191-196)
+        need_ov = stb == 0
+        ucol_r = _ucol(r)
+        ov_v = jnp.where(stb == 0, ucol_r, _b(-qe))
+
+        col_mask = act & (enb >= r) & (lane == r)
+        ut = jnp.where(col_mask, ucol_r, u[...])
+        yt = jnp.where(col_mask, _b(-qe), y[...])
+
+        qv = pltpu.roll(qinj_ref[...], -(r % CHUNK), axis=1)
+        Qn = jnp.where(lane0, qv, jnp.roll(Q[...], 1, axis=1))
+        Qn = jnp.where(act, Qn, Q[...])
+        Q[...] = Qn
+
+        fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
+        eq = T == Qn
+        nm = tN | (Qn == prm.m - 1)
+        sval = jnp.where(eq, sb_mch, sb_mis)
+        sval = jnp.where(nm, sb_N, sval)
+        smask = act & (lane >= st0) & (lane <= fill_hi)
+        sn = jnp.where(smask, sval, s[...])
+        s[...] = sn
+
+        ovn = (lane == stb) & need_ov
+        xs = jnp.where(lane0, _b(-qe), jnp.roll(x[...], 1, axis=1))
+        xs = jnp.where(ovn, _b(-qe), xs)
+        x2s = jnp.where(lane0, _b(-prm.q2), jnp.roll(x2[...], 1, axis=1))
+        x2s = jnp.where(ovn, _b(-prm.q2), x2s)
+        vs = jnp.where(lane0, ov_v, jnp.roll(v[...], 1, axis=1))
+        vs = jnp.where(ovn, ov_v, vs)
+        a = (xs + vs - BIAS) & 255
+        b = (yt + ut - BIAS) & 255
+        a2 = (x2s + vs - BIAS) & 255
+        a2a = (a2 + acc - BIAS) & 255
+        z = sn
+        if with_cigar:
+            d = jnp.zeros(shape, I32)
+            for cand, code in ((a, 1), (b, 2), (a2a, 3)):
+                if not right:
+                    d = jnp.where(cand > z, code, d)
+                else:
+                    d = jnp.where(z > cand, d, code)
+                z = jnp.maximum(z, cand)
+        else:
+            for cand in (a, b, a2a):
+                z = jnp.maximum(z, cand)
+        unew = (z - vs + BIAS) & 255
+        vnew = (z - ut + BIAS) & 255
+        t1 = z - prm.q
+        t2 = z - prm.q2
+        an = (a - t1 + BIAS) & 255
+        bn = (b - t1 + BIAS) & 255
+        a2n = (a2 - t2 + BIAS) & 255
+        if with_cigar:
+            if not right:
+                ca, cb, cd = an > BIAS, bn > BIAS, a2n > don
+            else:
+                ca = jnp.logical_not(an < BIAS)
+                cb = jnp.logical_not(bn < BIAS)
+                cd = jnp.logical_not(don > a2n)
+            d = d | jnp.where(ca, 0x08, 0) | jnp.where(cb, 0x10, 0)
+            d = d | jnp.where(cd, 0x20, 0)
+            p_ref[pl.ds(rr, 1)] = d.astype(jnp.int8)[None]
+        bmask = act & (lane >= stb) & (lane <= enb)
+        un = jnp.where(bmask, unew, u[...])
+        vn = jnp.where(bmask, vnew, v[...])
+        u[...] = un
+        v[...] = vn
+        x[...] = jnp.where(
+            bmask, (jnp.maximum(an, BIAS) - qe) & 255, x[...])
+        y[...] = jnp.where(
+            bmask, (jnp.maximum(bn, BIAS) - qe) & 255, y[...])
+        x2[...] = jnp.where(
+            bmask, (jnp.maximum(a2n, don) - prm.q2) & 255, x2[...])
+
+        # vectorized H column (exts: no offsets; h0 seed = v - qe)
+        is0 = r == 0
+        Hc = H[...]
+        Hv = Hc + vn - BIAS
+        Hs = jnp.where(lane0, NEG_INF, jnp.roll(Hc, 1, axis=1)) + un - BIAS
+        h_en0_vec = jnp.where(en0 > 0, Hs, Hv)
+        h_en0_vec = jnp.where(is0, vn - BIAS - qe, h_en0_vec)
+        scan_mask = act & (lane >= st0) & (lane < en0) & jnp.logical_not(is0)
+        en0m = act & (lane == en0)
+        Hn = jnp.where(en0m, h_en0_vec, jnp.where(scan_mask, Hv, Hc))
+        H[...] = Hn
+        better = Hn > HM[...]
+        HM[...] = jnp.where(better, Hn, HM[...])
+        RD[...] = jnp.where(better, r, RD[...])
+        MQ[...] = jnp.where(
+            act & ((r - st0) == (qlp - 1)) & (lane == st0), Hn, MQ[...])
+
+        if withz:
+            # packed (H, tie-key) single-butterfly argmax; Z-drop with
+            # zero gap compensation (ksw2_exts2_sse.c:395)
+            band = scan_mask | en0m
+            en1 = st0 + (en0 - st0) // 4 * 4
+            cls = (lane - st0) & 3
+            kf = jnp.where(lane < en1, cls * 128 + lane, 512 + lane) + 1
+            kf = jnp.where(en0m, 0, kf)
+            hcl = jnp.maximum(Hn, -(1 << 20))
+            packedv = jnp.where(band, hcl * 1024 + (1023 - kf), _INT_MIN)
+            Cbest = _bmax(packedv)
+            M = Cbest >> 10
+            kstar = 1023 - (Cbest & 1023)
+            max_t = jnp.where(kstar == 0, en0,
+                              jnp.where(kstar <= 512, (kstar - 1) & 127,
+                                        kstar - 513))
+            max_t = jnp.where(is0, 0, max_t)
+            betterz = act & (M > mxp[...])
+            l = jnp.abs((max_t - mtp[...]) - ((r - max_t) - mqp[...]))
+            del l
+            trig = (act & jnp.logical_not(M > mxp[...]) & (max_t >= mtp[...])
+                    & (r - max_t >= mqp[...])
+                    & (mxp[...] - M > prm.zdrop))
+            mxp[...] = jnp.where(betterz, M, mxp[...])
+            mtp[...] = jnp.where(betterz, max_t, mtp[...])
+            mqp[...] = jnp.where(betterz, r - max_t, mqp[...])
+            zdp[...] = jnp.where(trig, 1 + r, zdp[...])
+
+    jax.lax.fori_loop(0, prm.chunk, diag_body, None)
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _emit():
+        ndc = qlp + tlp - 1
+        HMv = HM[...]
+        RDv = RD[...]
+        if withz:
+            dropped = zdp[...] > 0
+            vmax = mxp[...]
+            vmaxt = mtp[...]
+            vmaxq = mqp[...]
+        else:
+            dropped = jnp.zeros(shape, jnp.bool_)
+            V = _bmax(HMv)
+            cand = HMv == V
+            rstar = _bmin(jnp.where(cand, RDv, prm.n_diag + 1))
+            st0s = jnp.maximum(0, rstar - qlp + 1)
+            en0s = jnp.minimum(tlp - 1, rstar)
+            first = cand & (RDv == rstar)
+            en0_hit = _bmax(jnp.where(first & (lane == en0s), 1, 0))
+            en1 = st0s + (en0s - st0s) // 4 * 4
+            cls = (lane - st0s) & 3
+            key = jnp.where(lane < en1, cls * (1 << 26) + lane,
+                            (1 << 28) + lane)
+            kmin = _bmin(jnp.where(first, key, 2 ** 30))
+            max_t = jnp.where((en0_hit > 0) | (rstar == 0),
+                              jnp.where(rstar == 0, 0, en0s),
+                              kmin & ((1 << 26) - 1))
+            vmax = jnp.where(V > 0, V, 0)
+            vmaxt = jnp.where(V > 0, max_t, -1)
+            vmaxq = jnp.where(V > 0, rstar - max_t, -1)
+
+        mqe = _bmax(MQ[...])
+        mqet = _bmin(jnp.where(MQ[...] == mqe, lane, 2 ** 30))
+        has_mqe = mqe > NEG_INF
+        mqe = jnp.where(has_mqe, mqe, NEG_INF)
+        mqet = jnp.where(has_mqe, mqet, -1)
+
+        corner = lane == tlp - 1
+        mte = _bmax(jnp.where(corner, HMv, _INT_MIN))
+        rdte = _bmax(jnp.where(corner, RDv, _INT_MIN))
+        has_mte = mte > NEG_INF
+        en_c = ((tlp - 1 + 16) // 16) * 16 - 1
+        mteq = jnp.where(has_mte, rdte - en_c, -1)
+        mte = jnp.where(has_mte, mte, NEG_INF)
+
+        done = rlim == ndc          # exts never goes band-empty
+        if withz:
+            done = done & jnp.logical_not(dropped)
+        hcorner = _bmax(jnp.where(corner, H[...], _INT_MIN))
+        score = jnp.where(done, hcorner, NEG_INF)
+        zflag = (rlim < ndc).astype(I32)
+        if withz:
+            zflag = jnp.maximum(zflag, dropped.astype(I32))
+
+        out = jnp.zeros(shape, I32)
+        for fid, val in ((F_MAX, vmax), (F_MAXT, vmaxt), (F_MAXQ, vmaxq),
+                         (F_MQE, mqe), (F_MQET, mqet), (F_MTE, mte),
+                         (F_MTEQ, mteq), (F_SCORE, score), (F_ZDROP, zflag)):
+            out = jnp.where(lane == fid, val, out)
+        res_ref[...] = out
+
+
+def build_batch_exts_call(prm: BatchExtsParams, with_cigar: bool = False,
+                          interpret: bool = False):
+    R = prm.n_rows
+    shape = (R, 128)
+    chunk = prm.chunk
+    assert CHUNK % chunk == 0
+    n_steps = (prm.n_diag + chunk - 1) // chunk
+    n_scr = 11 + (4 if prm.zdrop >= 0 else 0)
+    scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(n_scr)]
+    kernel = functools.partial(_batch_exts_kernel, prm, with_cigar)
+
+    def wrap(*refs):
+        kernel(refs)
+
+    out_shape = [jax.ShapeDtypeStruct(shape, jnp.int32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    if with_cigar:
+        out_shape.append(jax.ShapeDtypeStruct(
+            (n_steps * chunk, R, 128), jnp.int8))
+        out_specs.append(pl.BlockSpec(
+            (chunk, R, 128), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM))
+
+    return pl.pallas_call(
+        wrap,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # qlp
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # tlp
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # rlim
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # target
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # donor
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # acceptor
+            pl.BlockSpec((R, CHUNK), lambda i: (0, (i * chunk) // CHUNK),
+                         memory_space=pltpu.VMEM),                 # qinj
+        ],
+        out_shape=out_shape,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )
+
+
+__all__ = ["BatchExtsParams", "build_batch_exts_call"]

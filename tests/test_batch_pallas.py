@@ -130,3 +130,21 @@ def test_batch_approx_matches_spec(zdrop, flag):
         assert got == [want.score, want.max, want.max_t, want.max_q,
                        want.mqe, want.mte], i
         assert bool(out["zdropped"][i]) == want.zdropped, i
+
+
+@pytest.mark.parametrize("zdrop,flag", [
+    (-1, Flag.SPLICE_FOR),
+    (25, Flag.SPLICE_FOR | Flag.SPLICE_FLANK),
+    (25, Flag.SPLICE_FOR | Flag.SCORE_ONLY),
+])
+def test_exts_batch_matches_spec(zdrop, flag):
+    B = 8
+    pairs, Q, T, qlen, tlen = _make_batch(61, B)
+    smat = simple_mat(5, 1, -2)
+    from ksw2_tpu.ops.batch_pallas import exts_batch_align
+    ezs = exts_batch_align(Q, T, qlen, tlen, 5, smat, 2, 1, 32, 4,
+                           zdrop=zdrop, flag=flag, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.exts2(q, t, 5, smat, 2, 1, 32, 4, zdrop=zdrop,
+                                 junc_bonus=0, flag=flag)
+        assert ezs[i].tsv_fields() == want.tsv_fields(), i
