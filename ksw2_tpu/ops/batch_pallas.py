@@ -27,10 +27,11 @@ from .bands import round_up
 @functools.lru_cache(maxsize=128)
 def _cached_run(prm: wb.BatchParams, interpret: bool, with_cigar: bool = False):
     call = wb.build_batch_call(prm, with_cigar, interpret=interpret)
-    R, n_diag = prm.n_rows, prm.n_diag
+    R, n_diag, P = prm.n_rows, prm.n_diag, prm.p
+    B = R // P
 
     def run(query, target, qlen, tlen, w):
-        """query (R,Lq) int8, target (R,128) int8, lens (R,) int32."""
+        """query (B,Lq) int8, target (B,Lt<=P*128) int8, lens (B,) int32."""
         I = jnp.int32
         qlen = qlen.astype(I)
         tlen = tlen.astype(I)
@@ -45,19 +46,19 @@ def _cached_run(prm: wb.BatchParams, interpret: bool, with_cigar: bool = False):
         rstop = jnp.where(bad.any(axis=1), jnp.argmax(bad, axis=1), ndb)
         rlim = jnp.minimum(rstop, ndb).astype(I)
 
-        ones = jnp.ones((R, 128), I)
-        qlp = qlen[:, None] * ones
-        tlp = tlen[:, None] * ones
-        wpl = w[:, None] * ones
-        rlp = rlim[:, None] * ones
-        tpad = jnp.zeros((R, 128), I).at[:, :target.shape[1]].set(
-            target.astype(I))
+        def rep(vec):
+            return jnp.repeat(vec, P)[:, None] * jnp.ones((R, 128), I)
+
+        qlp, tlp, wpl, rlp = rep(qlen), rep(tlen), rep(w), rep(rlim)
+        tpad = jnp.zeros((B, P * 128), I).at[:, :target.shape[1]].set(
+            target.astype(I)).reshape(R, 128)
         ridx = jnp.minimum(rr, jnp.maximum(qlen - 1, 0)[:, None])
-        qinj = jnp.take_along_axis(query.astype(I), ridx, axis=1)
+        qinj = jnp.repeat(
+            jnp.take_along_axis(query.astype(I), ridx, axis=1), P, axis=0)
         out = call(qlp, tlp, wpl, rlp, tpad, qinj)
         if with_cigar:
-            return out[0][:, :wb.NFIELDS], out[1]
-        return out[0][:, :wb.NFIELDS]
+            return out[0][::P, :wb.NFIELDS], out[1]
+        return out[0][::P, :wb.NFIELDS]
 
     return jax.jit(run)
 
@@ -86,7 +87,8 @@ def extz_batch_device(
         raise NotImplementedError("generic batched scoring pending")
     B, Lq = query.shape
     Bt, Lt = target.shape
-    assert B == Bt and Lt <= 128
+    assert B == Bt and Lt <= 512
+    P = 1 if Lt <= 128 else (2 if Lt <= 256 else 4)
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     if w is None:
@@ -94,7 +96,7 @@ def extz_batch_device(
     w = np.asarray(w, np.int32)
 
     # VMEM bounds one launch at ~512 rows; larger batches run as slices
-    RMAX = 512
+    RMAX = 512 // P
     if B > RMAX:
         outs = [
             extz_batch_device(query[i:i + RMAX], target[i:i + RMAX],
@@ -107,22 +109,25 @@ def extz_batch_device(
     sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
     min_sc = int(mat[1:].min())
 
-    R = max(round_up(B, 8), 8)
+    Bp = max(B, 1)
+    while (Bp * P) % 8:
+        Bp += 1
+    R = Bp * P
     n_diag = int((qlen + tlen).max()) - 1 if B else 1
     n_diag = max(round_up(n_diag, wb.CHUNK), wb.CHUNK)
 
     prm = wb.BatchParams(
         n_rows=R, n_diag=n_diag, m=m,
         sc_mch=int(mat[0]), sc_mis=int(mat[1]), sc_N=sc_N,
-        q=int(q), e=int(e), zdrop=int(zdrop), flag=int(flag),
+        q=int(q), e=int(e), zdrop=int(zdrop), flag=int(flag), p=P,
     )
     run = _cached_run(prm, interpret)
 
-    qpad = np.zeros((R, Lq), np.int8)
+    qpad = np.zeros((Bp, Lq), np.int8)
     qpad[:B] = np.asarray(query, np.int8)
-    tpad = np.zeros((R, Lt), np.int8)
+    tpad = np.zeros((Bp, Lt), np.int8)
     tpad[:B] = np.asarray(target, np.int8)
-    lens = np.zeros((3, R), np.int32)
+    lens = np.zeros((3, Bp), np.int32)
     lens[0, :B], lens[1, :B], lens[2, :B] = qlen, tlen, w
 
     res = np.asarray(run(jnp.asarray(qpad), jnp.asarray(tpad),
@@ -214,7 +219,8 @@ def extz_batch_align(
             out.append(ez)
         return out
 
-    R = max(round_up(B, 8), 8)
+    Bp = max(round_up(B, 8), 8)
+    R = Bp
     n_diag = int((qlen + tlen).max()) - 1 if B else 1
     n_diag = max(round_up(n_diag, 32), 32)
 
@@ -225,11 +231,11 @@ def extz_batch_align(
     )
     run = _cached_run(prm, interpret, True)
 
-    qpad = np.zeros((R, Lq), np.int8)
+    qpad = np.zeros((Bp, Lq), np.int8)
     qpad[:B] = np.asarray(query, np.int8)
-    tpad = np.zeros((R, Lt), np.int8)
+    tpad = np.zeros((Bp, Lt), np.int8)
     tpad[:B] = np.asarray(target, np.int8)
-    lens = np.zeros((3, R), np.int32)
+    lens = np.zeros((3, Bp), np.int32)
     lens[0, :B], lens[1, :B], lens[2, :B] = qlen, tlen, w
 
     res, p = run(jnp.asarray(qpad), jnp.asarray(tpad),

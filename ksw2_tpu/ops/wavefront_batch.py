@@ -61,6 +61,7 @@ class BatchParams(NamedTuple):
     zdrop: int
     flag: int        # RIGHT selects the gap-tie variant in CIGAR mode
     chunk: int = CHUNK   # diagonals per grid step (divides CHUNK)
+    p: int = 1           # sublane rows per pair (tlen <= p*128)
 
 
 def _bmax(arr):
@@ -105,9 +106,43 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
     sb_N = ((prm.sc_N + 2 * qe) & 255) ^ 128
     clamp = (prm.sc_mch + 2 * qe) & 255
 
+    P = prm.p
     step = pl.program_id(0)
-    lane = jax.lax.broadcasted_iota(I32, shape, 1)
-    lane0 = lane == 0
+    lanes = jax.lax.broadcasted_iota(I32, shape, 1)
+    rows = jax.lax.broadcasted_iota(I32, shape, 0)
+    # flat target position within the pair (P sublane rows per pair)
+    lane = (rows % P) * 128 + lanes if P > 1 else lanes
+    lane0 = lane == 0      # pair-origin lanes (t == 0)
+
+    def _shift1(arr):
+        """out[t] = arr[t-1] within each pair (lane0 garbage, caller fixes)."""
+        rolled = jnp.roll(arr, 1, axis=1)
+        if P == 1:
+            return rolled
+        carried = jnp.roll(rolled, 1, axis=0)
+        return jnp.where(lanes == 0, carried, rolled)
+
+    def _pmax(arr):
+        arr = _bmax(arr)
+        if P > 1:
+            for k in (1, 2) if P == 4 else (1,):
+                alt = jnp.where((rows % P) >= k,
+                                jnp.roll(arr, k, axis=0),
+                                jnp.roll(arr, k - P, axis=0))
+                arr = jnp.maximum(arr, alt)
+            if P == 4:
+                pass
+        return arr
+
+    def _pmin(arr):
+        arr = _bmin(arr)
+        if P > 1:
+            for k in (1, 2) if P == 4 else (1,):
+                alt = jnp.where((rows % P) >= k,
+                                jnp.roll(arr, k, axis=0),
+                                jnp.roll(arr, k - P, axis=0))
+                arr = jnp.minimum(arr, alt)
+        return arr
 
     @pl.when(step == 0)
     def _init():
@@ -164,9 +199,9 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
         yt = jnp.where(col_mask, 0, y[...])
 
         # query injection: lane (r % CHUNK) of the current qinj block,
-        # rolled to lane 0
+        # rolled to lane 0 of each row (pair-origin lanes consume it)
         qv = pltpu.roll(qinj_ref[...], -(r % CHUNK), axis=1)
-        Qn = jnp.where(lane0, qv, jnp.roll(Q[...], 1, axis=1))
+        Qn = jnp.where(lane0, qv, _shift1(Q[...]))
         Qn = jnp.where(act, Qn, Q[...])
         Q[...] = Qn
 
@@ -180,9 +215,9 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
         s[...] = sn
 
         ovn = (lane == stb) & need_ov
-        xs = jnp.where(lane0, 0, jnp.roll(x[...], 1, axis=1))
+        xs = jnp.where(lane0, 0, _shift1(x[...]))
         xs = jnp.where(ovn, 0, xs)
-        vs = jnp.where(lane0, ov_v, jnp.roll(v[...], 1, axis=1))
+        vs = jnp.where(lane0, ov_v, _shift1(v[...]))
         vs = jnp.where(ovn, ov_v, vs)
         a = (xs + vs) & 255
         b = (yt + ut) & 255
@@ -229,7 +264,7 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
         is0 = r == 0
         Hc = H[...]
         Hv = Hc + vn - qe
-        Hs = jnp.where(lane0, NEG_INF, jnp.roll(Hc, 1, axis=1)) + un - qe
+        Hs = jnp.where(lane0, NEG_INF, _shift1(Hc)) + un - qe
         h_en0_vec = jnp.where(en0 > 0, Hs, Hv)
         h_en0_vec = jnp.where(is0, vn - 2 * qe, h_en0_vec)
         scan_mask = act & (lane >= st0) & (lane < en0) & jnp.logical_not(is0)
@@ -250,15 +285,15 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
             lt = ltp[...]
             c1 = (lt >= st0) & (lt <= en0)
             c2 = (lt + 1 >= st0) & (lt + 1 <= en0)
-            d0 = _bmax(jnp.where(lane == lt, vn, _INT_MIN)) - qe
-            d1 = _bmax(jnp.where(lane == jnp.minimum(lt + 1, 127), un,
-                                 _INT_MIN)) - qe
+            d0 = _pmax(jnp.where(lane == lt, vn, _INT_MIN)) - qe
+            d1 = _pmax(jnp.where(lane == jnp.minimum(lt + 1, P * 128 - 1),
+                                 un, _INT_MIN)) - qe
             both = c1 & c2
             newH0 = jnp.where(both, h0p[...] + jnp.maximum(d0, d1),
                               jnp.where(c1, h0p[...] + d0, h0p[...] + d1))
             newlt = jnp.where(both, jnp.where(d0 > d1, lt, lt + 1),
                               jnp.where(c1, lt, lt + 1))
-            h00 = _bmax(jnp.where(lane == 0, vn, _INT_MIN)) - 2 * qe
+            h00 = _pmax(jnp.where(lane == 0, vn, _INT_MIN)) - 2 * qe
             h0p[...] = jnp.where(act, jnp.where(is0, h00, newH0), h0p[...])
             ltp[...] = jnp.where(act, jnp.where(is0, 0, newlt), ltp[...])
 
@@ -285,16 +320,17 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
             band = scan_mask | en0m
             en1 = st0 + (en0 - st0) // 4 * 4
             cls = (lane - st0) & 3
-            kf = jnp.where(lane < en1, cls * 128 + lane, 512 + lane) + 1
+            TV = P * 128
+            kf = jnp.where(lane < en1, cls * TV + lane, 4 * TV + lane) + 1
             kf = jnp.where(en0m, 0, kf)        # boundary cell wins ties
-            hcl = jnp.maximum(Hn, -(1 << 20))
-            packedv = jnp.where(band, hcl * 1024 + (1023 - kf), _INT_MIN)
-            Cbest = _bmax(packedv)
-            M = Cbest >> 10
-            kstar = 1023 - (Cbest & 1023)
+            hcl = jnp.maximum(Hn, -(1 << 18))
+            packedv = jnp.where(band, hcl * 4096 + (4095 - kf), _INT_MIN)
+            Cbest = _pmax(packedv)
+            M = Cbest >> 12
+            kstar = 4095 - (Cbest & 4095)
             max_t = jnp.where(kstar == 0, en0,
-                              jnp.where(kstar <= 512, (kstar - 1) & 127,
-                                        kstar - 513))
+                              jnp.where(kstar <= 4 * TV, (kstar - 1) % TV,
+                                        kstar - 1 - 4 * TV))
             max_t = jnp.where(is0, 0, max_t)
             betterz = act & (M > mxp[...])
             l = jnp.abs((max_t - mtp[...]) - ((r - max_t) - mqp[...]))
@@ -332,19 +368,19 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
             vmaxq = mqp[...]
         else:
             dropped = jnp.zeros(shape, jnp.bool_)
-            V = _bmax(HMv)
+            V = _pmax(HMv)
             cand = HMv == V
-            rstar = _bmin(jnp.where(cand, RDv, prm.n_diag + 1))
+            rstar = _pmin(jnp.where(cand, RDv, prm.n_diag + 1))
             st0s = jnp.maximum(0, jnp.maximum(rstar - qlp + 1,
                                               (rstar - wp + 1) >> 1))
             en0s = jnp.minimum(tlp - 1, jnp.minimum(rstar, (rstar + wp) >> 1))
             first = cand & (RDv == rstar)
-            en0_hit = _bmax(jnp.where(first & (lane == en0s), 1, 0))
+            en0_hit = _pmax(jnp.where(first & (lane == en0s), 1, 0))
             en1 = st0s + (en0s - st0s) // 4 * 4
             cls = (lane - st0s) & 3
             key = jnp.where(lane < en1, cls * (1 << 26) + lane,
                             (1 << 28) + lane)
-            kmin = _bmin(jnp.where(first, key, _BIGKEY))
+            kmin = _pmin(jnp.where(first, key, _BIGKEY))
             max_t = jnp.where((en0_hit > 0) | (rstar == 0),
                               jnp.where(rstar == 0, 0, en0s),
                               kmin & ((1 << 26) - 1))
@@ -360,15 +396,15 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
             mte = jnp.full(shape, NEG_INF, I32)
             mteq = jnp.full(shape, -1, I32)
         else:
-            mqe = _bmax(MQ[...])
-            mqet = _bmin(jnp.where(MQ[...] == mqe, lane, _BIGKEY))
+            mqe = _pmax(MQ[...])
+            mqet = _pmin(jnp.where(MQ[...] == mqe, lane, _BIGKEY))
             has_mqe = mqe > NEG_INF
             mqe = jnp.where(has_mqe, mqe, NEG_INF)
             mqet = jnp.where(has_mqe, mqet, -1)
 
             corner = lane == tlp - 1
-            mte = _bmax(jnp.where(corner, HMv, _INT_MIN))
-            rdte = _bmax(jnp.where(corner, RDv, _INT_MIN))
+            mte = _pmax(jnp.where(corner, HMv, _INT_MIN))
+            rdte = _pmax(jnp.where(corner, RDv, _INT_MIN))
             has_mte = mte > NEG_INF
             en_c = ((tlp - 1 + 16) // 16) * 16 - 1
             mteq = jnp.where(has_mte, rdte - en_c, -1)
@@ -384,7 +420,7 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
         if approx:
             score = jnp.where(done, h0p[...], NEG_INF)
         else:
-            hcorner = _bmax(jnp.where(corner, H[...], _INT_MIN))
+            hcorner = _pmax(jnp.where(corner, H[...], _INT_MIN))
             score = jnp.where(done, hcorner, NEG_INF)
         zflag = (rlim < ndc).astype(I32)
         if withz:

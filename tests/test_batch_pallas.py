@@ -148,3 +148,36 @@ def test_exts_batch_matches_spec(zdrop, flag):
         want, _ = diagdiff.exts2(q, t, 5, smat, 2, 1, 32, 4, zdrop=zdrop,
                                  junc_bonus=0, flag=flag)
         assert ezs[i].tsv_fields() == want.tsv_fields(), i
+
+
+@pytest.mark.parametrize("Lt,zdrop", [(256, -1), (256, 60), (512, 60)])
+def test_multirow_pairs_match_spec(Lt, zdrop):
+    """tlen in (128, 512]: P sublane rows per pair."""
+    rng = np.random.default_rng(Lt + zdrop)
+    B = 6
+    pairs = []
+    for _ in range(B):
+        tlen = int(rng.integers(Lt // 2, Lt))
+        t, q = refcmp.random_pair(
+            rng, tlen, divergence=float(rng.uniform(0, 0.35)),
+            indel=float(rng.uniform(0, 0.2)), with_n=bool(rng.integers(0, 2)))
+        pairs.append((encode_dna(q), encode_dna(t)))
+    Lq = max(len(q) for q, t in pairs)
+    Q = np.zeros((B, Lq), np.int32)
+    T = np.zeros((B, Lt), np.int32)
+    qlen = np.array([len(q) for q, t in pairs], np.int32)
+    tlen = np.array([len(t) for q, t in pairs], np.int32)
+    for i, (q, t) in enumerate(pairs):
+        Q[i, : len(q)] = q
+        T[i, : len(t)] = t
+    mat = simple_mat(5, 2, 4)
+    out = extz_batch_device(Q, T, qlen, tlen, 5, mat, 4, 2, zdrop=zdrop,
+                            flag=Flag.SCORE_ONLY, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, w=-1, zdrop=zdrop,
+                                 flag=Flag.SCORE_ONLY)
+        got = [int(out[k][i]) for k in ("score", "max", "max_t", "max_q",
+                                        "mqe", "mte")]
+        assert got == [want.score, want.max, want.max_t, want.max_q,
+                       want.mqe, want.mte], i
+        assert bool(out["zdropped"][i]) == want.zdropped, i
