@@ -89,8 +89,8 @@ def align_batch_scores(
             tlen[k] = len(job.target)
             wv[k] = job.w if job.w >= 0 else max(len(job.query), len(job.target))
         use_pallas = (
-            run_fn is None and engine in ("auto", "pallas") and Lt <= 128
-            and not (flag & (Flag.APPROX_MAX | Flag.GENERIC_SC))
+            run_fn is None and engine in ("auto", "pallas") and Lt <= 512
+            and not (flag & Flag.GENERIC_SC)
         )
         if use_pallas:
             from ..ops.batch_pallas import extz_batch_device

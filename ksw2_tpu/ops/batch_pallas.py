@@ -297,7 +297,8 @@ def extz_batch_align(
 def _cached_run_extd(prm, interpret: bool, with_cigar: bool = False):
     from . import wavefront_batch_extd as wbe
     call = wbe.build_batch_extd_call(prm, with_cigar, interpret=interpret)
-    R, n_diag = prm.n_rows, prm.n_diag
+    R, n_diag, P = prm.n_rows, prm.n_diag, prm.p
+    B = R // P
 
     def run(query, target, qlen, tlen, w):
         I = jnp.int32
@@ -313,25 +314,26 @@ def _cached_run_extd(prm, interpret: bool, with_cigar: bool = False):
         bad = (st0 > en0) & (rr < ndb[:, None])
         rstop = jnp.where(bad.any(axis=1), jnp.argmax(bad, axis=1), ndb)
         rlim = jnp.minimum(rstop, ndb).astype(I)
-        ones = jnp.ones((R, 128), I)
-        qlp = qlen[:, None] * ones
-        tlp = tlen[:, None] * ones
-        wpl = w[:, None] * ones
-        rlp = rlim[:, None] * ones
-        tpad = jnp.zeros((R, 128), I).at[:, :target.shape[1]].set(
-            target.astype(I))
+
+        def rep(vec):
+            return jnp.repeat(vec, P)[:, None] * jnp.ones((R, 128), I)
+
+        qlp, tlp, wpl, rlp = rep(qlen), rep(tlen), rep(w), rep(rlim)
+        tpad = jnp.zeros((B, P * 128), I).at[:, :target.shape[1]].set(
+            target.astype(I)).reshape(R, 128)
         ridx = jnp.minimum(rr, jnp.maximum(qlen - 1, 0)[:, None])
-        qinj = jnp.take_along_axis(query.astype(I), ridx, axis=1)
+        qinj = jnp.repeat(
+            jnp.take_along_axis(query.astype(I), ridx, axis=1), P, axis=0)
         out = call(qlp, tlp, wpl, rlp, tpad, qinj)
         if with_cigar:
-            return out[0][:, :wb.NFIELDS], out[1]
-        return out[0][:, :wb.NFIELDS]
+            return out[0][::P, :wb.NFIELDS], out[1]
+        return out[0][::P, :wb.NFIELDS]
 
     return jax.jit(run)
 
 
 def _extd_batch_params(B, Lq, qlen, tlen, m, mat, q, e, q2, e2, zdrop, flag,
-                       chunk):
+                       chunk, P=1):
     from ..spec.common import c_div
     from . import wavefront_batch_extd as wbe
 
@@ -346,7 +348,10 @@ def _extd_batch_params(B, Lq, qlen, tlen, m, mat, q, e, q2, e2, zdrop, flag,
         long_thres += 1
     long_diff = long_thres * (e - e2) - (q2 - q) - e2
     sc_N = -e2 if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
-    R = max(round_up(B, 8), 8)
+    Bp = max(B, 1)
+    while (Bp * P) % 8:
+        Bp += 1
+    R = Bp * P
     n_diag = int((qlen + tlen).max()) - 1 if B else 1
     n_diag = max(round_up(n_diag, chunk), chunk)
     return wbe.BatchExtdParams(
@@ -354,7 +359,7 @@ def _extd_batch_params(B, Lq, qlen, tlen, m, mat, q, e, q2, e2, zdrop, flag,
         sc_mch=int(mat[0]), sc_mis=int(mat[1]), sc_N=sc_N,
         q=q, e=e, q2=q2, e2=e2, qe_pre_swap=qe_pre_swap,
         long_thres=int(long_thres), long_diff=int(long_diff),
-        zdrop=int(zdrop), flag=int(flag), chunk=chunk,
+        zdrop=int(zdrop), flag=int(flag), chunk=chunk, p=P,
     ), int(mat[1:].min()), (q, e)
 
 
@@ -384,13 +389,14 @@ def extd_batch_device(
         raise NotImplementedError("approx/generic batched paths pending")
     B, Lq = query.shape
     Bt, Lt = target.shape
-    assert B == Bt and Lt <= 128
+    assert B == Bt and Lt <= 512
+    P = 1 if Lt <= 128 else (2 if Lt <= 256 else 4)
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     if w is None:
         w = np.maximum(qlen, tlen)
     w = np.asarray(w, np.int32)
-    RMAX = 384
+    RMAX = 384 // P
     if B > RMAX:
         outs = [
             extd_batch_device(query[i:i + RMAX], target[i:i + RMAX],
@@ -402,14 +408,14 @@ def extd_batch_device(
         return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
 
     prm, min_sc, (qc, ec) = _extd_batch_params(
-        B, Lq, qlen, tlen, m, mat, q, e, q2, e2, zdrop, flag, wb.CHUNK)
+        B, Lq, qlen, tlen, m, mat, q, e, q2, e2, zdrop, flag, wb.CHUNK, P)
     run = _cached_run_extd(prm, interpret)
-    R = prm.n_rows
-    qpad = np.zeros((R, Lq), np.int8)
+    Bp = prm.n_rows // P
+    qpad = np.zeros((Bp, Lq), np.int8)
     qpad[:B] = np.asarray(query, np.int8)
-    tpad = np.zeros((R, Lt), np.int8)
+    tpad = np.zeros((Bp, Lt), np.int8)
     tpad[:B] = np.asarray(target, np.int8)
-    lens = np.zeros((3, R), np.int32)
+    lens = np.zeros((3, Bp), np.int32)
     lens[0, :B], lens[1, :B], lens[2, :B] = qlen, tlen, w
     res = np.asarray(run(jnp.asarray(qpad), jnp.asarray(tpad),
                          jnp.asarray(lens[0]), jnp.asarray(lens[1]),
@@ -480,7 +486,7 @@ def extd_batch_align(
         return out
 
     prm, min_sc, (qc, ec) = _extd_batch_params(
-        B, Lq, qlen, tlen, m, mat, q, e, q2, e2, zdrop, flag, 32)
+        B, Lq, qlen, tlen, m, mat, q, e, q2, e2, zdrop, flag, 32, 1)
     if -min_sc > 2 * (qc + ec):
         out = []
         for _ in range(B):
@@ -489,13 +495,13 @@ def extd_batch_align(
             out.append(ez)
         return out
     run = _cached_run_extd(prm, interpret, True)
-    R = prm.n_rows
+    Bp = prm.n_rows
     n_diag = prm.n_diag
-    qpad = np.zeros((R, Lq), np.int8)
+    qpad = np.zeros((Bp, Lq), np.int8)
     qpad[:B] = np.asarray(query, np.int8)
-    tpad = np.zeros((R, Lt), np.int8)
+    tpad = np.zeros((Bp, Lt), np.int8)
     tpad[:B] = np.asarray(target, np.int8)
-    lens = np.zeros((3, R), np.int32)
+    lens = np.zeros((3, Bp), np.int32)
     lens[0, :B], lens[1, :B], lens[2, :B] = qlen, tlen, w
     res, p = run(jnp.asarray(qpad), jnp.asarray(tpad),
                  jnp.asarray(lens[0]), jnp.asarray(lens[1]),

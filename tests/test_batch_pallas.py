@@ -181,3 +181,34 @@ def test_multirow_pairs_match_spec(Lt, zdrop):
         assert got == [want.score, want.max, want.max_t, want.max_q,
                        want.mqe, want.mte], i
         assert bool(out["zdropped"][i]) == want.zdropped, i
+
+
+@pytest.mark.parametrize("Lt", [256, 512])
+def test_extd_multirow_pairs_match_spec(Lt):
+    rng = np.random.default_rng(Lt)
+    B = 6
+    pairs = []
+    for _ in range(B):
+        tlen = int(rng.integers(Lt // 2, Lt))
+        t, q = refcmp.random_pair(
+            rng, tlen, divergence=float(rng.uniform(0, 0.3)),
+            indel=float(rng.uniform(0, 0.15)))
+        pairs.append((encode_dna(q), encode_dna(t)))
+    Lq = max(len(q) for q, t in pairs)
+    Q = np.zeros((B, Lq), np.int32)
+    T = np.zeros((B, Lt), np.int32)
+    qlen = np.array([len(q) for q, t in pairs], np.int32)
+    tlen = np.array([len(t) for q, t in pairs], np.int32)
+    for i, (q, t) in enumerate(pairs):
+        Q[i, : len(q)] = q
+        T[i, : len(t)] = t
+    mat = simple_mat(5, 2, 4)
+    from ksw2_tpu.ops.batch_pallas import extd_batch_device
+    out = extd_batch_device(Q, T, qlen, tlen, 5, mat, 4, 2, 13, 1,
+                            zdrop=80, flag=Flag.SCORE_ONLY, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extd2(q, t, 5, mat, 4, 2, 13, 1, w=-1, zdrop=80,
+                                 flag=Flag.SCORE_ONLY)
+        assert int(out["score"][i]) == want.score, i
+        assert int(out["max"][i]) == want.max, i
+        assert bool(out["zdropped"][i]) == want.zdropped, i
