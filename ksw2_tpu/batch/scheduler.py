@@ -170,8 +170,7 @@ def align_batch(
     from ..ops.extz import extz2_device
 
     for (Lq, Lt), idxs in buckets.items():
-        lt_cap = 512 if score_only else 128   # CIGAR planes cap at P=1
-        batchable = (Lt <= lt_cap
+        batchable = (Lt <= 512
                      and not (flag & (Flag.APPROX_MAX | Flag.GENERIC_SC
                                       | Flag.EXTZ_ONLY)))
         if batchable:

@@ -192,14 +192,15 @@ def extz_batch_align(
         raise ValueError("use extz_batch_device for score-only batches")
     B, Lq = query.shape
     Bt, Lt = target.shape
-    assert B == Bt and Lt <= 128
+    assert B == Bt and Lt <= 512
+    P = 1 if Lt <= 128 else (2 if Lt <= 256 else 4)
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     if w is None:
         w = np.maximum(qlen, tlen)
     w = np.asarray(w, np.int32)
 
-    RMAX = 256                       # direction planes bound VMEM harder
+    RMAX = 256 // P                  # direction planes bound VMEM harder
     if B > RMAX:
         out = []
         for i in range(0, B, RMAX):
@@ -219,8 +220,10 @@ def extz_batch_align(
             out.append(ez)
         return out
 
-    Bp = max(round_up(B, 8), 8)
-    R = Bp
+    Bp = max(B, 1)
+    while (Bp * P) % 8:
+        Bp += 1
+    R = Bp * P
     n_diag = int((qlen + tlen).max()) - 1 if B else 1
     n_diag = max(round_up(n_diag, 32), 32)
 
@@ -228,6 +231,7 @@ def extz_batch_align(
         n_rows=R, n_diag=n_diag, m=m,
         sc_mch=int(mat[0]), sc_mis=int(mat[1]), sc_N=sc_N,
         q=int(q), e=int(e), zdrop=int(zdrop), flag=int(flag), chunk=32,
+        p=P,
     )
     run = _cached_run(prm, interpret, True)
 
@@ -285,10 +289,12 @@ def extz_batch_align(
             out.append(ez)
             continue
         nd = qln + tln - 1
-        pmat = np.ascontiguousarray(p[:nd, b, :])
+        pmat = np.ascontiguousarray(
+            p[:nd, b * P:(b + 1) * P, :]).reshape(nd, P * 128)
         ez.cigar = backtrack(
             pmat, stb[b, :nd].astype(np.int32), enb[b, :nd].astype(np.int32),
-            128, i0, j0, is_rot=True, is_rev=rev, store_off=zero_off[:nd])
+            P * 128, i0, j0, is_rot=True, is_rev=rev,
+            store_off=zero_off[:nd])
         out.append(ez)
     return out
 
@@ -469,13 +475,14 @@ def extd_batch_align(
         raise ValueError("use extd_batch_device for score-only batches")
     B, Lq = query.shape
     Bt, Lt = target.shape
-    assert B == Bt and Lt <= 128
+    assert B == Bt and Lt <= 512
+    P = 1 if Lt <= 128 else (2 if Lt <= 256 else 4)
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     if w is None:
         w = np.maximum(qlen, tlen)
     w = np.asarray(w, np.int32)
-    RMAX = 256
+    RMAX = 256 // P
     if B > RMAX:
         out = []
         for i in range(0, B, RMAX):
@@ -486,7 +493,7 @@ def extd_batch_align(
         return out
 
     prm, min_sc, (qc, ec) = _extd_batch_params(
-        B, Lq, qlen, tlen, m, mat, q, e, q2, e2, zdrop, flag, 32, 1)
+        B, Lq, qlen, tlen, m, mat, q, e, q2, e2, zdrop, flag, 32, P)
     if -min_sc > 2 * (qc + ec):
         out = []
         for _ in range(B):
@@ -495,7 +502,7 @@ def extd_batch_align(
             out.append(ez)
         return out
     run = _cached_run_extd(prm, interpret, True)
-    Bp = prm.n_rows
+    Bp = prm.n_rows // P
     n_diag = prm.n_diag
     qpad = np.zeros((Bp, Lq), np.int8)
     qpad[:B] = np.asarray(query, np.int8)
@@ -548,10 +555,12 @@ def extd_batch_align(
             out.append(ez)
             continue
         nd = qln + tln - 1
-        pmat = np.ascontiguousarray(p[:nd, b, :])
+        pmat = np.ascontiguousarray(
+            p[:nd, b * P:(b + 1) * P, :]).reshape(nd, P * 128)
         ez.cigar = backtrack(
             pmat, stb[b, :nd].astype(np.int32), enb[b, :nd].astype(np.int32),
-            128, i0, j0, is_rot=True, is_rev=rev, store_off=zero_off[:nd])
+            P * 128, i0, j0, is_rot=True, is_rev=rev,
+            store_off=zero_off[:nd])
         if (flag & Flag.EQX) and ez.cigar:
             ez.cigar = cigarmod.to_eqx(ez.cigar, query[b][:qln],
                                        target[b][:tln])

@@ -212,3 +212,34 @@ def test_extd_multirow_pairs_match_spec(Lt):
         assert int(out["score"][i]) == want.score, i
         assert int(out["max"][i]) == want.max, i
         assert bool(out["zdropped"][i]) == want.zdropped, i
+
+
+@pytest.mark.parametrize("Lt", [256, 512])
+def test_multirow_cigars_match_spec(Lt):
+    rng = np.random.default_rng(Lt + 7)
+    B = 5
+    pairs = []
+    for _ in range(B):
+        tlen = int(rng.integers(Lt // 2, Lt))
+        t, q = refcmp.random_pair(rng, tlen, divergence=0.3, indel=0.15)
+        pairs.append((encode_dna(q), encode_dna(t)))
+    Lq = max(len(q) for q, t in pairs)
+    Q = np.zeros((B, Lq), np.int32)
+    T = np.zeros((B, Lt), np.int32)
+    qlen = np.array([len(q) for q, t in pairs], np.int32)
+    tlen = np.array([len(t) for q, t in pairs], np.int32)
+    for i, (q, t) in enumerate(pairs):
+        Q[i, : len(q)] = q
+        T[i, : len(t)] = t
+    mat = simple_mat(5, 2, 4)
+    from ksw2_tpu.ops.batch_pallas import extd_batch_align, extz_batch_align
+    ez1 = extz_batch_align(Q, T, qlen, tlen, 5, mat, 4, 2, zdrop=80,
+                           interpret=True)
+    ez2 = extd_batch_align(Q, T, qlen, tlen, 5, mat, 4, 2, 13, 1, zdrop=80,
+                           flag=Flag.EQX, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        w1, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, w=-1, zdrop=80)
+        w2, _ = diagdiff.extd2(q, t, 5, mat, 4, 2, 13, 1, w=-1, zdrop=80,
+                               flag=Flag.EQX)
+        assert ez1[i].tsv_fields() == w1.tsv_fields(), i
+        assert ez2[i].tsv_fields() == w2.tsv_fields(), i
