@@ -31,6 +31,11 @@ def _cached_call(prm: wfs.ExtsParams, with_cigar: bool, interpret: bool):
     return jax.jit(wfs.build_exts_call(prm, with_cigar, interpret=interpret))
 
 
+@functools.lru_cache(maxsize=256)
+def _cached_phased(prm: wfs.ExtsParams, interpret: bool):
+    return jax.jit(wfs.build_exts_phased(prm, interpret=interpret))
+
+
 def exts2_device(
     query: np.ndarray,
     target: np.ndarray,
@@ -96,8 +101,6 @@ def exts2_device(
         zdrop=int(zdrop), flag=int(flag),
         chunk=int(chunk), n_diag=n_diag, n_rows=N // 128, p_rows=p_rows,
     )
-    call = _cached_call(prm, with_cigar, interpret)
-
     donor, acceptor = _splice_profiles(
         np.asarray(target), tlen, N, noncan, flag, junc, junc_bonus)
     donb = ((donor.astype(np.int32) + 128) & 255).reshape(N // 128, 128)
@@ -105,13 +108,22 @@ def exts2_device(
 
     qpad = _pad_seq(np.asarray(query), max(round_up(qlen, 128), 1024))
     tpad = _pad_seq(np.asarray(target), N)
-    out = call(jnp.asarray(qpad.reshape(-1)), jnp.asarray(tpad),
-               jnp.asarray(donb), jnp.asarray(accb))
-    if with_cigar:
-        res, p = out            # p stays on device for the traceback
-    else:
-        res = out[0]
+    perlane = not (flag & Flag.APPROX_MAX) and zdrop < 0
+    if perlane and not with_cigar:
+        # row-windowed phase chain (see wavefront_exts.build_exts_phased)
+        call = _cached_phased(prm, interpret)
+        res = call(jnp.asarray(qpad.reshape(-1)), jnp.asarray(tpad),
+                   jnp.asarray(donb), jnp.asarray(accb))
         p = None
+    else:
+        call = _cached_call(prm, with_cigar, interpret)
+        out = call(jnp.asarray(qpad.reshape(-1)), jnp.asarray(tpad),
+                   jnp.asarray(donb), jnp.asarray(accb))
+        if with_cigar:
+            res, p = out        # p stays on device for the traceback
+        else:
+            res = out[0]
+            p = None
     res = np.asarray(res)
 
     ez.max = int(res[wf.MAX])

@@ -399,4 +399,257 @@ def build_exts_call(prm: ExtsParams, with_cigar: bool, interpret: bool = False):
     )
 
 
-__all__ = ["ExtsParams", "build_exts_call"]
+
+
+# ---------------------------------------------------------------------------
+# Phased score-only kernel: static row windows (exts has no band, so the
+# window tracks the matrix-shape triangle; see wavefront.py for rationale).
+# ---------------------------------------------------------------------------
+
+from .wavefront import _static_en0, _static_stop, window_phases
+
+
+def _exts_phase_body(prm: ExtsParams, r_lo, r_hi, Wcap, is_last, refs):
+    refs = list(refs)
+    qsmem_ref, target_ref, don_ref, acc_ref = refs[:4]
+    # refs[4:15] are the aliased state inputs
+    if is_last:
+        res_ref = refs[15]
+        u, v, x, y, x2, s, Q, H, HM, RD, MQ = refs[16:27]
+        ez = refs[27]
+    else:
+        res_ref = None
+        u, v, x, y, x2, s, Q, H, HM, RD, MQ = refs[15:26]
+        ez = refs[26]
+
+    qlen, tlen = prm.qlen, prm.tlen
+    qe = prm.q + prm.e
+    R = prm.n_rows
+    sb_mch, sb_mis, sb_N = _b(prm.sc_mch), _b(prm.sc_mis), _b(prm.sc_N)
+
+    step = pl.program_id(0)
+    wshape = (Wcap, 128)
+    tvw_base = (jax.lax.broadcasted_iota(I32, wshape, 0) * 128
+                + jax.lax.broadcasted_iota(I32, wshape, 1))
+    lane0_w = jax.lax.broadcasted_iota(I32, wshape, 1) == 0
+
+    def shiftw(arr, first_fix, fixm):
+        rolled = jnp.roll(arr, 1, axis=1)
+        carried = jnp.roll(rolled, 1, axis=0)
+        out = jnp.where(lane0_w, carried, rolled)
+        return jnp.where(fixm, first_fix, out)
+
+    def _ucol(r):
+        return jnp.where(
+            r == 0, _b(-qe),
+            jnp.where(r < prm.long_thres, _b(-prm.e),
+                      jnp.where(r == prm.long_thres,
+                                (prm.long_diff + BIAS) & 255, _b(0))))
+
+    def diag(rr, _):
+        r = r_lo + step * prm.chunk + rr
+
+        @pl.when(r < r_hi)
+        def _():
+            st0 = jnp.maximum(0, r - qlen + 1)
+            en0 = jnp.minimum(tlen - 1, r)
+            st = st0 // 16 * 16
+            en = (en0 + 16) // 16 * 16 - 1
+            need_ov = st == 0          # exts: no band, st moves smoothly
+            ov_x = _b(-qe)
+            ov_x2 = _b(-prm.q2)
+            ov_v = jnp.where(st == 0, _ucol(r), _b(-qe))
+
+            row_lo_c = jnp.minimum(jnp.maximum(0, (st - 1) // 128), R - Wcap)
+            win = pl.ds(row_lo_c, Wcap)
+            tvw = tvw_base + row_lo_c * 128
+            fixm = tvw == 0
+
+            uc, vc, xc, yc = u[win, :], v[win, :], x[win, :], y[win, :]
+            x2c = x2[win, :]
+            Qc, Tc = Q[win, :], target_ref[win, :]
+            acw = acc_ref[win, :]
+            dow = don_ref[win, :]
+
+            col_mask = (en >= r) & (tvw == r)
+            ut = jnp.where(col_mask, _ucol(r), uc)
+            yt = jnp.where(col_mask, _b(-qe), yc)
+
+            qv = qsmem_ref[jnp.minimum(r, qlen - 1)]
+            Qn = shiftw(Qc, qv, fixm)
+            Q[win, :] = Qn
+
+            fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
+            eq = Tc == Qn
+            nm = (Tc == prm.m - 1) | (Qn == prm.m - 1)
+            sval = jnp.where(eq, sb_mch, sb_mis)
+            sval = jnp.where(nm, sb_N, sval)
+            smask = (tvw >= st0) & (tvw <= fill_hi)
+            sn = jnp.where(smask, sval, s[win, :])
+            s[win, :] = sn
+
+            ovm = (tvw == st) & need_ov
+            xs = jnp.where(ovm, ov_x, shiftw(xc, ov_x, fixm))
+            x2s = jnp.where(ovm, ov_x2, shiftw(x2c, ov_x2, fixm))
+            vs = jnp.where(ovm, ov_v, shiftw(vc, ov_v, fixm))
+            a = (xs + vs - BIAS) & 255
+            b = (yt + ut - BIAS) & 255
+            a2 = (x2s + vs - BIAS) & 255
+            a2a = (a2 + acw - BIAS) & 255
+            z = sn
+            for cand in (a, b, a2a):
+                z = jnp.maximum(z, cand)
+            unew = (z - vs + BIAS) & 255
+            vnew = (z - ut + BIAS) & 255
+            t1 = z - prm.q
+            t2 = z - prm.q2
+            an = (a - t1 + BIAS) & 255
+            bn = (b - t1 + BIAS) & 255
+            a2n = (a2 - t2 + BIAS) & 255
+            bmask = (tvw >= st) & (tvw <= en)
+            un = jnp.where(bmask, unew, uc)
+            vn = jnp.where(bmask, vnew, vc)
+            u[win, :] = un
+            v[win, :] = vn
+            x[win, :] = jnp.where(
+                bmask, (jnp.maximum(an, BIAS) - qe) & 255, xc)
+            y[win, :] = jnp.where(
+                bmask, (jnp.maximum(bn, BIAS) - qe) & 255, yc)
+            x2[win, :] = jnp.where(
+                bmask, (jnp.maximum(a2n, dow) - prm.q2) & 255, x2c)
+
+            Hc = H[win, :]
+            Hv = Hc + vn - BIAS
+            Hs = shiftw(Hc, NEG_INF, fixm) + un - BIAS
+            is0 = r == 0
+            scan_mask = ((tvw >= st0) & (tvw < en0) & jnp.logical_not(is0))
+            h_en0_vec = jnp.where(en0 > 0, Hs, Hv)
+            h_en0_vec = jnp.where(is0, vn - BIAS - qe, h_en0_vec)
+            en0m = tvw == en0
+            Hn = jnp.where(en0m, h_en0_vec, jnp.where(scan_mask, Hv, Hc))
+            H[win, :] = Hn
+            HMc = HM[win, :]
+            better = Hn > HMc
+            HM[win, :] = jnp.where(better, Hn, HMc)
+            RD[win, :] = jnp.where(better, r, RD[win, :])
+            MQ[win, :] = jnp.where(
+                ((r - st0) == (qlen - 1)) & (tvw == st0), Hn, MQ[win, :])
+
+    jax.lax.fori_loop(0, prm.chunk, diag, None)
+
+    if is_last:
+        tvec = (jax.lax.broadcasted_iota(I32, (R, 128), 0) * 128
+                + jax.lax.broadcasted_iota(I32, (R, 128), 1))
+
+        @pl.when(step == pl.num_programs(0) - 1)
+        def _fin():
+            for k in (MAXT, MAXQ, MQET, MTEQ):
+                ez[k] = -1
+            for k in (MQE, MTE, SCORE):
+                ez[k] = NEG_INF
+            for k in (MAX, ZDROP, H0, LASTH0T, FIN):
+                ez[k] = 0
+            ez[LASTST] = -1
+            ez[LASTEN] = -1
+            ez[STOPR] = prm.n_diag
+            V = jnp.max(HM[...])
+
+            @pl.when(V > 0)
+            def _():
+                cand = HM[...] == V
+                rstar = jnp.min(jnp.where(cand, RD[...], prm.n_diag + 1))
+                st0 = jnp.maximum(0, rstar - qlen + 1)
+                en0 = jnp.minimum(tlen - 1, rstar)
+                first = cand & (RD[...] == rstar)
+                en0_hit = (_ld(HM, en0) == V) & (_ld(RD, en0) == rstar)
+                keym = jnp.where(first, _merge_key(tvec, st0, en0), _BIGKEY)
+                kmin = jnp.min(keym)
+                max_t = jnp.where(en0_hit | (rstar == 0),
+                                  jnp.where(rstar == 0, 0, en0),
+                                  kmin & ((1 << 26) - 1))
+                ez[MAX] = V
+                ez[MAXT] = max_t
+                ez[MAXQ] = rstar - max_t
+
+            mq = jnp.max(MQ[...])
+
+            @pl.when(mq > NEG_INF)
+            def _():
+                ez[MQE] = mq
+                ez[MQET] = jnp.min(jnp.where(MQ[...] == mq, tvec, _BIGKEY))
+
+            hmte = _ld(HM, tlen - 1)
+            rdte = _ld(RD, tlen - 1)
+            en_const = ((tlen - 1 + 16) // 16) * 16 - 1
+
+            @pl.when(hmte > NEG_INF)
+            def _():
+                ez[MTE] = hmte
+                ez[MTEQ] = rdte - en_const
+
+            # exts never goes band-empty: the corner is always reached
+            ez[SCORE] = _ld(H, tlen - 1)
+            for k in range(NSTATE):
+                res_ref[k] = ez[k] if k < 15 else 0
+
+
+def build_exts_phased(prm: ExtsParams, interpret: bool = False):
+    """Phased score-only exts call: (qflat, tpad, donb, accb) -> res."""
+    R = prm.n_rows
+    shape = (R, 128)
+    w_eff = prm.qlen + prm.tlen          # shape-only bounds
+    phases, r_stop = window_phases(prm.qlen, prm.tlen, w_eff, prm.n_diag, R)
+    state_t = [jax.ShapeDtypeStruct(shape, jnp.int32)] * 11
+
+    calls = []
+    for pi, (p_lo, p_hi, Wcap) in enumerate(phases):
+        is_last = pi == len(phases) - 1
+        n_steps = (p_hi - p_lo + prm.chunk - 1) // prm.chunk
+        kernel = functools.partial(
+            _exts_phase_body, prm, p_lo, p_hi, Wcap, is_last)
+
+        def wrap(*refs, _k=kernel):
+            _k(refs)
+
+        out_shape = list(state_t)
+        out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11
+        scratch = [pltpu.SMEM((NSTATE,), jnp.int32)]
+        if is_last:
+            out_shape = [jax.ShapeDtypeStruct((NSTATE,), jnp.int32)] \
+                + out_shape
+            out_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + out_specs
+        aliases = {4 + i: (1 if is_last else 0) + i for i in range(11)}
+        calls.append(pl.pallas_call(
+            wrap,
+            grid=(n_steps,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+                    + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 14,
+            out_shape=out_shape,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+            input_output_aliases=aliases,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+        ))
+
+    qe = prm.q + prm.e
+
+    def run(qflat, tpad, donb, accb):
+        bqe = jnp.full(shape, _b(-qe), jnp.int32)
+        zero = jnp.zeros(shape, jnp.int32)
+        ninf = jnp.full(shape, NEG_INF, jnp.int32)
+        state = [bqe, bqe, bqe, bqe,
+                 jnp.full(shape, _b(-prm.q2), jnp.int32),
+                 jnp.full(shape, _b(0), jnp.int32), zero,
+                 ninf, ninf, zero, ninf]
+        for call in calls[:-1]:
+            state = list(call(qflat, tpad, donb, accb, *state))
+        out = calls[-1](qflat, tpad, donb, accb, *state)
+        return out[0]
+
+    return run
+
+
+__all__ = ["ExtsParams", "build_exts_call", "build_exts_phased"]
