@@ -303,10 +303,6 @@ def _extz_kernel_body(prm: ExtzParams, with_cigar: bool, refs):
             ez[MQE] = h_st0
             ez[MQET] = st0
 
-        @pl.when((r == qlen + tlen - 2) & (en0 == tlen - 1))
-        def _():
-            ez[SCORE] = h_last
-
         return h_last, Hnew, scan_mask
 
     def _exact_update(r, st0, en0, en):
@@ -321,6 +317,11 @@ def _extz_kernel_body(prm: ExtzParams, with_cigar: bool, refs):
         max_t = jnp.where(h_last == M, en0, kmin & ((1 << 26) - 1))
         max_t = jnp.where(is0, 0, max_t)
         _zdrop_update(M, r, max_t, prm.e)
+
+        @pl.when((r == qlen + tlen - 2) & (en0 == tlen - 1)
+                 & (ez[FIN] == 0))
+        def _():
+            ez[SCORE] = h_last
 
     def _perlane_update(r, st0, en0):
         """Deferred max with a fully vectorized H column: no lane extracts.
@@ -421,7 +422,8 @@ def _extz_kernel_body(prm: ExtzParams, with_cigar: bool, refs):
             def _():
                 _zdrop_update(ez[H0], r, ez[LASTH0T], prm.e)
 
-        @pl.when((r == qlen + tlen - 2) & (en0 == tlen - 1))
+        @pl.when((r == qlen + tlen - 2) & (en0 == tlen - 1)
+                 & (ez[FIN] == 0))
         def _():
             ez[SCORE] = ez[H0]
 

@@ -172,10 +172,6 @@ def _exts_kernel_body(prm: ExtsParams, with_cigar: bool, refs):
             ez[MQE] = h_st0
             ez[MQET] = st0
 
-        @pl.when((r == qlen + tlen - 2) & (en0 == tlen - 1))
-        def _():
-            ez[SCORE] = h_last
-
         return h_last, Hnew, scan_mask
 
     def _exact_update(r, st0, en0, en):
@@ -191,6 +187,11 @@ def _exts_kernel_body(prm: ExtsParams, with_cigar: bool, refs):
         max_t = jnp.where(is0, 0, max_t)
         _zdrop_update(M, r, max_t)
 
+        @pl.when((r == qlen + tlen - 2) & (en0 == tlen - 1)
+                 & (ez[FIN] == 0))
+        def _():
+            ez[SCORE] = h_last
+
     def _perlane_update(r, st0, en0, en):
         h_last, Hnew, scan_mask = _h_boundary(r, st0, en0, en)
         better = scan_mask & (Hnew > HM[...])
@@ -199,6 +200,10 @@ def _exts_kernel_body(prm: ExtsParams, with_cigar: bool, refs):
         up = h_last > _ld(HM, en0)
         _st_if(HM, en0, h_last, up)
         _st_if(RD, en0, r, up)
+
+        @pl.when((r == qlen + tlen - 2) & (en0 == tlen - 1))
+        def _():
+            ez[SCORE] = h_last
 
     def _perlane_finalize():
         V = jnp.max(HM[...])
@@ -242,7 +247,8 @@ def _exts_kernel_body(prm: ExtsParams, with_cigar: bool, refs):
             # r==0 (the call sits outside the r>0 branch in the reference)
             _zdrop_update(ez[H0], r, ez[LASTH0T])
 
-        @pl.when((r == qlen + tlen - 2) & (en0 == tlen - 1))
+        @pl.when((r == qlen + tlen - 2) & (en0 == tlen - 1)
+                 & (ez[FIN] == 0))
         def _():
             ez[SCORE] = ez[H0]
 
