@@ -1,6 +1,8 @@
 """Final round-1 differential campaign: device pipeline vs reference binary."""
+import os
 import sys
-sys.path.insert(0, 'tests')
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import refcmp
 from ksw2_tpu.core.flags import Flag
@@ -46,6 +48,16 @@ for i in range(N):
         got = extf2_device(qs, ts, 2, -4, 2, w=w, xdrop=z,
                            interpret=True).tsv_fields()
         checks.append(("extf", ref, got))
+    if not approx:
+        from ksw2_tpu.ops.exts import exts2_device
+        smat = simple_mat(5, 1, -2)
+        fl = flag | Flag.SPLICE_FOR
+        ref = refcmp.run_ref("exts2_sse", t, q, w=w, z=z, right=right,
+                             score_only=sonly)
+        got = exts2_device(qs, ts, 5, smat, 2, 1, 32, 4, zdrop=z,
+                           junc_bonus=0, flag=fl,
+                           interpret=True)[0].tsv_fields()
+        checks.append(("exts", ref, got))
     if not (sonly or approx or right):
         ref = refcmp.run_ref("gg2_sse", t, q, w=w, z=z)
         s_, c_, _ = gg2_device(qs, ts, 5, mat, 4, 2, w=w, interpret=True)
