@@ -391,8 +391,8 @@ def extd_batch_device(
         interpret = True
     if not (flag & Flag.SCORE_ONLY):
         raise ValueError("score-only entry; use extd_batch_align for CIGARs")
-    if flag & (Flag.APPROX_MAX | Flag.GENERIC_SC):
-        raise NotImplementedError("approx/generic batched paths pending")
+    if flag & Flag.GENERIC_SC:
+        raise NotImplementedError("generic batched scoring pending")
     B, Lq = query.shape
     Bt, Lt = target.shape
     assert B == Bt and Lt <= 512

@@ -52,6 +52,7 @@ class BatchExtdParams(NamedTuple):
 
 
 def _batch_extd_kernel(prm: BatchExtdParams, with_cigar, refs):
+    approx = bool(prm.flag & int(Flag.APPROX_MAX))
     withz = prm.zdrop >= 0
     right = bool(prm.flag & int(Flag.RIGHT))
     refs = list(refs)
@@ -61,6 +62,11 @@ def _batch_extd_kernel(prm: BatchExtdParams, with_cigar, refs):
     p_ref = rest.pop(0) if with_cigar else None
     u, v, x, y, x2, y2, s, Q, H, HM, RD, MQ = rest[:12]
     rest = rest[12:]
+    if approx:
+        h0p, ltp = rest[:2]
+        rest = rest[2:]
+    else:
+        h0p = ltp = None
     if withz:
         mxp, mtp, mqp, zdp = rest[:4]
     else:
@@ -119,6 +125,9 @@ def _batch_extd_kernel(prm: BatchExtdParams, with_cigar, refs):
         HM[...] = jnp.full(shape, NEG_INF, I32)
         RD[...] = jnp.zeros(shape, I32)
         MQ[...] = jnp.full(shape, NEG_INF, I32)
+        if approx:
+            h0p[...] = jnp.zeros(shape, I32)
+            ltp[...] = jnp.zeros(shape, I32)
         if withz:
             mxp[...] = jnp.zeros(shape, I32)
             mtp[...] = jnp.full(shape, -1, I32)
@@ -251,7 +260,39 @@ def _batch_extd_kernel(prm: BatchExtdParams, with_cigar, refs):
         MQ[...] = jnp.where(
             act & ((r - st0) == (qlp - 1)) & (lane == st0), Hn, MQ[...])
 
-        if withz:
+        if approx:
+            # O(1) per-row H0 walk on biased deltas (no -e offset in extd)
+            lt = ltp[...]
+            c1 = (lt >= st0) & (lt <= en0)
+            c2 = (lt + 1 >= st0) & (lt + 1 <= en0)
+            d0 = _pmax(jnp.where(lane == lt, vn, _INT_MIN)) - BIAS
+            d1 = _pmax(jnp.where(lane == jnp.minimum(lt + 1, P * 128 - 1),
+                                 un, _INT_MIN)) - BIAS
+            both = c1 & c2
+            newH0 = jnp.where(both, h0p[...] + jnp.maximum(d0, d1),
+                              jnp.where(c1, h0p[...] + d0, h0p[...] + d1))
+            newlt = jnp.where(both, jnp.where(d0 > d1, lt, lt + 1),
+                              jnp.where(c1, lt, lt + 1))
+            h00 = _pmax(jnp.where(lane == 0, vn, _INT_MIN)) - BIAS \
+                - prm.qe_pre_swap
+            h0p[...] = jnp.where(act, jnp.where(is0, h00, newH0), h0p[...])
+            ltp[...] = jnp.where(act, jnp.where(is0, 0, newlt), ltp[...])
+
+        if withz and approx and (prm.flag & int(Flag.APPROX_DROP)):
+            # extd applies the approx Z-drop at r==0 too
+            M0 = h0p[...]
+            t0_ = ltp[...]
+            betterz = act & (M0 > mxp[...])
+            l = jnp.abs((t0_ - mtp[...]) - ((r - t0_) - mqp[...]))
+            trig = (act & jnp.logical_not(M0 > mxp[...]) & (t0_ >= mtp[...])
+                    & (r - t0_ >= mqp[...])
+                    & (mxp[...] - M0 > prm.zdrop + l * prm.e2))
+            mxp[...] = jnp.where(betterz, M0, mxp[...])
+            mtp[...] = jnp.where(betterz, t0_, mtp[...])
+            mqp[...] = jnp.where(betterz, r - t0_, mqp[...])
+            zdp[...] = jnp.where(trig, 1 + r, zdp[...])
+
+        if withz and not approx:
             # per-diagonal running max + Z-drop test (ksw2.h:191-207).
             # One butterfly: pack (H, tie-key) into a single int32. Scores
             # are bounded by 127*128 here (tlen <= 128), so H*1024 fits;
@@ -289,7 +330,17 @@ def _batch_extd_kernel(prm: BatchExtdParams, with_cigar, refs):
         ndc = qlp + tlp - 1
         HMv = HM[...]
         RDv = RD[...]
-        if withz:
+        if approx:
+            dropped = (zdp[...] > 0) if withz else jnp.zeros(shape, jnp.bool_)
+            if withz:
+                vmax = mxp[...]
+                vmaxt = mtp[...]
+                vmaxq = mqp[...]
+            else:
+                vmax = jnp.zeros(shape, I32)
+                vmaxt = jnp.full(shape, -1, I32)
+                vmaxq = jnp.full(shape, -1, I32)
+        elif withz:
             dropped = zdp[...] > 0
             vmax = mxp[...]
             vmaxt = mtp[...]
@@ -316,27 +367,37 @@ def _batch_extd_kernel(prm: BatchExtdParams, with_cigar, refs):
             vmaxt = jnp.where(V > 0, max_t, -1)
             vmaxq = jnp.where(V > 0, rstar - max_t, -1)
 
-        mqe = _pmax(MQ[...])
-        mqet = _pmin(jnp.where(MQ[...] == mqe, lane, _BIGKEY))
-        has_mqe = mqe > NEG_INF
-        mqe = jnp.where(has_mqe, mqe, NEG_INF)
-        mqet = jnp.where(has_mqe, mqet, -1)
+        if approx:
+            mqe = jnp.full(shape, NEG_INF, I32)
+            mqet = jnp.full(shape, -1, I32)
+            mte = jnp.full(shape, NEG_INF, I32)
+            mteq = jnp.full(shape, -1, I32)
+        else:
+            mqe = _pmax(MQ[...])
+            mqet = _pmin(jnp.where(MQ[...] == mqe, lane, _BIGKEY))
+            has_mqe = mqe > NEG_INF
+            mqe = jnp.where(has_mqe, mqe, NEG_INF)
+            mqet = jnp.where(has_mqe, mqet, -1)
 
         corner = lane == tlp - 1
-        mte = _pmax(jnp.where(corner, HMv, _INT_MIN))
-        rdte = _pmax(jnp.where(corner, RDv, _INT_MIN))
-        has_mte = mte > NEG_INF
-        en_c = ((tlp - 1 + 16) // 16) * 16 - 1
-        mteq = jnp.where(has_mte, rdte - en_c, -1)
-        mte = jnp.where(has_mte, mte, NEG_INF)
+        if not approx:
+            mte = _pmax(jnp.where(corner, HMv, _INT_MIN))
+            rdte = _pmax(jnp.where(corner, RDv, _INT_MIN))
+            has_mte = mte > NEG_INF
+            en_c = ((tlp - 1 + 16) // 16) * 16 - 1
+            mteq = jnp.where(has_mte, rdte - en_c, -1)
+            mte = jnp.where(has_mte, mte, NEG_INF)
 
         fin_en0 = jnp.minimum(tlp - 1,
                               jnp.minimum(ndc - 1, (ndc - 1 + wp) >> 1))
         done = (rlim == ndc) & (fin_en0 == tlp - 1)
-        if withz:
+        if withz or approx:
             done = done & jnp.logical_not(dropped)
-        hcorner = _pmax(jnp.where(corner, H[...], _INT_MIN))
-        score = jnp.where(done, hcorner, NEG_INF)
+        if approx:
+            score = jnp.where(done, h0p[...], NEG_INF)
+        else:
+            hcorner = _pmax(jnp.where(corner, H[...], _INT_MIN))
+            score = jnp.where(done, hcorner, NEG_INF)
         zflag = (rlim < ndc).astype(I32)
         if withz:
             zflag = jnp.maximum(zflag, dropped.astype(I32))
@@ -356,7 +417,8 @@ def build_batch_extd_call(prm: BatchExtdParams, with_cigar: bool = False,
     chunk = prm.chunk
     assert CHUNK % chunk == 0
     n_steps = (prm.n_diag + chunk - 1) // chunk
-    n_scr = 12 + (4 if prm.zdrop >= 0 else 0)
+    n_scr = (12 + (2 if prm.flag & int(Flag.APPROX_MAX) else 0)
+             + (4 if prm.zdrop >= 0 else 0))
     scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(n_scr)]
     kernel = functools.partial(_batch_extd_kernel, prm, with_cigar)
 

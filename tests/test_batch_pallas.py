@@ -243,3 +243,24 @@ def test_multirow_cigars_match_spec(Lt):
                                flag=Flag.EQX)
         assert ez1[i].tsv_fields() == w1.tsv_fields(), i
         assert ez2[i].tsv_fields() == w2.tsv_fields(), i
+
+
+@pytest.mark.parametrize("zdrop,flag", [
+    (-1, Flag.SCORE_ONLY | Flag.APPROX_MAX),
+    (30, Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.APPROX_DROP),
+])
+def test_extd_batch_approx_matches_spec(zdrop, flag):
+    B = 8
+    pairs, Q, T, qlen, tlen = _make_batch(71, B)
+    mat = simple_mat(5, 2, 4)
+    from ksw2_tpu.ops.batch_pallas import extd_batch_device
+    out = extd_batch_device(Q, T, qlen, tlen, 5, mat, 4, 2, 13, 1,
+                            zdrop=zdrop, flag=flag, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extd2(q, t, 5, mat, 4, 2, 13, 1, w=-1,
+                                 zdrop=zdrop, flag=flag)
+        got = [int(out[k][i]) for k in ("score", "max", "max_t", "max_q",
+                                        "mqe", "mte")]
+        assert got == [want.score, want.max, want.max_t, want.max_q,
+                       want.mqe, want.mte], i
+        assert bool(out["zdropped"][i]) == want.zdropped, i
