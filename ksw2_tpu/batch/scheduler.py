@@ -171,8 +171,8 @@ def align_batch(
 
     for (Lq, Lt), idxs in buckets.items():
         batchable = (Lt <= 512
-                     and not (flag & (Flag.APPROX_MAX | Flag.GENERIC_SC
-                                      | Flag.EXTZ_ONLY)))
+                     and not (flag & (Flag.GENERIC_SC | Flag.EXTZ_ONLY))
+                     and (score_only or not (flag & Flag.APPROX_MAX)))
         if batchable:
             B = len(idxs)
             Q = np.zeros((B, Lq), np.int32)
