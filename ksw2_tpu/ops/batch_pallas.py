@@ -574,30 +574,35 @@ def _cached_run_exts(prm, interpret: bool, with_cigar: bool = False):
     call = wbs.build_batch_exts_call(prm, with_cigar, interpret=interpret)
     R, n_diag = prm.n_rows, prm.n_diag
 
+    P = prm.p
+    B = R // P
+
     def run(query, target, donb, accb, qlen, tlen):
         I = jnp.int32
         qlen = qlen.astype(I)
         tlen = tlen.astype(I)
         ndb = qlen + tlen - 1
-        ones = jnp.ones((R, 128), I)
-        qlp = qlen[:, None] * ones
-        tlp = tlen[:, None] * ones
-        rlp = ndb[:, None] * ones         # exts never goes band-empty
-        tpad = jnp.zeros((R, 128), I).at[:, :target.shape[1]].set(
-            target.astype(I))
+
+        def rep(vec):
+            return jnp.repeat(vec, P)[:, None] * jnp.ones((R, 128), I)
+
+        qlp, tlp, rlp = rep(qlen), rep(tlen), rep(ndb)
+        tpad = jnp.zeros((B, P * 128), I).at[:, :target.shape[1]].set(
+            target.astype(I)).reshape(R, 128)
         rr = jnp.arange(n_diag, dtype=I)[None, :]
         ridx = jnp.minimum(rr, jnp.maximum(qlen - 1, 0)[:, None])
-        qinj = jnp.take_along_axis(query.astype(I), ridx, axis=1)
+        qinj = jnp.repeat(
+            jnp.take_along_axis(query.astype(I), ridx, axis=1), P, axis=0)
         out = call(qlp, tlp, rlp, tpad, donb.astype(I), accb.astype(I), qinj)
         if with_cigar:
-            return out[0][:, :wb.NFIELDS], out[1]
-        return out[0][:, :wb.NFIELDS]
+            return out[0][::P, :wb.NFIELDS], out[1]
+        return out[0][::P, :wb.NFIELDS]
 
     return jax.jit(run)
 
 
 def _exts_batch_prep(B, target, tlen, m, mat, q, e, q2, noncan, flag, junc,
-                     junc_bonus, R):
+                     junc_bonus, R, P=1):
     """Per-pair donor/acceptor planes (biased) + canonicalized params."""
     from ..spec.common import c_div
     from ..spec.diagdiff import _splice_profiles
@@ -613,10 +618,12 @@ def _exts_batch_prep(B, target, tlen, m, mat, q, e, q2, noncan, flag, junc,
     for b in range(B):
         tl = int(tlen[b])
         dn, ac = _splice_profiles(
-            np.asarray(target[b][:tl]), tl, 128, noncan, Flag(int(flag)),
+            np.asarray(target[b][:tl]), tl, P * 128, noncan, Flag(int(flag)),
             None if junc is None else junc[b][:tl], junc_bonus)
-        donb[b] = (dn.astype(np.int32) + 128) & 255
-        accb[b] = (ac.astype(np.int32) + 128) & 255
+        donb[b * P:(b + 1) * P] = (
+            (dn.astype(np.int32) + 128) & 255).reshape(P, 128)
+        accb[b * P:(b + 1) * P] = (
+            (ac.astype(np.int32) + 128) & 255).reshape(P, 128)
     return mat, long_thres, long_diff, sc_N, donb, accb
 
 
@@ -650,10 +657,11 @@ def exts_batch_align(
     with_cigar = not (flag & Flag.SCORE_ONLY)
     B, Lq = query.shape
     Bt, Lt = target.shape
-    assert B == Bt and Lt <= 128
+    assert B == Bt and Lt <= 512
+    P = 1 if Lt <= 128 else (2 if Lt <= 256 else 4)
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
-    RMAX = 256 if with_cigar else 384
+    RMAX = (256 if with_cigar else 384) // P
     if B > RMAX:
         out = []
         for i in range(0, B, RMAX):
@@ -665,9 +673,13 @@ def exts_batch_align(
         return out
 
     q, e, q2, noncan = int(q), int(e), int(q2), int(noncan)
-    R = max(round_up(B, 8), 8)
+    Bp = max(B, 1)
+    while (Bp * P) % 8:
+        Bp += 1
+    R = Bp * P
     matf, long_thres, long_diff, sc_N, donb, accb = _exts_batch_prep(
-        B, target, tlen, m, mat, q, e, q2, noncan, flag, junc, junc_bonus, R)
+        B, target, tlen, m, mat, q, e, q2, noncan, flag, junc, junc_bonus,
+        R, P)
     min_sc = int(matf[1:].min())
     invalid = (m <= 1 or q2 <= q + e or -min_sc > 2 * (q + e))
     if invalid:
@@ -686,14 +698,14 @@ def exts_batch_align(
         sc_mch=int(matf[0]), sc_mis=int(matf[1]), sc_N=sc_N,
         q=q, e=e, q2=q2,
         long_thres=int(long_thres), long_diff=int(long_diff),
-        zdrop=int(zdrop), flag=int(flag), chunk=chunk,
+        zdrop=int(zdrop), flag=int(flag), chunk=chunk, p=P,
     )
     run = _cached_run_exts(prm, interpret, with_cigar)
-    qpad = np.zeros((R, Lq), np.int8)
+    qpad = np.zeros((Bp, Lq), np.int8)
     qpad[:B] = np.asarray(query, np.int8)
-    tpad = np.zeros((R, Lt), np.int8)
+    tpad = np.zeros((Bp, Lt), np.int8)
     tpad[:B] = np.asarray(target, np.int8)
-    lens = np.zeros((2, R), np.int32)
+    lens = np.zeros((2, Bp), np.int32)
     lens[0, :B], lens[1, :B] = qlen, tlen
     out_dev = run(jnp.asarray(qpad), jnp.asarray(tpad), jnp.asarray(donb),
                   jnp.asarray(accb), jnp.asarray(lens[0]),
@@ -740,9 +752,10 @@ def exts_batch_align(
             out.append(ez)
             continue
         nd = qln + tln - 1
-        pmat = np.ascontiguousarray(p[:nd, b, :])
+        pmat = np.ascontiguousarray(
+            p[:nd, b * P:(b + 1) * P, :]).reshape(nd, P * 128)
         ez.cigar = backtrack(
-            pmat, stb[b, :nd], enb[b, :nd], 128, i0, j0,
+            pmat, stb[b, :nd], enb[b, :nd], P * 128, i0, j0,
             is_rot=True, is_rev=rev, store_off=zero_off[:nd],
             min_intron_len=long_thres)
         out.append(ez)

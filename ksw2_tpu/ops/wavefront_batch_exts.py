@@ -47,6 +47,7 @@ class BatchExtsParams(NamedTuple):
     zdrop: int
     flag: int
     chunk: int = CHUNK
+    p: int = 1           # sublane rows per pair (tlen <= p*128)
 
 
 def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
@@ -69,9 +70,39 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
     shape = (R, 128)
     sb_mch, sb_mis, sb_N = _b(prm.sc_mch), _b(prm.sc_mis), _b(prm.sc_N)
 
+    P = prm.p
     step = pl.program_id(0)
-    lane = jax.lax.broadcasted_iota(I32, shape, 1)
+    lanes = jax.lax.broadcasted_iota(I32, shape, 1)
+    rows = jax.lax.broadcasted_iota(I32, shape, 0)
+    lane = (rows % P) * 128 + lanes if P > 1 else lanes
     lane0 = lane == 0
+
+    def _shift1(arr):
+        rolled = jnp.roll(arr, 1, axis=1)
+        if P == 1:
+            return rolled
+        carried = jnp.roll(rolled, 1, axis=0)
+        return jnp.where(lanes == 0, carried, rolled)
+
+    def _pmax(arr):
+        arr = _bmax(arr)
+        if P > 1:
+            for k in (1, 2) if P == 4 else (1,):
+                alt = jnp.where((rows % P) >= k,
+                                jnp.roll(arr, k, axis=0),
+                                jnp.roll(arr, k - P, axis=0))
+                arr = jnp.maximum(arr, alt)
+        return arr
+
+    def _pmin(arr):
+        arr = _bmin(arr)
+        if P > 1:
+            for k in (1, 2) if P == 4 else (1,):
+                alt = jnp.where((rows % P) >= k,
+                                jnp.roll(arr, k, axis=0),
+                                jnp.roll(arr, k - P, axis=0))
+                arr = jnp.minimum(arr, alt)
+        return arr
 
     @pl.when(step == 0)
     def _init():
@@ -129,7 +160,7 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
         yt = jnp.where(col_mask, _b(-qe), y[...])
 
         qv = pltpu.roll(qinj_ref[...], -(r % CHUNK), axis=1)
-        Qn = jnp.where(lane0, qv, jnp.roll(Q[...], 1, axis=1))
+        Qn = jnp.where(lane0, qv, _shift1(Q[...]))
         Qn = jnp.where(act, Qn, Q[...])
         Q[...] = Qn
 
@@ -143,11 +174,11 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
         s[...] = sn
 
         ovn = (lane == stb) & need_ov
-        xs = jnp.where(lane0, _b(-qe), jnp.roll(x[...], 1, axis=1))
+        xs = jnp.where(lane0, _b(-qe), _shift1(x[...]))
         xs = jnp.where(ovn, _b(-qe), xs)
-        x2s = jnp.where(lane0, _b(-prm.q2), jnp.roll(x2[...], 1, axis=1))
+        x2s = jnp.where(lane0, _b(-prm.q2), _shift1(x2[...]))
         x2s = jnp.where(ovn, _b(-prm.q2), x2s)
-        vs = jnp.where(lane0, ov_v, jnp.roll(v[...], 1, axis=1))
+        vs = jnp.where(lane0, ov_v, _shift1(v[...]))
         vs = jnp.where(ovn, ov_v, vs)
         a = (xs + vs - BIAS) & 255
         b = (yt + ut - BIAS) & 255
@@ -198,7 +229,7 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
         is0 = r == 0
         Hc = H[...]
         Hv = Hc + vn - BIAS
-        Hs = jnp.where(lane0, NEG_INF, jnp.roll(Hc, 1, axis=1)) + un - BIAS
+        Hs = jnp.where(lane0, NEG_INF, _shift1(Hc)) + un - BIAS
         h_en0_vec = jnp.where(en0 > 0, Hs, Hv)
         h_en0_vec = jnp.where(is0, vn - BIAS - qe, h_en0_vec)
         scan_mask = act & (lane >= st0) & (lane < en0) & jnp.logical_not(is0)
@@ -217,16 +248,17 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
             band = scan_mask | en0m
             en1 = st0 + (en0 - st0) // 4 * 4
             cls = (lane - st0) & 3
-            kf = jnp.where(lane < en1, cls * 128 + lane, 512 + lane) + 1
+            TV = P * 128
+            kf = jnp.where(lane < en1, cls * TV + lane, 4 * TV + lane) + 1
             kf = jnp.where(en0m, 0, kf)
-            hcl = jnp.maximum(Hn, -(1 << 20))
-            packedv = jnp.where(band, hcl * 1024 + (1023 - kf), _INT_MIN)
-            Cbest = _bmax(packedv)
-            M = Cbest >> 10
-            kstar = 1023 - (Cbest & 1023)
+            hcl = jnp.maximum(Hn, -(1 << 18))
+            packedv = jnp.where(band, hcl * 4096 + (4095 - kf), _INT_MIN)
+            Cbest = _pmax(packedv)
+            M = Cbest >> 12
+            kstar = 4095 - (Cbest & 4095)
             max_t = jnp.where(kstar == 0, en0,
-                              jnp.where(kstar <= 512, (kstar - 1) & 127,
-                                        kstar - 513))
+                              jnp.where(kstar <= 4 * TV, (kstar - 1) % TV,
+                                        kstar - 1 - 4 * TV))
             max_t = jnp.where(is0, 0, max_t)
             betterz = act & (M > mxp[...])
             l = jnp.abs((max_t - mtp[...]) - ((r - max_t) - mqp[...]))
@@ -253,18 +285,18 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
             vmaxq = mqp[...]
         else:
             dropped = jnp.zeros(shape, jnp.bool_)
-            V = _bmax(HMv)
+            V = _pmax(HMv)
             cand = HMv == V
-            rstar = _bmin(jnp.where(cand, RDv, prm.n_diag + 1))
+            rstar = _pmin(jnp.where(cand, RDv, prm.n_diag + 1))
             st0s = jnp.maximum(0, rstar - qlp + 1)
             en0s = jnp.minimum(tlp - 1, rstar)
             first = cand & (RDv == rstar)
-            en0_hit = _bmax(jnp.where(first & (lane == en0s), 1, 0))
+            en0_hit = _pmax(jnp.where(first & (lane == en0s), 1, 0))
             en1 = st0s + (en0s - st0s) // 4 * 4
             cls = (lane - st0s) & 3
             key = jnp.where(lane < en1, cls * (1 << 26) + lane,
                             (1 << 28) + lane)
-            kmin = _bmin(jnp.where(first, key, 2 ** 30))
+            kmin = _pmin(jnp.where(first, key, 2 ** 30))
             max_t = jnp.where((en0_hit > 0) | (rstar == 0),
                               jnp.where(rstar == 0, 0, en0s),
                               kmin & ((1 << 26) - 1))
@@ -272,15 +304,15 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
             vmaxt = jnp.where(V > 0, max_t, -1)
             vmaxq = jnp.where(V > 0, rstar - max_t, -1)
 
-        mqe = _bmax(MQ[...])
-        mqet = _bmin(jnp.where(MQ[...] == mqe, lane, 2 ** 30))
+        mqe = _pmax(MQ[...])
+        mqet = _pmin(jnp.where(MQ[...] == mqe, lane, 2 ** 30))
         has_mqe = mqe > NEG_INF
         mqe = jnp.where(has_mqe, mqe, NEG_INF)
         mqet = jnp.where(has_mqe, mqet, -1)
 
         corner = lane == tlp - 1
-        mte = _bmax(jnp.where(corner, HMv, _INT_MIN))
-        rdte = _bmax(jnp.where(corner, RDv, _INT_MIN))
+        mte = _pmax(jnp.where(corner, HMv, _INT_MIN))
+        rdte = _pmax(jnp.where(corner, RDv, _INT_MIN))
         has_mte = mte > NEG_INF
         en_c = ((tlp - 1 + 16) // 16) * 16 - 1
         mteq = jnp.where(has_mte, rdte - en_c, -1)
@@ -289,7 +321,7 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
         done = rlim == ndc          # exts never goes band-empty
         if withz:
             done = done & jnp.logical_not(dropped)
-        hcorner = _bmax(jnp.where(corner, H[...], _INT_MIN))
+        hcorner = _pmax(jnp.where(corner, H[...], _INT_MIN))
         score = jnp.where(done, hcorner, NEG_INF)
         zflag = (rlim < ndc).astype(I32)
         if withz:

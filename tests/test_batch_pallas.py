@@ -264,3 +264,30 @@ def test_extd_batch_approx_matches_spec(zdrop, flag):
         assert got == [want.score, want.max, want.max_t, want.max_q,
                        want.mqe, want.mte], i
         assert bool(out["zdropped"][i]) == want.zdropped, i
+
+
+@pytest.mark.parametrize("Lt", [256, 512])
+def test_exts_multirow_pairs_match_spec(Lt):
+    rng = np.random.default_rng(Lt + 3)
+    B = 4
+    pairs = []
+    for _ in range(B):
+        tlen = int(rng.integers(Lt // 2, Lt))
+        t, q = refcmp.random_pair(rng, tlen, divergence=0.25, indel=0.12)
+        pairs.append((encode_dna(q), encode_dna(t)))
+    Lq = max(len(q) for q, t in pairs)
+    Q = np.zeros((B, Lq), np.int32)
+    T = np.zeros((B, Lt), np.int32)
+    qlen = np.array([len(q) for q, t in pairs], np.int32)
+    tlen = np.array([len(t) for q, t in pairs], np.int32)
+    for i, (q, t) in enumerate(pairs):
+        Q[i, : len(q)] = q
+        T[i, : len(t)] = t
+    smat = simple_mat(5, 1, -2)
+    from ksw2_tpu.ops.batch_pallas import exts_batch_align
+    ezs = exts_batch_align(Q, T, qlen, tlen, 5, smat, 2, 1, 32, 4, zdrop=60,
+                           flag=Flag.SPLICE_FOR, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.exts2(q, t, 5, smat, 2, 1, 32, 4, zdrop=60,
+                                 junc_bonus=0, flag=Flag.SPLICE_FOR)
+        assert ezs[i].tsv_fields() == want.tsv_fields(), i
