@@ -652,8 +652,10 @@ def exts_batch_align(
     flag = Flag(int(flag))
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
-    if flag & (Flag.APPROX_MAX | Flag.GENERIC_SC):
-        raise NotImplementedError("approx/generic batched splice pending")
+    if flag & Flag.GENERIC_SC:
+        raise NotImplementedError("generic batched splice pending")
+    if (flag & Flag.APPROX_MAX) and not (flag & Flag.SCORE_ONLY):
+        raise NotImplementedError("approx batched splice is score-only")
     with_cigar = not (flag & Flag.SCORE_ONLY)
     B, Lq = query.shape
     Bt, Lt = target.shape

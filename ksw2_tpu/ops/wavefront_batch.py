@@ -80,6 +80,10 @@ def _bmin(arr):
 def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
     approx = bool(prm.flag & int(Flag.APPROX_MAX))
     withz = prm.zdrop >= 0
+    # APPROX_DROP updates the running max via ksw_apply_zdrop even when
+    # zdrop < 0 (only the drop itself needs zdrop >= 0), so the max planes
+    # must exist whenever the flag is set
+    withad = approx and bool(prm.flag & int(Flag.APPROX_DROP))
     right = bool(prm.flag & int(Flag.RIGHT))
     refs = list(refs)
     qlp_ref, tlp_ref, wp_ref, rlim_ref, target_ref, qinj_ref, res_ref = \
@@ -93,7 +97,7 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
         rest = rest[2:]
     else:
         h0p = ltp = None
-    if withz:
+    if withz or withad:
         mxp, mtp, mqp, zdp = rest[:4]
     else:
         mxp = mtp = mqp = zdp = None
@@ -160,7 +164,7 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
         if approx:
             h0p[...] = zero
             ltp[...] = zero
-        if withz:
+        if withz or withad:
             mxp[...] = zero
             mtp[...] = jnp.full(shape, -1, I32)
             mqp[...] = jnp.full(shape, -1, I32)
@@ -297,19 +301,20 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
             h0p[...] = jnp.where(act, jnp.where(is0, h00, newH0), h0p[...])
             ltp[...] = jnp.where(act, jnp.where(is0, 0, newlt), ltp[...])
 
-        if withz and approx and (prm.flag & int(Flag.APPROX_DROP)):
+        if withad:
             nis0 = act & jnp.logical_not(is0)
             M0 = h0p[...]
             t0_ = ltp[...]
             betterz = nis0 & (M0 > mxp[...])
-            l = jnp.abs((t0_ - mtp[...]) - ((r - t0_) - mqp[...]))
-            trig = (nis0 & jnp.logical_not(M0 > mxp[...]) & (t0_ >= mtp[...])
-                    & (r - t0_ >= mqp[...])
-                    & (mxp[...] - M0 > prm.zdrop + l * prm.e))
+            if withz:
+                l = jnp.abs((t0_ - mtp[...]) - ((r - t0_) - mqp[...]))
+                trig = (nis0 & jnp.logical_not(M0 > mxp[...])
+                        & (t0_ >= mtp[...]) & (r - t0_ >= mqp[...])
+                        & (mxp[...] - M0 > prm.zdrop + l * prm.e))
+                zdp[...] = jnp.where(trig, 1 + r, zdp[...])
             mxp[...] = jnp.where(betterz, M0, mxp[...])
             mtp[...] = jnp.where(betterz, t0_, mtp[...])
             mqp[...] = jnp.where(betterz, r - t0_, mqp[...])
-            zdp[...] = jnp.where(trig, 1 + r, zdp[...])
 
         if withz and not approx:
             # per-diagonal running max + Z-drop test (ksw2.h:191-207).
@@ -351,7 +356,7 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
         RDv = RD[...]
         if approx:
             dropped = (zdp[...] > 0) if withz else jnp.zeros(shape, jnp.bool_)
-            if withz:
+            if withz or withad:
                 vmax = mxp[...]
                 vmaxt = mtp[...]
                 vmaxq = mqp[...]
@@ -442,7 +447,8 @@ def build_batch_call(prm: BatchParams, with_cigar: bool = False,
     assert CHUNK % chunk == 0
     n_steps = (prm.n_diag + chunk - 1) // chunk
     n_scr = (10 + (2 if prm.flag & int(Flag.APPROX_MAX) else 0)
-             + (4 if prm.zdrop >= 0 else 0))
+             + (4 if prm.zdrop >= 0 or (prm.flag & int(Flag.APPROX_MAX)
+                           and prm.flag & int(Flag.APPROX_DROP)) else 0))
     scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(n_scr)]
     kernel = functools.partial(_batch_kernel_body, prm, with_cigar)
 

@@ -54,6 +54,10 @@ class BatchExtdParams(NamedTuple):
 def _batch_extd_kernel(prm: BatchExtdParams, with_cigar, refs):
     approx = bool(prm.flag & int(Flag.APPROX_MAX))
     withz = prm.zdrop >= 0
+    # APPROX_DROP updates the running max via ksw_apply_zdrop even when
+    # zdrop < 0 (only the drop itself needs zdrop >= 0), so the max planes
+    # must exist whenever the flag is set
+    withad = approx and bool(prm.flag & int(Flag.APPROX_DROP))
     right = bool(prm.flag & int(Flag.RIGHT))
     refs = list(refs)
     qlp_ref, tlp_ref, wp_ref, rlim_ref, target_ref, qinj_ref, res_ref = \
@@ -67,7 +71,7 @@ def _batch_extd_kernel(prm: BatchExtdParams, with_cigar, refs):
         rest = rest[2:]
     else:
         h0p = ltp = None
-    if withz:
+    if withz or withad:
         mxp, mtp, mqp, zdp = rest[:4]
     else:
         mxp = mtp = mqp = zdp = None
@@ -128,7 +132,7 @@ def _batch_extd_kernel(prm: BatchExtdParams, with_cigar, refs):
         if approx:
             h0p[...] = jnp.zeros(shape, I32)
             ltp[...] = jnp.zeros(shape, I32)
-        if withz:
+        if withz or withad:
             mxp[...] = jnp.zeros(shape, I32)
             mtp[...] = jnp.full(shape, -1, I32)
             mqp[...] = jnp.full(shape, -1, I32)
@@ -278,19 +282,20 @@ def _batch_extd_kernel(prm: BatchExtdParams, with_cigar, refs):
             h0p[...] = jnp.where(act, jnp.where(is0, h00, newH0), h0p[...])
             ltp[...] = jnp.where(act, jnp.where(is0, 0, newlt), ltp[...])
 
-        if withz and approx and (prm.flag & int(Flag.APPROX_DROP)):
+        if withad:
             # extd applies the approx Z-drop at r==0 too
             M0 = h0p[...]
             t0_ = ltp[...]
             betterz = act & (M0 > mxp[...])
-            l = jnp.abs((t0_ - mtp[...]) - ((r - t0_) - mqp[...]))
-            trig = (act & jnp.logical_not(M0 > mxp[...]) & (t0_ >= mtp[...])
-                    & (r - t0_ >= mqp[...])
-                    & (mxp[...] - M0 > prm.zdrop + l * prm.e2))
+            if withz:
+                l = jnp.abs((t0_ - mtp[...]) - ((r - t0_) - mqp[...]))
+                trig = (act & jnp.logical_not(M0 > mxp[...])
+                        & (t0_ >= mtp[...]) & (r - t0_ >= mqp[...])
+                        & (mxp[...] - M0 > prm.zdrop + l * prm.e2))
+                zdp[...] = jnp.where(trig, 1 + r, zdp[...])
             mxp[...] = jnp.where(betterz, M0, mxp[...])
             mtp[...] = jnp.where(betterz, t0_, mtp[...])
             mqp[...] = jnp.where(betterz, r - t0_, mqp[...])
-            zdp[...] = jnp.where(trig, 1 + r, zdp[...])
 
         if withz and not approx:
             # per-diagonal running max + Z-drop test (ksw2.h:191-207).
@@ -332,7 +337,7 @@ def _batch_extd_kernel(prm: BatchExtdParams, with_cigar, refs):
         RDv = RD[...]
         if approx:
             dropped = (zdp[...] > 0) if withz else jnp.zeros(shape, jnp.bool_)
-            if withz:
+            if withz or withad:
                 vmax = mxp[...]
                 vmaxt = mtp[...]
                 vmaxq = mqp[...]
@@ -418,7 +423,8 @@ def build_batch_extd_call(prm: BatchExtdParams, with_cigar: bool = False,
     assert CHUNK % chunk == 0
     n_steps = (prm.n_diag + chunk - 1) // chunk
     n_scr = (12 + (2 if prm.flag & int(Flag.APPROX_MAX) else 0)
-             + (4 if prm.zdrop >= 0 else 0))
+             + (4 if prm.zdrop >= 0 or (prm.flag & int(Flag.APPROX_MAX)
+                           and prm.flag & int(Flag.APPROX_DROP)) else 0))
     scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(n_scr)]
     kernel = functools.partial(_batch_extd_kernel, prm, with_cigar)
 

@@ -51,7 +51,12 @@ class BatchExtsParams(NamedTuple):
 
 
 def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
+    approx = bool(prm.flag & int(Flag.APPROX_MAX))
     withz = prm.zdrop >= 0
+    # APPROX_DROP updates the running max via ksw_apply_zdrop even when
+    # zdrop < 0 (only the drop itself needs zdrop >= 0), so the max planes
+    # must exist whenever the flag is set
+    withad = approx and bool(prm.flag & int(Flag.APPROX_DROP))
     right = bool(prm.flag & int(Flag.RIGHT))
     refs = list(refs)
     (qlp_ref, tlp_ref, rlim_ref, target_ref, don_ref, acc_ref,
@@ -60,7 +65,12 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
     p_ref = rest.pop(0) if with_cigar else None
     u, v, x, y, x2, s, Q, H, HM, RD, MQ = rest[:11]
     rest = rest[11:]
-    if withz:
+    if approx:
+        h0p, ltp = rest[:2]
+        rest = rest[2:]
+    else:
+        h0p = ltp = None
+    if withz or withad:
         mxp, mtp, mqp, zdp = rest[:4]
     else:
         mxp = mtp = mqp = zdp = None
@@ -117,7 +127,10 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
         HM[...] = jnp.full(shape, NEG_INF, I32)
         RD[...] = jnp.zeros(shape, I32)
         MQ[...] = jnp.full(shape, NEG_INF, I32)
-        if withz:
+        if approx:
+            h0p[...] = jnp.zeros(shape, I32)
+            ltp[...] = jnp.zeros(shape, I32)
+        if withz or withad:
             mxp[...] = jnp.zeros(shape, I32)
             mtp[...] = jnp.full(shape, -1, I32)
             mqp[...] = jnp.full(shape, -1, I32)
@@ -242,7 +255,40 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
         MQ[...] = jnp.where(
             act & ((r - st0) == (qlp - 1)) & (lane == st0), Hn, MQ[...])
 
-        if withz:
+        if approx:
+            # O(1) per-row H0 walk on biased deltas (ksw2_exts2_sse.c:
+            # approx-max branch; raw int8 deltas, no offset)
+            lt = ltp[...]
+            c1 = (lt >= st0) & (lt <= en0)
+            c2 = (lt + 1 >= st0) & (lt + 1 <= en0)
+            d0 = _pmax(jnp.where(lane == lt, vn, _INT_MIN)) - BIAS
+            d1 = _pmax(jnp.where(lane == jnp.minimum(lt + 1, P * 128 - 1),
+                                 un, _INT_MIN)) - BIAS
+            both = c1 & c2
+            newH0 = jnp.where(both, h0p[...] + jnp.maximum(d0, d1),
+                              jnp.where(c1, h0p[...] + d0, h0p[...] + d1))
+            newlt = jnp.where(both, jnp.where(d0 > d1, lt, lt + 1),
+                              jnp.where(c1, lt, lt + 1))
+            h00 = _pmax(jnp.where(lane == 0, vn, _INT_MIN)) - BIAS - qe
+            h0p[...] = jnp.where(act, jnp.where(is0, h00, newH0), h0p[...])
+            ltp[...] = jnp.where(act, jnp.where(is0, 0, newlt), ltp[...])
+
+        if withad:
+            # exts applies the approx Z-drop at r==0 too, with ZERO gap
+            # compensation (ksw2_exts2_sse.c:395 passes e=0)
+            M0 = h0p[...]
+            t0_ = ltp[...]
+            betterz = act & (M0 > mxp[...])
+            if withz:
+                trig = (act & jnp.logical_not(M0 > mxp[...])
+                        & (t0_ >= mtp[...]) & (r - t0_ >= mqp[...])
+                        & (mxp[...] - M0 > prm.zdrop))
+                zdp[...] = jnp.where(trig, 1 + r, zdp[...])
+            mxp[...] = jnp.where(betterz, M0, mxp[...])
+            mtp[...] = jnp.where(betterz, t0_, mtp[...])
+            mqp[...] = jnp.where(betterz, r - t0_, mqp[...])
+
+        if withz and not approx:
             # packed (H, tie-key) single-butterfly argmax; Z-drop with
             # zero gap compensation (ksw2_exts2_sse.c:395)
             band = scan_mask | en0m
@@ -278,7 +324,17 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
         ndc = qlp + tlp - 1
         HMv = HM[...]
         RDv = RD[...]
-        if withz:
+        if approx:
+            dropped = (zdp[...] > 0) if withz else jnp.zeros(shape, jnp.bool_)
+            if withz or withad:
+                vmax = mxp[...]
+                vmaxt = mtp[...]
+                vmaxq = mqp[...]
+            else:
+                vmax = jnp.zeros(shape, I32)
+                vmaxt = jnp.full(shape, -1, I32)
+                vmaxq = jnp.full(shape, -1, I32)
+        elif withz:
             dropped = zdp[...] > 0
             vmax = mxp[...]
             vmaxt = mtp[...]
@@ -304,25 +360,35 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
             vmaxt = jnp.where(V > 0, max_t, -1)
             vmaxq = jnp.where(V > 0, rstar - max_t, -1)
 
-        mqe = _pmax(MQ[...])
-        mqet = _pmin(jnp.where(MQ[...] == mqe, lane, 2 ** 30))
-        has_mqe = mqe > NEG_INF
-        mqe = jnp.where(has_mqe, mqe, NEG_INF)
-        mqet = jnp.where(has_mqe, mqet, -1)
+        if approx:
+            mqe = jnp.full(shape, NEG_INF, I32)
+            mqet = jnp.full(shape, -1, I32)
+            mte = jnp.full(shape, NEG_INF, I32)
+            mteq = jnp.full(shape, -1, I32)
+        else:
+            mqe = _pmax(MQ[...])
+            mqet = _pmin(jnp.where(MQ[...] == mqe, lane, 2 ** 30))
+            has_mqe = mqe > NEG_INF
+            mqe = jnp.where(has_mqe, mqe, NEG_INF)
+            mqet = jnp.where(has_mqe, mqet, -1)
 
-        corner = lane == tlp - 1
-        mte = _pmax(jnp.where(corner, HMv, _INT_MIN))
-        rdte = _pmax(jnp.where(corner, RDv, _INT_MIN))
-        has_mte = mte > NEG_INF
-        en_c = ((tlp - 1 + 16) // 16) * 16 - 1
-        mteq = jnp.where(has_mte, rdte - en_c, -1)
-        mte = jnp.where(has_mte, mte, NEG_INF)
+            corner = lane == tlp - 1
+            mte = _pmax(jnp.where(corner, HMv, _INT_MIN))
+            rdte = _pmax(jnp.where(corner, RDv, _INT_MIN))
+            has_mte = mte > NEG_INF
+            en_c = ((tlp - 1 + 16) // 16) * 16 - 1
+            mteq = jnp.where(has_mte, rdte - en_c, -1)
+            mte = jnp.where(has_mte, mte, NEG_INF)
 
         done = rlim == ndc          # exts never goes band-empty
-        if withz:
+        if withz or approx:
             done = done & jnp.logical_not(dropped)
-        hcorner = _pmax(jnp.where(corner, H[...], _INT_MIN))
-        score = jnp.where(done, hcorner, NEG_INF)
+        if approx:
+            score = jnp.where(done, h0p[...], NEG_INF)
+        else:
+            corner = lane == tlp - 1
+            hcorner = _pmax(jnp.where(corner, H[...], _INT_MIN))
+            score = jnp.where(done, hcorner, NEG_INF)
         zflag = (rlim < ndc).astype(I32)
         if withz:
             zflag = jnp.maximum(zflag, dropped.astype(I32))
@@ -342,7 +408,10 @@ def build_batch_exts_call(prm: BatchExtsParams, with_cigar: bool = False,
     chunk = prm.chunk
     assert CHUNK % chunk == 0
     n_steps = (prm.n_diag + chunk - 1) // chunk
-    n_scr = 11 + (4 if prm.zdrop >= 0 else 0)
+    approx = bool(prm.flag & int(Flag.APPROX_MAX))
+    withad = approx and bool(prm.flag & int(Flag.APPROX_DROP))
+    n_scr = (11 + (2 if approx else 0)
+             + (4 if prm.zdrop >= 0 or withad else 0))
     scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(n_scr)]
     kernel = functools.partial(_batch_exts_kernel, prm, with_cigar)
 

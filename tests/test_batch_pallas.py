@@ -115,6 +115,7 @@ def test_extd_batch_align_cigars_match_spec(flag):
 @pytest.mark.parametrize("zdrop,flag", [
     (-1, Flag.SCORE_ONLY | Flag.APPROX_MAX),
     (25, Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.APPROX_DROP),
+    (-1, Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.APPROX_DROP),
 ])
 def test_batch_approx_matches_spec(zdrop, flag):
     B = 10
@@ -248,6 +249,7 @@ def test_multirow_cigars_match_spec(Lt):
 @pytest.mark.parametrize("zdrop,flag", [
     (-1, Flag.SCORE_ONLY | Flag.APPROX_MAX),
     (30, Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.APPROX_DROP),
+    (-1, Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.APPROX_DROP),
 ])
 def test_extd_batch_approx_matches_spec(zdrop, flag):
     B = 8
@@ -290,4 +292,54 @@ def test_exts_multirow_pairs_match_spec(Lt):
     for i, (q, t) in enumerate(pairs):
         want, _ = diagdiff.exts2(q, t, 5, smat, 2, 1, 32, 4, zdrop=60,
                                  junc_bonus=0, flag=Flag.SPLICE_FOR)
+        assert ezs[i].tsv_fields() == want.tsv_fields(), i
+
+
+@pytest.mark.parametrize("zdrop,flag", [
+    (-1, Flag.SPLICE_FOR | Flag.SCORE_ONLY | Flag.APPROX_MAX),
+    (30, Flag.SPLICE_FOR | Flag.SCORE_ONLY | Flag.APPROX_MAX
+         | Flag.APPROX_DROP),
+    # zdrop < 0 + APPROX_DROP: ksw_apply_zdrop still updates the running
+    # max (regression: the max planes must exist without a live zdrop)
+    (-1, Flag.SPLICE_FOR | Flag.SCORE_ONLY | Flag.APPROX_MAX
+         | Flag.APPROX_DROP),
+])
+def test_exts_batch_approx_matches_spec(zdrop, flag):
+    B = 8
+    pairs, Q, T, qlen, tlen = _make_batch(81, B)
+    smat = simple_mat(5, 1, -2)
+    from ksw2_tpu.ops.batch_pallas import exts_batch_align
+    ezs = exts_batch_align(Q, T, qlen, tlen, 5, smat, 2, 1, 32, 4,
+                           zdrop=zdrop, flag=flag, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.exts2(q, t, 5, smat, 2, 1, 32, 4, zdrop=zdrop,
+                                 junc_bonus=0, flag=flag)
+        assert ezs[i].tsv_fields() == want.tsv_fields(), i
+
+
+def test_exts_batch_approx_multirow():
+    rng = np.random.default_rng(7)
+    B = 4
+    pairs = []
+    for _ in range(B):
+        tlen = int(rng.integers(150, 300))
+        t, q = refcmp.random_pair(rng, tlen, divergence=0.25, indel=0.12)
+        pairs.append((encode_dna(q), encode_dna(t)))
+    Lq = max(len(q) for q, t in pairs)
+    Q = np.zeros((B, Lq), np.int32)
+    T = np.zeros((B, 300), np.int32)
+    qlen = np.array([len(q) for q, t in pairs], np.int32)
+    tlen = np.array([len(t) for q, t in pairs], np.int32)
+    for i, (q, t) in enumerate(pairs):
+        Q[i, : len(q)] = q
+        T[i, : len(t)] = t
+    smat = simple_mat(5, 1, -2)
+    flag = (Flag.SPLICE_FOR | Flag.SCORE_ONLY | Flag.APPROX_MAX
+            | Flag.APPROX_DROP)
+    from ksw2_tpu.ops.batch_pallas import exts_batch_align
+    ezs = exts_batch_align(Q, T, qlen, tlen, 5, smat, 2, 1, 32, 4, zdrop=60,
+                           flag=flag, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.exts2(q, t, 5, smat, 2, 1, 32, 4, zdrop=60,
+                                 junc_bonus=0, flag=flag)
         assert ezs[i].tsv_fields() == want.tsv_fields(), i
