@@ -32,6 +32,11 @@ def read_fa(path: str) -> str:
 
 def main() -> None:
     import jax
+    try:  # persistent executable cache: first compile is minutes, reuse it
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_ccache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     from ksw2_tpu.core.flags import Flag
     from ksw2_tpu.core.matrix import encode_dna, simple_mat
 

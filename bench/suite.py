@@ -74,6 +74,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+    try:  # cache compiled executables across runs (big kernels take minutes)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_ccache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     from ksw2_tpu.core.flags import Flag
     from ksw2_tpu.core.matrix import encode_dna, simple_mat
 
@@ -167,6 +172,32 @@ def main():
     dt = (time.time() - t0) / reps
     emit("batch_512x128_zdrop_pairs_per_s", B / dt, "pairs/s",
          baseline=80000)  # ref ~1.31 Gc/s / (128*128) cells
+
+    # batched banded long pairs (minimap2's production shape: 50k pairs,
+    # w=751, exact Z-drop).  64 pairs advance per anti-diagonal in the
+    # band-relative engine; throughput counts real band cells.
+    from ksw2_tpu.ops.band_batch import extz_band_batch_device
+
+    Bb, W = 64, 751
+    Lq_, Lt_ = len(q50), len(t50)
+    Qb = np.tile(np.asarray(q50, np.int32), (Bb, 1))
+    Tb = np.tile(np.asarray(t50, np.int32), (Bb, 1))
+    qlb = np.full(Bb, Lq_, np.int32)
+    tlb = np.full(Bb, Lt_, np.int32)
+    wvb = np.full(Bb, W, np.int32)
+
+    def run_band():
+        ob = extz_band_batch_device(Qb, Tb, qlb, tlb, 5, mat, 4, 2, wvb,
+                                    zdrop=400, flag=Flag.SCORE_ONLY)
+        # reference CLI: -w751 -z400 -s on t2/q2 (score 69932, max 70010)
+        assert (ob["score"] == 69932).all() and (ob["max"] == 70010).all()
+
+    rb = np.arange(Lq_ + Lt_ - 1, dtype=np.int64)
+    stb_ = np.maximum(0, np.maximum(rb - Lq_ + 1, (rb - W + 1) >> 1))
+    enb_ = np.minimum(Lt_ - 1, np.minimum(rb, (rb + W) >> 1))
+    bcells = Bb * int(np.maximum(0, enb_ - stb_ + 1).sum()) / 1e9
+    emit("band_batch_64x50k_w751_gcells_per_s", bcells / best_of(run_band, n=3),
+         "Gcells/s", baseline=1.14)  # ref extz2_sse -w751 -z400, this machine
 
     if ctx is not None:
         ctx.__exit__(None, None, None)

@@ -1,0 +1,210 @@
+"""Host wrapper for the band-relative batched engine (long banded pairs).
+
+``extz_band_batch_device`` scores a batch of LONG banded extension pairs
+(one-piece gap cost, exact max / Z-drop, score-only) in one kernel launch:
+each pair occupies P sublane rows whose lanes hold *band-relative* target
+positions, so a 50 kb pair with minimap2's w=751 needs 8 rows instead of
+391 — 64 pairs advance per anti-diagonal step instead of 1, amortizing the
+per-diagonal latency floor of the wavefront recurrence.
+
+All heavy derived arrays (query/target injection streams, stopping
+diagonals) are computed on device inside one jitted program from the
+compact int8 sequences.  See :mod:`ksw2_tpu.ops.wavefront_band` for the
+coordinate system.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.flags import NEG_INF, Flag
+from . import wavefront_band as wband
+from . import wavefront_batch as wb
+from .bands import round_up
+
+
+def _pick_p(wmax: int) -> int:
+    for p in (1, 2, 4, 8):
+        if wmax <= p * 128 - 64:
+            return p
+    raise ValueError(f"band cap {wmax} too wide for the band engine")
+
+
+def _tinj_layout(n_steps: int, n_diag: int, W: int, P: int):
+    """Static (IDX, MASK) for the jump target-injection plane.
+
+    Column ``s*128 + 32*slot + i`` of the plane holds target char
+    ``orgv[r_k] + P*128 - 16 + i`` for the jump diagonal ``r_k`` falling in
+    grid step ``s`` at in-step slot ``slot`` (jumps recur every 32
+    diagonals; 128/32 = 4 slots per step).
+    """
+    q032 = (W - 1) % 32
+    IDX = np.zeros(n_steps * 128, np.int32)
+    MASK = np.zeros(n_steps * 128, bool)
+    k = 2
+    while True:
+        r_k = W - 1 + 32 * k
+        if r_k >= n_diag:
+            break
+        s_, slot = r_k // 128, (r_k % 128 - q032) // 32
+        base = s_ * 128 + 32 * slot
+        org_new = 16 * (k - 1)
+        IDX[base:base + 16] = org_new + P * 128 - 16 + np.arange(16)
+        MASK[base:base + 16] = True
+        k += 1
+    return IDX, MASK
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_run_band(prm: wband.BandParams, interpret: bool):
+    call = wband.build_band_call(prm, interpret=interpret)
+    R, n_diag, P, W = prm.n_rows, prm.n_diag, prm.p, prm.w
+    B = R // P
+    n_steps = (n_diag + prm.chunk - 1) // prm.chunk
+    orgv = wband.org_schedule(n_diag, W)
+    IDX, MASK = _tinj_layout(n_steps, n_diag, W, P)
+    t_need = int(orgv[-1]) + P * 128       # highest target index gathered
+
+    def run(query, target, qlen, tlen, w):
+        I = jnp.int32
+        qlen = qlen.astype(I)
+        tlen = tlen.astype(I)
+        w = w.astype(I)
+        rr = jnp.arange(n_diag, dtype=I)[None, :]
+        st0 = jnp.maximum(0, jnp.maximum(rr - qlen[:, None] + 1,
+                                         (rr - w[:, None] + 1) >> 1))
+        en0 = jnp.minimum(tlen[:, None] - 1,
+                          jnp.minimum(rr, (rr + w[:, None]) >> 1))
+        ndb = qlen + tlen - 1
+        bad = (st0 > en0) & (rr < ndb[:, None])
+        rstop = jnp.where(bad.any(axis=1), jnp.argmax(bad, axis=1), ndb)
+        rlim = jnp.minimum(rstop, ndb).astype(I)
+
+        def rep(vec):
+            return jnp.repeat(vec, P)[:, None] * jnp.ones((R, 128), I)
+
+        qlp, tlp, wpl, rlp = rep(qlen), rep(tlen), rep(w), rep(rlim)
+        tpad = jnp.zeros((B, t_need), I).at[:, :target.shape[1]].set(
+            target.astype(I))
+        tinit = tpad[:, :P * 128].reshape(R, 128)
+        qidx = jnp.clip(rr - jnp.asarray(orgv)[None, :], 0,
+                        jnp.maximum(qlen - 1, 0)[:, None])
+        qinj = jnp.repeat(
+            jnp.take_along_axis(query.astype(I), qidx, axis=1), P, axis=0)
+        tinj = jnp.where(jnp.asarray(MASK)[None, :],
+                         tpad[:, jnp.asarray(IDX)], 0)
+        tinj = jnp.repeat(tinj, P, axis=0)
+        out = call(qlp, tlp, wpl, rlp, tinit, qinj, tinj)
+        return out[0][::P, :wb.NFIELDS]
+
+    return jax.jit(run)
+
+
+def extz_band_batch_device(
+    query: np.ndarray,        # (B, Lq) int encoded, zero-padded
+    target: np.ndarray,       # (B, Lt) int encoded
+    qlen: np.ndarray,
+    tlen: np.ndarray,
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    w: np.ndarray,            # (B,) band widths, 1 <= w <= 960
+    zdrop: int = -1,
+    flag: Flag | int = Flag.SCORE_ONLY,
+    interpret: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Batched banded one-piece extension for long pairs, score-only."""
+    flag = Flag(int(flag))
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    if not (flag & Flag.SCORE_ONLY):
+        raise ValueError("band engine is score-only; use extz2_device")
+    if flag & (Flag.GENERIC_SC | Flag.APPROX_MAX):
+        raise NotImplementedError("generic/approx banded batches pending")
+    B, Lq = query.shape
+    Bt, Lt = target.shape
+    assert B == Bt
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    w = np.asarray(w, np.int32)
+    if B == 0:
+        return {k: np.zeros(0, np.int32) for k in
+                ("max", "max_t", "max_q", "mqe", "mqe_t", "mte", "mte_q",
+                 "score", "zdropped")}
+    if w.min() < 1:
+        raise ValueError("band engine needs per-pair w >= 1")
+    W = int(w.max())
+    P = _pick_p(W)
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    # 13-bit tie key: H*8192 must stay in int32
+    hmax = int(mat[0]) * int(min(qlen.max(), tlen.max()))
+    if hmax >= (1 << 17):
+        raise ValueError("scores too large for the packed banded argmax")
+
+    RMAX = 512 // P
+    if B > RMAX:
+        outs = [
+            extz_band_batch_device(query[i:i + RMAX], target[i:i + RMAX],
+                                   qlen[i:i + RMAX], tlen[i:i + RMAX], m,
+                                   mat, q, e, w[i:i + RMAX], zdrop, flag,
+                                   interpret)
+            for i in range(0, B, RMAX)
+        ]
+        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+    sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+    min_sc = int(mat[1:].min())
+
+    Bp = max(B, 1)
+    while (Bp * P) % 8:
+        Bp += 1
+    R = Bp * P
+    n_diag = int((qlen + tlen).max()) - 1 if B else 1
+    n_diag = max(round_up(n_diag, wb.CHUNK), wb.CHUNK)
+
+    prm = wband.BandParams(
+        n_rows=R, n_diag=n_diag, m=m,
+        sc_mch=int(mat[0]), sc_mis=int(mat[1]), sc_N=sc_N,
+        q=int(q), e=int(e), w=W, zdrop=int(zdrop), flag=int(flag), p=P,
+    )
+    run = _cached_run_band(prm, interpret)
+
+    qpad = np.zeros((Bp, Lq), np.int8)
+    qpad[:B] = np.asarray(query, np.int8)
+    tpad = np.zeros((Bp, Lt), np.int8)
+    tpad[:B] = np.asarray(target, np.int8)
+    lens = np.zeros((3, Bp), np.int32)
+    lens[0, :B], lens[1, :B], lens[2, :B] = qlen, tlen, w
+    lens[2, B:] = 1        # padded rows need a legal band
+
+    res = np.asarray(run(jnp.asarray(qpad), jnp.asarray(tpad),
+                         jnp.asarray(lens[0]), jnp.asarray(lens[1]),
+                         jnp.asarray(lens[2])))[:B]
+
+    out = {
+        "max": res[:, wb.F_MAX].copy(),
+        "max_t": res[:, wb.F_MAXT].copy(),
+        "max_q": res[:, wb.F_MAXQ].copy(),
+        "mqe": res[:, wb.F_MQE].copy(),
+        "mqe_t": res[:, wb.F_MQET].copy(),
+        "mte": res[:, wb.F_MTE].copy(),
+        "mte_q": res[:, wb.F_MTEQ].copy(),
+        "score": res[:, wb.F_SCORE].copy(),
+        "zdropped": res[:, wb.F_ZDROP].copy(),
+    }
+    if -min_sc > 2 * (q + e):
+        # reference guard (ksw2_extz2_sse.c:78-82)
+        for k in out:
+            out[k][:] = 0 if k in ("max", "zdropped") else (
+                -1 if k.endswith(("_t", "_q")) else NEG_INF)
+        out["max_t"][:] = -1
+        out["max_q"][:] = -1
+    return out
+
+
+__all__ = ["extz_band_batch_device"]
