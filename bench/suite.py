@@ -199,6 +199,19 @@ def main():
     emit("band_batch_64x50k_w751_gcells_per_s", bcells / best_of(run_band, n=3),
          "Gcells/s", baseline=1.14)  # ref extz2_sse -w751 -z400, this machine
 
+    from ksw2_tpu.ops.band_batch import extd_band_batch_device
+
+    def run_band_extd():
+        ob = extd_band_batch_device(Qb, Tb, qlb, tlb, 5, mat, 4, 2, 13, 1,
+                                    wvb, zdrop=400, flag=Flag.SCORE_ONLY)
+        # reference CLI: -t extd2_sse -w751 -z400 -s on t2/q2
+        assert (ob["score"] == 70098).all() and (ob["max"] == 70148).all(), \
+            (int(ob["score"][0]), int(ob["max"][0]))
+
+    emit("band_batch_extd_64x50k_w751_gcells_per_s",
+         bcells / best_of(run_band_extd, n=3),
+         "Gcells/s", baseline=1.05)  # ref extd2_sse -w751 -z400, this machine
+
     if ctx is not None:
         ctx.__exit__(None, None, None)
 

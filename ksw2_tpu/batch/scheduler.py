@@ -92,10 +92,20 @@ def align_batch_scores(
             run_fn is None and engine in ("auto", "pallas") and Lt <= 512
             and not (flag & Flag.GENERIC_SC)
         )
+        use_band = (
+            run_fn is None and engine in ("auto", "band") and Lt > 512
+            and not (flag & (Flag.GENERIC_SC | Flag.APPROX_MAX))
+            and wv.min() >= 1 and wv.max() <= 960
+            and int(mat[0]) * int(min(qlen.max(), tlen.max())) < (1 << 17)
+        )
         if use_pallas:
             from ..ops.batch_pallas import extz_batch_device
             out = extz_batch_device(Q, T, qlen, tlen, m, mat, q, e, wv,
                                     zdrop=zdrop, flag=flag)
+        elif use_band:
+            from ..ops.band_batch import extz_band_batch_device
+            out = extz_band_batch_device(Q, T, qlen, tlen, m, mat, q, e, wv,
+                                         zdrop=zdrop, flag=flag)
         else:
             spec = BatchSpec(Lq=Lq, Lt=Lt, m=m, sc_mch=int(mat[0]),
                              sc_mis=int(mat[1]), sc_N=sc_N, q=int(q),
@@ -173,7 +183,40 @@ def align_batch(
         batchable = (Lt <= 512
                      and not (flag & (Flag.GENERIC_SC | Flag.EXTZ_ONLY))
                      and (score_only or not (flag & Flag.APPROX_MAX)))
-        if batchable:
+        # long banded score-only two-piece buckets ride the band engine
+        band_ok = (two_piece and score_only and Lt > 512
+                   and not (flag & (Flag.GENERIC_SC | Flag.APPROX_MAX
+                                    | Flag.EXTZ_ONLY))
+                   and all(1 <= jobs[i].w <= 960 for i in idxs)
+                   and int(mat[0]) * min(
+                       max(len(jobs[i].query) for i in idxs),
+                       max(len(jobs[i].target) for i in idxs)) < (1 << 17))
+        if band_ok:
+            B = len(idxs)
+            Q = np.zeros((B, Lq), np.int32)
+            T = np.zeros((B, Lt), np.int32)
+            qlen = np.zeros(B, np.int32)
+            tlen = np.zeros(B, np.int32)
+            wv = np.zeros(B, np.int32)
+            for k, i in enumerate(idxs):
+                job = jobs[i]
+                Q[k, : len(job.query)] = job.query
+                T[k, : len(job.target)] = job.target
+                qlen[k] = len(job.query)
+                tlen[k] = len(job.target)
+                wv[k] = job.w
+            from ..ops.band_batch import extd_band_batch_device
+            out = extd_band_batch_device(Q, T, qlen, tlen, m, mat, q, e,
+                                         q2, e2, wv, zdrop=zdrop, flag=flag)
+            for k, i in enumerate(idxs):
+                ez = ExtzResult()
+                ez.reset()
+                for f in ("max", "max_t", "max_q", "mqe", "mqe_t",
+                          "mte", "mte_q", "score"):
+                    setattr(ez, f, int(out[f][k]))
+                ez.zdropped = bool(out["zdropped"][k])
+                results[i] = ez
+        elif batchable:
             B = len(idxs)
             Q = np.zeros((B, Lq), np.int32)
             T = np.zeros((B, Lt), np.int32)

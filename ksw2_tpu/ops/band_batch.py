@@ -59,9 +59,7 @@ def _tinj_layout(n_steps: int, n_diag: int, W: int, P: int):
     return IDX, MASK
 
 
-@functools.lru_cache(maxsize=64)
-def _cached_run_band(prm: wband.BandParams, interpret: bool):
-    call = wband.build_band_call(prm, interpret=interpret)
+def _make_band_run(call, prm):
     R, n_diag, P, W = prm.n_rows, prm.n_diag, prm.p, prm.w
     B = R // P
     n_steps = (n_diag + prm.chunk - 1) // prm.chunk
@@ -88,7 +86,8 @@ def _cached_run_band(prm: wband.BandParams, interpret: bool):
             return jnp.repeat(vec, P)[:, None] * jnp.ones((R, 128), I)
 
         qlp, tlp, wpl, rlp = rep(qlen), rep(tlen), rep(w), rep(rlim)
-        tpad = jnp.zeros((B, t_need), I).at[:, :target.shape[1]].set(
+        tw = max(t_need, target.shape[1])      # gather + init both in range
+        tpad = jnp.zeros((B, tw), I).at[:, :target.shape[1]].set(
             target.astype(I))
         tinit = tpad[:, :P * 128].reshape(R, 128)
         qidx = jnp.clip(rr - jnp.asarray(orgv)[None, :], 0,
@@ -102,6 +101,19 @@ def _cached_run_band(prm: wband.BandParams, interpret: bool):
         return out[0][::P, :wb.NFIELDS]
 
     return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_run_band(prm: wband.BandParams, interpret: bool):
+    return _make_band_run(wband.build_band_call(prm, interpret=interpret),
+                          prm)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_run_band_extd(prm, interpret: bool):
+    from . import wavefront_band_extd as wbe
+    return _make_band_run(wbe.build_band_extd_call(prm, interpret=interpret),
+                          prm)
 
 
 def extz_band_batch_device(
@@ -207,4 +219,122 @@ def extz_band_batch_device(
     return out
 
 
-__all__ = ["extz_band_batch_device"]
+def extd_band_batch_device(
+    query: np.ndarray,
+    target: np.ndarray,
+    qlen: np.ndarray,
+    tlen: np.ndarray,
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    q2: int,
+    e2: int,
+    w: np.ndarray,
+    zdrop: int = -1,
+    flag: Flag | int = Flag.SCORE_ONLY,
+    interpret: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Batched banded two-piece extension for long pairs, score-only."""
+    from ..spec.common import c_div
+    from . import wavefront_band_extd as wbe
+
+    flag = Flag(int(flag))
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    if not (flag & Flag.SCORE_ONLY):
+        raise ValueError("band engine is score-only; use extd2_device")
+    if flag & (Flag.GENERIC_SC | Flag.APPROX_MAX):
+        raise NotImplementedError("generic/approx banded batches pending")
+    B, Lq = query.shape
+    Bt, Lt = target.shape
+    assert B == Bt
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    w = np.asarray(w, np.int32)
+    if B == 0:
+        return {k: np.zeros(0, np.int32) for k in
+                ("max", "max_t", "max_q", "mqe", "mqe_t", "mte", "mte_q",
+                 "score", "zdropped")}
+    if w.min() < 1:
+        raise ValueError("band engine needs per-pair w >= 1")
+    W = int(w.max())
+    P = _pick_p(W)
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    hmax = int(mat[0]) * int(min(qlen.max(), tlen.max()))
+    if hmax >= (1 << 17):
+        raise ValueError("scores too large for the packed banded argmax")
+
+    RMAX = 512 // P
+    if B > RMAX:
+        outs = [
+            extd_band_batch_device(query[i:i + RMAX], target[i:i + RMAX],
+                                   qlen[i:i + RMAX], tlen[i:i + RMAX], m,
+                                   mat, q, e, q2, e2, w[i:i + RMAX], zdrop,
+                                   flag, interpret)
+            for i in range(0, B, RMAX)
+        ]
+        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+    q, e, q2, e2 = int(q), int(e), int(q2), int(e2)
+    qe_pre_swap = q + e
+    if q2 + e2 < q + e:              # canonicalize (ksw2_extd2_sse.c:78)
+        q, q2 = q2, q
+        e, e2 = e2, e
+    long_thres = c_div(q2 - q, e - e2) - 1 if e != e2 else 0
+    if q2 + e2 + long_thres * e2 > q + e + long_thres * e:
+        long_thres += 1
+    long_diff = long_thres * (e - e2) - (q2 - q) - e2
+    sc_N = -e2 if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+    min_sc = int(mat[1:].min())
+
+    Bp = max(B, 1)
+    while (Bp * P) % 8:
+        Bp += 1
+    R = Bp * P
+    n_diag = int((qlen + tlen).max()) - 1 if B else 1
+    n_diag = max(round_up(n_diag, wb.CHUNK), wb.CHUNK)
+
+    prm = wbe.BandExtdParams(
+        n_rows=R, n_diag=n_diag, m=m,
+        sc_mch=int(mat[0]), sc_mis=int(mat[1]), sc_N=sc_N,
+        q=q, e=e, q2=q2, e2=e2, qe_pre_swap=qe_pre_swap,
+        long_thres=int(long_thres), long_diff=int(long_diff),
+        w=W, zdrop=int(zdrop), flag=int(flag), p=P,
+    )
+    run = _cached_run_band_extd(prm, interpret)
+
+    qpad = np.zeros((Bp, Lq), np.int8)
+    qpad[:B] = np.asarray(query, np.int8)
+    tpad = np.zeros((Bp, Lt), np.int8)
+    tpad[:B] = np.asarray(target, np.int8)
+    lens = np.zeros((3, Bp), np.int32)
+    lens[0, :B], lens[1, :B], lens[2, :B] = qlen, tlen, w
+    lens[2, B:] = 1
+
+    res = np.asarray(run(jnp.asarray(qpad), jnp.asarray(tpad),
+                         jnp.asarray(lens[0]), jnp.asarray(lens[1]),
+                         jnp.asarray(lens[2])))[:B]
+
+    out = {
+        "max": res[:, wb.F_MAX].copy(),
+        "max_t": res[:, wb.F_MAXT].copy(),
+        "max_q": res[:, wb.F_MAXQ].copy(),
+        "mqe": res[:, wb.F_MQE].copy(),
+        "mqe_t": res[:, wb.F_MQET].copy(),
+        "mte": res[:, wb.F_MTE].copy(),
+        "mte_q": res[:, wb.F_MTEQ].copy(),
+        "score": res[:, wb.F_SCORE].copy(),
+        "zdropped": res[:, wb.F_ZDROP].copy(),
+    }
+    if -min_sc > 2 * (q + e):
+        # reference guard (ksw2_extd2_sse.c:78-82)
+        for k in out:
+            out[k][:] = 0 if k in ("max", "zdropped") else (
+                -1 if k.endswith(("_t", "_q")) else NEG_INF)
+        out["max_t"][:] = -1
+        out["max_q"][:] = -1
+    return out
+
+
+__all__ = ["extz_band_batch_device", "extd_band_batch_device"]

@@ -86,3 +86,69 @@ def test_band_tiny_pairs_and_n():
     pairs = _mk(rng, 6, 20, 200, 0.25, 0.12, with_n=True)
     wv = rng.integers(1, 40, len(pairs)).astype(np.int32)
     _run_and_compare(pairs, wv, 40)
+
+
+def _run_and_compare_extd(pairs, wv, zdrop, costs=(4, 2, 13, 1)):
+    from ksw2_tpu.ops.band_batch import extd_band_batch_device
+    q_, e_, q2_, e2_ = costs
+    B = len(pairs)
+    Lq = max(len(q) for q, t in pairs)
+    Lt = max(len(t) for q, t in pairs)
+    Q = np.zeros((B, Lq), np.int32)
+    T = np.zeros((B, Lt), np.int32)
+    qlen = np.array([len(q) for q, t in pairs], np.int32)
+    tlen = np.array([len(t) for q, t in pairs], np.int32)
+    for i, (q, t) in enumerate(pairs):
+        Q[i, : len(q)] = q
+        T[i, : len(t)] = t
+    out = extd_band_batch_device(Q, T, qlen, tlen, 5, MAT, q_, e_, q2_, e2_,
+                                 wv, zdrop=zdrop, flag=Flag.SCORE_ONLY,
+                                 interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extd2(q, t, 5, MAT, q_, e_, q2_, e2_,
+                                 w=int(wv[i]), zdrop=zdrop,
+                                 flag=Flag.SCORE_ONLY)
+        got = {k: int(out[k][i]) for k in out}
+        exp = dict(score=want.score, max=want.max, max_t=want.max_t,
+                   max_q=want.max_q, mqe=want.mqe, mqe_t=want.mqe_t,
+                   mte=want.mte, mte_q=want.mte_q,
+                   zdropped=int(want.zdropped))
+        assert got == exp, (i, int(wv[i]), got, exp)
+
+
+@pytest.mark.parametrize("zdrop", [-1, 100])
+def test_band_extd_matches_spec(zdrop):
+    rng = np.random.default_rng(21 + zdrop)
+    pairs = _mk(rng, 4, 150, 500, 0.12, 0.08)
+    wv = rng.integers(10, 64, len(pairs)).astype(np.int32)
+    _run_and_compare_extd(pairs, wv, zdrop)
+
+
+def test_band_extd_multirow_drops():
+    rng = np.random.default_rng(25)
+    pairs = _mk(rng, 3, 300, 800, 0.3, 0.12)
+    wv = rng.integers(70, 192, len(pairs)).astype(np.int32)
+    _run_and_compare_extd(pairs, wv, 30)
+
+
+def test_band_extd_pre_swap_costs():
+    # q+e > q2+e2 exercises the reference's canonicalization swap and the
+    # pre-swap H seed quirk (ksw2_extd2_sse.c:68/78)
+    rng = np.random.default_rng(28)
+    pairs = _mk(rng, 3, 150, 450, 0.2, 0.1)
+    wv = rng.integers(10, 100, len(pairs)).astype(np.int32)
+    _run_and_compare_extd(pairs, wv, 60, costs=(13, 1, 4, 2))
+
+
+def test_band_via_scheduler():
+    from ksw2_tpu.batch.scheduler import AlignJob, align_batch
+    rng = np.random.default_rng(31)
+    pairs = _mk(rng, 3, 560, 800, 0.15, 0.08)
+    jobs = [AlignJob(q, t, w=int(rng.integers(20, 120)))
+            for q, t in pairs]
+    ezs = align_batch(jobs, 5, MAT, 4, 2, q2=13, e2=1, zdrop=100,
+                      flag=Flag.SCORE_ONLY)
+    for job, ez in zip(jobs, ezs):
+        want, _ = diagdiff.extd2(job.query, job.target, 5, MAT, 4, 2, 13, 1,
+                                 w=job.w, zdrop=100, flag=Flag.SCORE_ONLY)
+        assert ez.tsv_fields() == want.tsv_fields()
