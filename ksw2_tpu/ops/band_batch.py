@@ -136,8 +136,8 @@ def extz_band_batch_device(
         interpret = True
     if not (flag & Flag.SCORE_ONLY):
         raise ValueError("band engine is score-only; use extz2_device")
-    if flag & (Flag.GENERIC_SC | Flag.APPROX_MAX):
-        raise NotImplementedError("generic/approx banded batches pending")
+    if flag & Flag.GENERIC_SC:
+        raise NotImplementedError("generic banded batches pending")
     B, Lq = query.shape
     Bt, Lt = target.shape
     assert B == Bt
@@ -244,8 +244,8 @@ def extd_band_batch_device(
         interpret = True
     if not (flag & Flag.SCORE_ONLY):
         raise ValueError("band engine is score-only; use extd2_device")
-    if flag & (Flag.GENERIC_SC | Flag.APPROX_MAX):
-        raise NotImplementedError("generic/approx banded batches pending")
+    if flag & Flag.GENERIC_SC:
+        raise NotImplementedError("generic banded batches pending")
     B, Lq = query.shape
     Bt, Lt = target.shape
     assert B == Bt

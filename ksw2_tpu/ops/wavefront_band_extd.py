@@ -55,11 +55,16 @@ class BandExtdParams(NamedTuple):
 
 
 def _band_extd_kernel_body(prm: BandExtdParams, refs):
+    from ..core.flags import Flag
     withz = prm.zdrop >= 0
+    approx = bool(prm.flag & int(Flag.APPROX_MAX))
+    withad = approx and bool(prm.flag & int(Flag.APPROX_DROP))
+    refs = list(refs)
     (qlp_ref, tlp_ref, wp_ref, rlim_ref, tinit_ref, qinj_ref, tinj_ref,
      res_ref,
      u, v, x, y, x2, y2, s, Q, T, H,
-     mxp, mtp, mqp, zdp, MQ, MQR, MT, MTR, SC) = refs
+     mxp, mtp, mqp, zdp, MQ, MQR, MT, MTR, SC) = refs[:27]
+    h0p, ltp = (refs[27], refs[28]) if approx else (None, None)
 
     qe, qe2 = prm.q + prm.e, prm.q2 + prm.e2
     R = prm.n_rows
@@ -131,6 +136,9 @@ def _band_extd_kernel_body(prm: BandExtdParams, refs):
         MT[...] = jnp.full(shape, NEG_INF, I32)
         MTR[...] = jnp.zeros(shape, I32)
         SC[...] = jnp.full(shape, NEG_INF, I32)
+        if approx:
+            h0p[...] = jnp.zeros(shape, I32)
+            ltp[...] = jnp.zeros(shape, I32)
 
     qlp = qlp_ref[...]
     tlp = tlp_ref[...]
@@ -246,8 +254,43 @@ def _band_extd_kernel_body(prm: BandExtdParams, refs):
         y2[...] = jnp.where(
             bmask, (jnp.maximum(b2n, BIAS) - qe2) & 255, y2[...])
 
-        # vectorized H column (extd: no -qe offset, pre-swap seed)
         is0 = r == 0
+        if approx:
+            # O(1) per-row H0 walk on biased deltas (no -e offset in extd);
+            # lt is t-space, selected at band lane lt - org
+            lt = ltp[...]
+            ltj = lt - o_now
+            c1 = (lt >= st0) & (lt <= en0)
+            c2 = (lt + 1 >= st0) & (lt + 1 <= en0)
+            d0 = _pmax(jnp.where(lane == ltj, vn, _INT_MIN)) - BIAS
+            d1 = _pmax(jnp.where(lane == jnp.minimum(ltj + 1, P * 128 - 1),
+                                 un, _INT_MIN)) - BIAS
+            both = c1 & c2
+            newH0 = jnp.where(both, h0p[...] + jnp.maximum(d0, d1),
+                              jnp.where(c1, h0p[...] + d0, h0p[...] + d1))
+            newlt = jnp.where(both, jnp.where(d0 > d1, lt, lt + 1),
+                              jnp.where(c1, lt, lt + 1))
+            h00 = _pmax(jnp.where(lane == 0, vn, _INT_MIN)) - BIAS \
+                - prm.qe_pre_swap
+            h0p[...] = jnp.where(act, jnp.where(is0, h00, newH0), h0p[...])
+            ltp[...] = jnp.where(act, jnp.where(is0, 0, newlt), ltp[...])
+            if withad:
+                # extd applies the approx Z-drop at r==0 too
+                M0 = h0p[...]
+                t0_ = ltp[...]
+                betterz = act & (M0 > mxp[...])
+                if withz:
+                    l = jnp.abs((t0_ - mtp[...]) - ((r - t0_) - mqp[...]))
+                    trig = (act & jnp.logical_not(M0 > mxp[...])
+                            & (t0_ >= mtp[...]) & (r - t0_ >= mqp[...])
+                            & (mxp[...] - M0 > prm.zdrop + l * prm.e2))
+                    zdp[...] = jnp.where(trig, 1 + r, zdp[...])
+                mxp[...] = jnp.where(betterz, M0, mxp[...])
+                mtp[...] = jnp.where(betterz, t0_, mtp[...])
+                mqp[...] = jnp.where(betterz, r - t0_, mqp[...])
+            return
+
+        # vectorized H column (extd: no -qe offset, pre-swap seed)
         Hc = H[...]
         Hv = Hc + vn - BIAS
         Hs = jnp.where(t0lane, NEG_INF, _shift1(Hc)) + un - BIAS
@@ -304,9 +347,14 @@ def _band_extd_kernel_body(prm: BandExtdParams, refs):
     def _emit():
         ndc = qlp + tlp - 1
         dropped = (zdp[...] > 0) if withz else jnp.zeros(shape, jnp.bool_)
-        vmax = mxp[...]
-        vmaxt = mtp[...]
-        vmaxq = mqp[...]
+        if approx and not withad:
+            vmax = jnp.zeros(shape, I32)
+            vmaxt = jnp.full(shape, -1, I32)
+            vmaxq = jnp.full(shape, -1, I32)
+        else:
+            vmax = mxp[...]
+            vmaxt = mtp[...]
+            vmaxq = mqp[...]
 
         mqe = _pmax(MQ[...])
         rq = _pmin(jnp.where(MQ[...] == mqe, MQR[...], _BIGKEY))
@@ -326,7 +374,10 @@ def _band_extd_kernel_body(prm: BandExtdParams, refs):
         done = (rlim == ndc) & (fin_en0 == tlp - 1)
         if withz:
             done = done & jnp.logical_not(dropped)
-        score = jnp.where(done, _pmax(SC[...]), NEG_INF)
+        if approx:
+            score = jnp.where(done, h0p[...], NEG_INF)
+        else:
+            score = jnp.where(done, _pmax(SC[...]), NEG_INF)
         zflag = (rlim < ndc).astype(I32)
         if withz:
             zflag = jnp.maximum(zflag, dropped.astype(I32))
@@ -346,7 +397,9 @@ def build_band_extd_call(prm: BandExtdParams, interpret: bool = False):
     assert CHUNK % chunk == 0
     assert prm.w <= prm.p * 128 - 64, "band cap too wide for the plane"
     n_steps = (prm.n_diag + chunk - 1) // chunk
-    scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(19)]
+    from ..core.flags import Flag as _F
+    n_scr = 19 + (2 if prm.flag & int(_F.APPROX_MAX) else 0)
+    scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(n_scr)]
     kernel = functools.partial(_band_extd_kernel_body, prm)
 
     def wrap(*refs):

@@ -140,6 +140,41 @@ def test_band_extd_pre_swap_costs():
     _run_and_compare_extd(pairs, wv, 60, costs=(13, 1, 4, 2))
 
 
+@pytest.mark.parametrize("zdrop,flag", [
+    (-1, Flag.SCORE_ONLY | Flag.APPROX_MAX),
+    (-1, Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.APPROX_DROP),
+    (40, Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.APPROX_DROP),
+])
+def test_band_approx_matches_spec(zdrop, flag):
+    rng = np.random.default_rng(41 + zdrop)
+    pairs = _mk(rng, 4, 150, 500, 0.2, 0.1)
+    wv = rng.integers(10, 64, len(pairs)).astype(np.int32)
+    B = len(pairs)
+    Lq = max(len(q) for q, t in pairs)
+    Lt = max(len(t) for q, t in pairs)
+    Q = np.zeros((B, Lq), np.int32)
+    T = np.zeros((B, Lt), np.int32)
+    qlen = np.array([len(q) for q, t in pairs], np.int32)
+    tlen = np.array([len(t) for q, t in pairs], np.int32)
+    for i, (q, t) in enumerate(pairs):
+        Q[i, : len(q)] = q
+        T[i, : len(t)] = t
+    out = extz_band_batch_device(Q, T, qlen, tlen, 5, MAT, 4, 2, wv,
+                                 zdrop=zdrop, flag=flag, interpret=True)
+    from ksw2_tpu.ops.band_batch import extd_band_batch_device
+    outd = extd_band_batch_device(Q, T, qlen, tlen, 5, MAT, 4, 2, 13, 1, wv,
+                                  zdrop=zdrop, flag=flag, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extz2(q, t, 5, MAT, 4, 2, w=int(wv[i]),
+                                 zdrop=zdrop, flag=flag)
+        wantd, _ = diagdiff.extd2(q, t, 5, MAT, 4, 2, 13, 1, w=int(wv[i]),
+                                  zdrop=zdrop, flag=flag)
+        for o, wz in ((out, want), (outd, wantd)):
+            got = [int(o[k][i]) for k in ("score", "max", "max_t", "max_q")]
+            assert got == [wz.score, wz.max, wz.max_t, wz.max_q], (i, got)
+            assert bool(o["zdropped"][i]) == wz.zdropped, i
+
+
 def test_band_via_scheduler():
     from ksw2_tpu.batch.scheduler import AlignJob, align_batch
     rng = np.random.default_rng(31)
