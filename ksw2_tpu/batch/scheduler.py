@@ -94,7 +94,7 @@ def align_batch_scores(
         )
         use_band = (
             run_fn is None and engine in ("auto", "band") and Lt > 512
-            and not (flag & (Flag.GENERIC_SC | Flag.APPROX_MAX))
+            and not (flag & Flag.GENERIC_SC)
             and wv.min() >= 1 and wv.max() <= 960
             and int(mat[0]) * int(min(qlen.max(), tlen.max())) < (1 << 17)
         )
@@ -185,8 +185,7 @@ def align_batch(
                      and (score_only or not (flag & Flag.APPROX_MAX)))
         # long banded score-only two-piece buckets ride the band engine
         band_ok = (two_piece and score_only and Lt > 512
-                   and not (flag & (Flag.GENERIC_SC | Flag.APPROX_MAX
-                                    | Flag.EXTZ_ONLY))
+                   and not (flag & (Flag.GENERIC_SC | Flag.EXTZ_ONLY))
                    and all(1 <= jobs[i].w <= 960 for i in idxs)
                    and int(mat[0]) * min(
                        max(len(jobs[i].query) for i in idxs),

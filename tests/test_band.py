@@ -175,15 +175,18 @@ def test_band_approx_matches_spec(zdrop, flag):
             assert bool(o["zdropped"][i]) == wz.zdropped, i
 
 
-def test_band_via_scheduler():
+@pytest.mark.parametrize("flag", [
+    Flag.SCORE_ONLY,
+    Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.APPROX_DROP,
+])
+def test_band_via_scheduler(flag):
     from ksw2_tpu.batch.scheduler import AlignJob, align_batch
     rng = np.random.default_rng(31)
     pairs = _mk(rng, 3, 560, 800, 0.15, 0.08)
     jobs = [AlignJob(q, t, w=int(rng.integers(20, 120)))
             for q, t in pairs]
-    ezs = align_batch(jobs, 5, MAT, 4, 2, q2=13, e2=1, zdrop=100,
-                      flag=Flag.SCORE_ONLY)
+    ezs = align_batch(jobs, 5, MAT, 4, 2, q2=13, e2=1, zdrop=100, flag=flag)
     for job, ez in zip(jobs, ezs):
         want, _ = diagdiff.extd2(job.query, job.target, 5, MAT, 4, 2, 13, 1,
-                                 w=job.w, zdrop=100, flag=Flag.SCORE_ONLY)
+                                 w=job.w, zdrop=100, flag=flag)
         assert ez.tsv_fields() == want.tsv_fields()

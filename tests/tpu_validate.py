@@ -164,6 +164,53 @@ def sweep_gg2(n, rng):
     return fails
 
 
+def sweep_band(n, rng):
+    """Band-relative batched engines on moderate banded pairs (one launch
+    per variant keeps compile cost bounded: fixed bucket shape)."""
+    from ksw2_tpu.ops.band_batch import (extd_band_batch_device,
+                                         extz_band_batch_device)
+    mat = simple_mat(5, 2, 4)
+    B = max(4, min(n, 8))
+    pairs = []
+    for _ in range(B):
+        tlen = 600
+        t, q = refcmp.random_pair(rng, tlen,
+                                  divergence=float(rng.uniform(0, 0.3)),
+                                  indel=float(rng.uniform(0, 0.1)))
+        pairs.append((encode_dna(q)[:620], encode_dna(t)[:620]))
+    Lq = Lt = 620
+    Q = np.zeros((B, Lq), np.int32)
+    T = np.zeros((B, Lt), np.int32)
+    qlen = np.array([len(q) for q, t in pairs], np.int32)
+    tlen = np.array([len(t) for q, t in pairs], np.int32)
+    for i, (q, t) in enumerate(pairs):
+        Q[i, : len(q)] = q
+        T[i, : len(t)] = t
+    wv = rng.integers(16, 120, B).astype(np.int32)
+    fails = 0
+    for flag, z in ((Flag.SCORE_ONLY, 80),
+                    (Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.APPROX_DROP,
+                     80)):
+        out = extz_band_batch_device(Q, T, qlen, tlen, 5, mat, 4, 2, wv,
+                                     zdrop=z, flag=flag)
+        outd = extd_band_batch_device(Q, T, qlen, tlen, 5, mat, 4, 2, 13, 1,
+                                      wv, zdrop=z, flag=flag)
+        for i, (q, t) in enumerate(pairs):
+            want, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, w=int(wv[i]),
+                                     zdrop=z, flag=flag)
+            wantd, _ = diagdiff.extd2(q, t, 5, mat, 4, 2, 13, 1,
+                                      w=int(wv[i]), zdrop=z, flag=flag)
+            for o, wz, name in ((out, want, "extz"), (outd, wantd, "extd")):
+                got = [int(o[k][i]) for k in ("score", "max", "max_t",
+                                              "max_q")]
+                exp = [wz.score, wz.max, wz.max_t, wz.max_q]
+                if got != exp or bool(o["zdropped"][i]) != wz.zdropped:
+                    print(f"band {name} FAIL i={i} w={wv[i]} flag={flag}: "
+                          f"{got} != {exp}")
+                    fails += 1
+    return fails
+
+
 def mt_anchors():
     from ksw2_tpu.ops.extz import extz2_device
     from ksw2_tpu.ops.extd import extd2_device
@@ -206,6 +253,9 @@ if __name__ == "__main__":
     fg = sweep_gg2(n, rng)
     f += fg
     print(f"gg2 sweep done ({n} cases, {fg} fails)")
+    fb = sweep_band(n, rng)
+    f += fb
+    print(f"band sweep done ({fb} fails)")
     f += mt_anchors()
     print("TPU VALIDATION", "FAILED" if f else "PASSED")
     sys.exit(1 if f else 0)
