@@ -90,7 +90,6 @@ def align_batch_scores(
             wv[k] = job.w if job.w >= 0 else max(len(job.query), len(job.target))
         use_pallas = (
             run_fn is None and engine in ("auto", "pallas") and Lt <= 512
-            and not (flag & Flag.GENERIC_SC)
         )
         use_band = (
             run_fn is None and engine in ("auto", "band") and Lt > 512
@@ -181,7 +180,7 @@ def align_batch(
 
     for (Lq, Lt), idxs in buckets.items():
         batchable = (Lt <= 512
-                     and not (flag & (Flag.GENERIC_SC | Flag.EXTZ_ONLY))
+                     and not (flag & Flag.EXTZ_ONLY)
                      and (score_only or not (flag & Flag.APPROX_MAX)))
         # long banded score-only two-piece buckets ride the band engine
         band_ok = (two_piece and score_only and Lt > 512

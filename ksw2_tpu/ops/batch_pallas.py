@@ -29,6 +29,7 @@ def _cached_run(prm: wb.BatchParams, interpret: bool, with_cigar: bool = False):
     call = wb.build_batch_call(prm, with_cigar, interpret=interpret)
     R, n_diag, P = prm.n_rows, prm.n_diag, prm.p
     B = R // P
+    generic = bool(prm.flag & int(Flag.GENERIC_SC))
 
     def run(query, target, qlen, tlen, w):
         """query (B,Lq) int8, target (B,Lt<=P*128) int8, lens (B,) int32."""
@@ -55,7 +56,16 @@ def _cached_run(prm: wb.BatchParams, interpret: bool, with_cigar: bool = False):
         ridx = jnp.minimum(rr, jnp.maximum(qlen - 1, 0)[:, None])
         qinj = jnp.repeat(
             jnp.take_along_axis(query.astype(I), ridx, axis=1), P, axis=0)
-        out = call(qlp, tlp, wpl, rlp, tpad, qinj)
+        args = [qlp, tlp, wpl, rlp, tpad]
+        if generic:
+            # per-query-symbol profile planes, pre-biased (GENERIC_SC)
+            matj = jnp.asarray(np.asarray(prm.matt, np.int32))
+            qe2x = 2 * (prm.q + prm.e)
+            args.append(jnp.concatenate(
+                [(((jnp.take(matj, tpad * prm.m + c) + qe2x) & 255) ^ 128)
+                 for c in range(prm.m)], axis=0))
+        args.append(qinj)
+        out = call(*args)
         if with_cigar:
             return out[0][::P, :wb.NFIELDS], out[1]
         return out[0][::P, :wb.NFIELDS]
@@ -83,8 +93,6 @@ def extz_batch_device(
         interpret = True          # Pallas TPU kernels interpret on CPU
     if not (flag & Flag.SCORE_ONLY):
         raise ValueError("batched engine is score-only; use extz2_device")
-    if flag & Flag.GENERIC_SC:
-        raise NotImplementedError("generic batched scoring pending")
     B, Lq = query.shape
     Bt, Lt = target.shape
     assert B == Bt and Lt <= 512
@@ -120,6 +128,7 @@ def extz_batch_device(
         n_rows=R, n_diag=n_diag, m=m,
         sc_mch=int(mat[0]), sc_mis=int(mat[1]), sc_N=sc_N,
         q=int(q), e=int(e), zdrop=int(zdrop), flag=int(flag), p=P,
+        matt=tuple(int(v) for v in mat) if flag & Flag.GENERIC_SC else (),
     )
     run = _cached_run(prm, interpret)
 
@@ -188,7 +197,7 @@ def extz_batch_align(
     flag = Flag(int(flag))
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
-    if flag & (Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.GENERIC_SC):
+    if flag & (Flag.SCORE_ONLY | Flag.APPROX_MAX):
         raise ValueError("use extz_batch_device for score-only batches")
     B, Lq = query.shape
     Bt, Lt = target.shape
@@ -232,6 +241,7 @@ def extz_batch_align(
         sc_mch=int(mat[0]), sc_mis=int(mat[1]), sc_N=sc_N,
         q=int(q), e=int(e), zdrop=int(zdrop), flag=int(flag), chunk=32,
         p=P,
+        matt=tuple(int(v) for v in mat) if flag & Flag.GENERIC_SC else (),
     )
     run = _cached_run(prm, interpret, True)
 
@@ -330,7 +340,15 @@ def _cached_run_extd(prm, interpret: bool, with_cigar: bool = False):
         ridx = jnp.minimum(rr, jnp.maximum(qlen - 1, 0)[:, None])
         qinj = jnp.repeat(
             jnp.take_along_axis(query.astype(I), ridx, axis=1), P, axis=0)
-        out = call(qlp, tlp, wpl, rlp, tpad, qinj)
+        args = [qlp, tlp, wpl, rlp, tpad]
+        if prm.flag & int(Flag.GENERIC_SC):
+            # per-query-symbol profile planes, biased (GENERIC_SC)
+            matj = jnp.asarray(np.asarray(prm.matt, np.int32))
+            args.append(jnp.concatenate(
+                [((jnp.take(matj, tpad * prm.m + c) + 128) & 255)
+                 for c in range(prm.m)], axis=0))
+        args.append(qinj)
+        out = call(*args)
         if with_cigar:
             return out[0][::P, :wb.NFIELDS], out[1]
         return out[0][::P, :wb.NFIELDS]
@@ -366,6 +384,7 @@ def _extd_batch_params(B, Lq, qlen, tlen, m, mat, q, e, q2, e2, zdrop, flag,
         q=q, e=e, q2=q2, e2=e2, qe_pre_swap=qe_pre_swap,
         long_thres=int(long_thres), long_diff=int(long_diff),
         zdrop=int(zdrop), flag=int(flag), chunk=chunk, p=P,
+        matt=tuple(int(v) for v in mat) if flag & Flag.GENERIC_SC else (),
     ), int(mat[1:].min()), (q, e)
 
 
@@ -391,8 +410,6 @@ def extd_batch_device(
         interpret = True
     if not (flag & Flag.SCORE_ONLY):
         raise ValueError("score-only entry; use extd_batch_align for CIGARs")
-    if flag & Flag.GENERIC_SC:
-        raise NotImplementedError("generic batched scoring pending")
     B, Lq = query.shape
     Bt, Lt = target.shape
     assert B == Bt and Lt <= 512
@@ -471,7 +488,7 @@ def extd_batch_align(
     flag = Flag(int(flag))
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
-    if flag & (Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.GENERIC_SC):
+    if flag & (Flag.SCORE_ONLY | Flag.APPROX_MAX):
         raise ValueError("use extd_batch_device for score-only batches")
     B, Lq = query.shape
     Bt, Lt = target.shape
@@ -593,7 +610,14 @@ def _cached_run_exts(prm, interpret: bool, with_cigar: bool = False):
         ridx = jnp.minimum(rr, jnp.maximum(qlen - 1, 0)[:, None])
         qinj = jnp.repeat(
             jnp.take_along_axis(query.astype(I), ridx, axis=1), P, axis=0)
-        out = call(qlp, tlp, rlp, tpad, donb.astype(I), accb.astype(I), qinj)
+        args = [qlp, tlp, rlp, tpad, donb.astype(I), accb.astype(I)]
+        if prm.flag & int(Flag.GENERIC_SC):
+            matj = jnp.asarray(np.asarray(prm.matt, np.int32))
+            args.append(jnp.concatenate(
+                [((jnp.take(matj, tpad * prm.m + c) + 128) & 255)
+                 for c in range(prm.m)], axis=0))
+        args.append(qinj)
+        out = call(*args)
         if with_cigar:
             return out[0][::P, :wb.NFIELDS], out[1]
         return out[0][::P, :wb.NFIELDS]
@@ -652,8 +676,6 @@ def exts_batch_align(
     flag = Flag(int(flag))
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
-    if flag & Flag.GENERIC_SC:
-        raise NotImplementedError("generic batched splice pending")
     if (flag & Flag.APPROX_MAX) and not (flag & Flag.SCORE_ONLY):
         raise NotImplementedError("approx batched splice is score-only")
     with_cigar = not (flag & Flag.SCORE_ONLY)
@@ -701,6 +723,7 @@ def exts_batch_align(
         q=q, e=e, q2=q2,
         long_thres=int(long_thres), long_diff=int(long_diff),
         zdrop=int(zdrop), flag=int(flag), chunk=chunk, p=P,
+        matt=tuple(int(v) for v in matf) if flag & Flag.GENERIC_SC else (),
     )
     run = _cached_run_exts(prm, interpret, with_cigar)
     qpad = np.zeros((Bp, Lq), np.int8)

@@ -62,6 +62,7 @@ class BatchParams(NamedTuple):
     flag: int        # RIGHT selects the gap-tie variant in CIGAR mode
     chunk: int = CHUNK   # diagonals per grid step (divides CHUNK)
     p: int = 1           # sublane rows per pair (tlen <= p*128)
+    matt: tuple = ()     # flattened matrix (GENERIC_SC profile source)
 
 
 def _bmax(arr):
@@ -85,10 +86,13 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
     # must exist whenever the flag is set
     withad = approx and bool(prm.flag & int(Flag.APPROX_DROP))
     right = bool(prm.flag & int(Flag.RIGHT))
+    generic = bool(prm.flag & int(Flag.GENERIC_SC))
     refs = list(refs)
-    qlp_ref, tlp_ref, wp_ref, rlim_ref, target_ref, qinj_ref, res_ref = \
-        refs[:7]
-    rest = refs[7:]
+    qlp_ref, tlp_ref, wp_ref, rlim_ref, target_ref = refs[:5]
+    rest = refs[5:]
+    prof_ref = rest.pop(0) if generic else None
+    qinj_ref, res_ref = rest[:2]
+    rest = rest[2:]
     p_ref = rest.pop(0) if with_cigar else None
     u, v, x, y, s, Q, H, HM, RD, MQ = rest[:10]
     rest = rest[10:]
@@ -209,12 +213,22 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
         Qn = jnp.where(act, Qn, Q[...])
         Q[...] = Qn
 
-        fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
-        eq = T == Qn
-        nm = tN | (Qn == prm.m - 1)
-        sval = jnp.where(eq, sb_mch, sb_mis)
-        sval = jnp.where(nm, sb_N, sval)
-        smask = act & (lane >= st0) & (lane <= fill_hi)
+        if generic:
+            # KSW_EZ_GENERIC_SC: per-query-symbol profile planes
+            # (prof_c[t] = mat[target[t]*m + c], pre-biased); the reference
+            # fills exactly [st0, en0] here, not 16-byte blocks
+            sval = prof_ref[pl.ds(0, R), :]
+            for c in range(1, prm.m):
+                sval = jnp.where(Qn == c, prof_ref[pl.ds(c * R, R), :],
+                                 sval)
+            smask = act & (lane >= st0) & (lane <= en0)
+        else:
+            fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
+            eq = T == Qn
+            nm = tN | (Qn == prm.m - 1)
+            sval = jnp.where(eq, sb_mch, sb_mis)
+            sval = jnp.where(nm, sb_N, sval)
+            smask = act & (lane >= st0) & (lane <= fill_hi)
         sn = jnp.where(smask, sval, s[...])
         s[...] = sn
 
@@ -467,15 +481,13 @@ def build_batch_call(prm: BatchParams, with_cigar: bool = False,
     return pl.pallas_call(
         wrap,
         grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),                 # qlp
-            pl.BlockSpec(memory_space=pltpu.VMEM),                 # tlp
-            pl.BlockSpec(memory_space=pltpu.VMEM),                 # wp
-            pl.BlockSpec(memory_space=pltpu.VMEM),                 # rlim
-            pl.BlockSpec(memory_space=pltpu.VMEM),                 # target
-            pl.BlockSpec((R, CHUNK), lambda i: (0, (i * chunk) // CHUNK),
-                         memory_space=pltpu.VMEM),                 # qinj
-        ],
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5            # planes
+            + ([pl.BlockSpec(memory_space=pltpu.VMEM)]             # profiles
+               if prm.flag & int(Flag.GENERIC_SC) else [])
+            + [pl.BlockSpec((R, CHUNK), lambda i: (0, (i * chunk) // CHUNK),
+                            memory_space=pltpu.VMEM)]              # qinj
+        ),
         out_shape=out_shape,
         out_specs=out_specs,
         scratch_shapes=scratch,

@@ -48,6 +48,7 @@ class BatchExtsParams(NamedTuple):
     flag: int
     chunk: int = CHUNK
     p: int = 1           # sublane rows per pair (tlen <= p*128)
+    matt: tuple = ()     # flattened matrix (GENERIC_SC profile source)
 
 
 def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
@@ -58,10 +59,13 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
     # must exist whenever the flag is set
     withad = approx and bool(prm.flag & int(Flag.APPROX_DROP))
     right = bool(prm.flag & int(Flag.RIGHT))
+    generic = bool(prm.flag & int(Flag.GENERIC_SC))
     refs = list(refs)
-    (qlp_ref, tlp_ref, rlim_ref, target_ref, don_ref, acc_ref,
-     qinj_ref, res_ref) = refs[:8]
-    rest = refs[8:]
+    (qlp_ref, tlp_ref, rlim_ref, target_ref, don_ref, acc_ref) = refs[:6]
+    rest = refs[6:]
+    prof_ref = rest.pop(0) if generic else None
+    qinj_ref, res_ref = rest[:2]
+    rest = rest[2:]
     p_ref = rest.pop(0) if with_cigar else None
     u, v, x, y, x2, s, Q, H, HM, RD, MQ = rest[:11]
     rest = rest[11:]
@@ -177,12 +181,19 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
         Qn = jnp.where(act, Qn, Q[...])
         Q[...] = Qn
 
-        fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
-        eq = T == Qn
-        nm = tN | (Qn == prm.m - 1)
-        sval = jnp.where(eq, sb_mch, sb_mis)
-        sval = jnp.where(nm, sb_N, sval)
-        smask = act & (lane >= st0) & (lane <= fill_hi)
+        if generic:
+            sval = prof_ref[pl.ds(0, R), :]
+            for c in range(1, prm.m):
+                sval = jnp.where(Qn == c, prof_ref[pl.ds(c * R, R), :],
+                                 sval)
+            smask = act & (lane >= st0) & (lane <= en0)
+        else:
+            fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
+            eq = T == Qn
+            nm = tN | (Qn == prm.m - 1)
+            sval = jnp.where(eq, sb_mch, sb_mis)
+            sval = jnp.where(nm, sb_N, sval)
+            smask = act & (lane >= st0) & (lane <= fill_hi)
         sn = jnp.where(smask, sval, s[...])
         s[...] = sn
 
@@ -430,16 +441,13 @@ def build_batch_exts_call(prm: BatchExtsParams, with_cigar: bool = False,
     return pl.pallas_call(
         wrap,
         grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),                 # qlp
-            pl.BlockSpec(memory_space=pltpu.VMEM),                 # tlp
-            pl.BlockSpec(memory_space=pltpu.VMEM),                 # rlim
-            pl.BlockSpec(memory_space=pltpu.VMEM),                 # target
-            pl.BlockSpec(memory_space=pltpu.VMEM),                 # donor
-            pl.BlockSpec(memory_space=pltpu.VMEM),                 # acceptor
-            pl.BlockSpec((R, CHUNK), lambda i: (0, (i * chunk) // CHUNK),
-                         memory_space=pltpu.VMEM),                 # qinj
-        ],
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6            # planes
+            + ([pl.BlockSpec(memory_space=pltpu.VMEM)]             # profiles
+               if prm.flag & int(Flag.GENERIC_SC) else [])
+            + [pl.BlockSpec((R, CHUNK), lambda i: (0, (i * chunk) // CHUNK),
+                            memory_space=pltpu.VMEM)]              # qinj
+        ),
         out_shape=out_shape,
         out_specs=out_specs,
         scratch_shapes=scratch,

@@ -343,3 +343,51 @@ def test_exts_batch_approx_multirow():
         want, _ = diagdiff.exts2(q, t, 5, smat, 2, 1, 32, 4, zdrop=60,
                                  junc_bonus=0, flag=flag)
         assert ezs[i].tsv_fields() == want.tsv_fields(), i
+
+
+GMAT = np.array([[3, -2, -4, -3, 0],
+                 [-3, 2, -2, -4, 0],
+                 [-4, -2, 4, -1, 0],
+                 [-2, -3, -1, 2, 0],
+                 [0, 0, 0, 0, 0]], np.int8).reshape(-1)
+
+
+@pytest.mark.parametrize("zdrop", [-1, 25])
+def test_generic_sc_batches_match_spec(zdrop):
+    """KSW_EZ_GENERIC_SC: profile-plane gather in all three batch engines."""
+    from ksw2_tpu.ops.batch_pallas import (extd_batch_align,
+                                           extd_batch_device,
+                                           exts_batch_align,
+                                           extz_batch_align)
+    B = 6
+    pairs, Q, T, qlen, tlen = _make_batch(91 + zdrop, B)
+    fs = Flag.SCORE_ONLY | Flag.GENERIC_SC
+    out = extz_batch_device(Q, T, qlen, tlen, 5, GMAT, 4, 2, zdrop=zdrop,
+                            flag=fs, interpret=True)
+    outd = extd_batch_device(Q, T, qlen, tlen, 5, GMAT, 4, 2, 13, 1,
+                             zdrop=zdrop, flag=fs, interpret=True)
+    ez_z = extz_batch_align(Q, T, qlen, tlen, 5, GMAT, 4, 2, zdrop=zdrop,
+                            flag=Flag.GENERIC_SC, interpret=True)
+    ez_d = extd_batch_align(Q, T, qlen, tlen, 5, GMAT, 4, 2, 13, 1,
+                            zdrop=zdrop, flag=Flag.GENERIC_SC, interpret=True)
+    fl = Flag.SPLICE_FOR | Flag.GENERIC_SC
+    ez_s = exts_batch_align(Q, T, qlen, tlen, 5, GMAT, 2, 1, 32, 4,
+                            zdrop=zdrop, flag=fl, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        wz, _ = diagdiff.extz2(q, t, 5, GMAT, 4, 2, w=-1, zdrop=zdrop,
+                               flag=fs)
+        wd, _ = diagdiff.extd2(q, t, 5, GMAT, 4, 2, 13, 1, w=-1,
+                               zdrop=zdrop, flag=fs)
+        assert int(out["score"][i]) == wz.score and \
+            int(out["max"][i]) == wz.max, i
+        assert int(outd["score"][i]) == wd.score and \
+            int(outd["max"][i]) == wd.max, i
+        wzc, _ = diagdiff.extz2(q, t, 5, GMAT, 4, 2, w=-1, zdrop=zdrop,
+                                flag=Flag.GENERIC_SC)
+        wdc, _ = diagdiff.extd2(q, t, 5, GMAT, 4, 2, 13, 1, w=-1,
+                                zdrop=zdrop, flag=Flag.GENERIC_SC)
+        wsc, _ = diagdiff.exts2(q, t, 5, GMAT, 2, 1, 32, 4, zdrop=zdrop,
+                                junc_bonus=0, flag=fl)
+        assert ez_z[i].tsv_fields() == wzc.tsv_fields(), i
+        assert ez_d[i].tsv_fields() == wdc.tsv_fields(), i
+        assert ez_s[i].tsv_fields() == wsc.tsv_fields(), i
