@@ -167,7 +167,7 @@ def extz_batch_device(
 
 __all__ = ["extz_batch_device", "extz_batch_align",
            "extd_batch_device", "extd_batch_align",
-           "exts_batch_align"]
+           "exts_batch_align", "extf_batch_device"]
 
 
 def extz_batch_align(
@@ -785,3 +785,105 @@ def exts_batch_align(
             min_intron_len=long_thres)
         out.append(ez)
     return out
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_run_extf(prm, interpret: bool):
+    from . import wavefront_batch_extf as wbf
+    call = wbf.build_batch_extf_call(prm, interpret=interpret)
+    R, n_diag, P = prm.n_rows, prm.n_diag, prm.p
+    B = R // P
+
+    def run(query, target, qlen, tlen, w):
+        I = jnp.int32
+        qlen = qlen.astype(I)
+        tlen = tlen.astype(I)
+        w = w.astype(I)
+        rr = jnp.arange(n_diag, dtype=I)[None, :]
+        st0 = jnp.maximum(0, jnp.maximum(rr - qlen[:, None] + 1,
+                                         (rr - w[:, None] + 1) >> 1))
+        en0 = jnp.minimum(tlen[:, None] - 1,
+                          jnp.minimum(rr, (rr + w[:, None]) >> 1))
+        ndb = qlen + tlen - 1
+        bad = (st0 > en0) & (rr < ndb[:, None])
+        rstop = jnp.where(bad.any(axis=1), jnp.argmax(bad, axis=1), ndb)
+        rlim = jnp.minimum(rstop, ndb).astype(I)
+
+        def rep(vec):
+            return jnp.repeat(vec, P)[:, None] * jnp.ones((R, 128), I)
+
+        qlp, tlp, wpl, rlp = rep(qlen), rep(tlen), rep(w), rep(rlim)
+        tpad = jnp.zeros((B, P * 128), I).at[:, :target.shape[1]].set(
+            target.astype(I)).reshape(R, 128)
+        ridx = jnp.minimum(rr, jnp.maximum(qlen - 1, 0)[:, None])
+        qinj = jnp.repeat(
+            jnp.take_along_axis(query.astype(I), ridx, axis=1), P, axis=0)
+        out = call(qlp, tlp, wpl, rlp, tpad, qinj)
+        return out[0][::P, :wb.NFIELDS]
+
+    return jax.jit(run)
+
+
+def extf_batch_device(
+    query: np.ndarray,
+    target: np.ndarray,
+    qlen: np.ndarray,
+    tlen: np.ndarray,
+    mch: int,
+    mis: int,
+    e: int,
+    w: Optional[np.ndarray] = None,
+    xdrop: int = -1,
+    interpret: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Batched linear-gap extension (extf2), score-only."""
+    from . import wavefront_batch_extf as wbf
+
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    B, Lq = query.shape
+    Bt, Lt = target.shape
+    assert B == Bt and Lt <= 512
+    P = 1 if Lt <= 128 else (2 if Lt <= 256 else 4)
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    if w is None:
+        w = np.maximum(qlen, tlen)
+    w = np.asarray(w, np.int32)
+    RMAX = 512 // P
+    if B > RMAX:
+        outs = [
+            extf_batch_device(query[i:i + RMAX], target[i:i + RMAX],
+                              qlen[i:i + RMAX], tlen[i:i + RMAX], mch, mis,
+                              e, w[i:i + RMAX], xdrop, interpret)
+            for i in range(0, B, RMAX)
+        ]
+        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+    mis = int(mis) if int(mis) < 0 else -int(mis)
+    Bp = max(B, 1)
+    while (Bp * P) % 8:
+        Bp += 1
+    R = Bp * P
+    n_diag = int((qlen + tlen).max()) - 1 if B else 1
+    n_diag = max(round_up(n_diag, wb.CHUNK), wb.CHUNK)
+    prm = wbf.BatchExtfParams(
+        n_rows=R, n_diag=n_diag, mch=int(mch), mis=mis, e=int(e),
+        xdrop=int(xdrop), p=P,
+    )
+    run = _cached_run_extf(prm, interpret)
+    qpad = np.zeros((Bp, Lq), np.int8)
+    qpad[:B] = np.asarray(query, np.int8)
+    tpad = np.zeros((Bp, Lt), np.int8)
+    tpad[:B] = np.asarray(target, np.int8)
+    lens = np.zeros((3, Bp), np.int32)
+    lens[0, :B], lens[1, :B], lens[2, :B] = qlen, tlen, w
+    res = np.asarray(run(jnp.asarray(qpad), jnp.asarray(tpad),
+                         jnp.asarray(lens[0]), jnp.asarray(lens[1]),
+                         jnp.asarray(lens[2])))[:B]
+    return {
+        "max": res[:, wb.F_MAX].copy(),
+        "max_t": res[:, wb.F_MAXT].copy(),
+        "max_q": res[:, wb.F_MAXQ].copy(),
+        "score": res[:, wb.F_SCORE].copy(),
+        "zdropped": res[:, wb.F_ZDROP].copy(),
+    }

@@ -391,3 +391,22 @@ def test_generic_sc_batches_match_spec(zdrop):
         assert ez_z[i].tsv_fields() == wzc.tsv_fields(), i
         assert ez_d[i].tsv_fields() == wdc.tsv_fields(), i
         assert ez_s[i].tsv_fields() == wsc.tsv_fields(), i
+
+
+@pytest.mark.parametrize("xdrop,banded", [(-1, False), (40, False),
+                                          (25, True)])
+def test_extf_batch_matches_spec(xdrop, banded):
+    """Batched linear-gap extf2: H0 walk + X-drop, per-pair bands."""
+    from ksw2_tpu.ops.batch_pallas import extf_batch_device
+    B = 6
+    rng = np.random.default_rng(101 + xdrop)
+    pairs, Q, T, qlen, tlen = _make_batch(101 + xdrop, B)
+    wv = (rng.integers(8, 60, B).astype(np.int32) if banded else None)
+    out = extf_batch_device(Q, T, qlen, tlen, 2, -4, 2, w=wv, xdrop=xdrop,
+                            interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        wi = int(wv[i]) if banded else -1
+        want = diagdiff.extf2(q, t, 2, -4, 2, w=wi, xdrop=xdrop)
+        got = [int(out[k][i]) for k in ("score", "max", "max_t", "max_q")]
+        assert got == [want.score, want.max, want.max_t, want.max_q], i
+        assert bool(out["zdropped"][i]) == want.zdropped, i
