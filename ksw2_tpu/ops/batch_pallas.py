@@ -167,7 +167,7 @@ def extz_batch_device(
 
 __all__ = ["extz_batch_device", "extz_batch_align",
            "extd_batch_device", "extd_batch_align",
-           "exts_batch_align", "extf_batch_device"]
+           "exts_batch_align", "extf_batch_device", "gg2_batch_align"]
 
 
 def extz_batch_align(
@@ -887,3 +887,140 @@ def extf_batch_device(
         "score": res[:, wb.F_SCORE].copy(),
         "zdropped": res[:, wb.F_ZDROP].copy(),
     }
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_run_gg2(prm, interpret: bool, with_cigar: bool):
+    from . import wavefront_batch_gg2 as wbg
+    call = wbg.build_batch_gg2_call(prm, with_cigar, interpret=interpret)
+    R, n_diag, P = prm.n_rows, prm.n_diag, prm.p
+    B = R // P
+
+    def run(query, target, qlen, tlen, w):
+        I = jnp.int32
+        qlen = qlen.astype(I)
+        tlen = tlen.astype(I)
+        w = w.astype(I)
+        rr = jnp.arange(n_diag, dtype=I)[None, :]
+
+        def rep(vec):
+            return jnp.repeat(vec, P)[:, None] * jnp.ones((R, 128), I)
+
+        qlp, tlp, wpl = rep(qlen), rep(tlen), rep(w)
+        tpad = jnp.zeros((B, P * 128), I).at[:, :target.shape[1]].set(
+            target.astype(I)).reshape(R, 128)
+        ridx = jnp.minimum(rr, jnp.maximum(qlen - 1, 0)[:, None])
+        qinj = jnp.repeat(
+            jnp.take_along_axis(query.astype(I), ridx, axis=1), P, axis=0)
+        matj = jnp.asarray(np.asarray(prm.matt, np.int32))
+        qe2x = 2 * (prm.q + prm.e)
+        prof = jnp.concatenate(
+            [(((jnp.take(matj, tpad * prm.m + c) + qe2x) & 255) ^ 128)
+             for c in range(prm.m)], axis=0)
+        out = call(qlp, tlp, wpl, tpad, prof, qinj)
+        if with_cigar:
+            return out[0][::P, :1], out[1]
+        return out[0][::P, :1]
+
+    return jax.jit(run)
+
+
+def gg2_batch_align(
+    query: np.ndarray,
+    target: np.ndarray,
+    qlen: np.ndarray,
+    tlen: np.ndarray,
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    w: Optional[np.ndarray] = None,
+    with_cigar: bool = True,
+    interpret: bool = False,
+):
+    """Batched banded global alignment (gg2_sse); returns (score, cigar)
+    per pair (cigar ``[]`` in score-only mode).
+
+    Pairs with ``qlen > tlen + w`` hit the reference's block-overrun quirk
+    (ksw2_gg2_sse.c:32-34) and must go through the single-pair kernel.
+    """
+    from .bands import band_bounds_rounded
+    from ..native.bindings import backtrack
+
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    B, Lq = query.shape
+    Bt, Lt = target.shape
+    assert B == Bt and Lt <= 512
+    P = 1 if Lt <= 128 else (2 if Lt <= 256 else 4)
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    if w is None:
+        w = np.maximum(qlen, tlen)
+    w = np.asarray(w, np.int32)
+    if (qlen > tlen + w).any():
+        raise ValueError("qlen > tlen + w pairs need the single-pair gg2")
+    RMAX = (256 if with_cigar else 512) // P
+    if B > RMAX:
+        out = []
+        for i in range(0, B, RMAX):
+            out.extend(gg2_batch_align(
+                query[i:i + RMAX], target[i:i + RMAX], qlen[i:i + RMAX],
+                tlen[i:i + RMAX], m, mat, q, e, w[i:i + RMAX], with_cigar,
+                interpret))
+        return out
+    from . import wavefront_batch_gg2 as wbg
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    Bp = max(B, 1)
+    while (Bp * P) % 8:
+        Bp += 1
+    R = Bp * P
+    n_diag = int((qlen + tlen).max()) - 1 if B else 1
+    chunk = 32 if with_cigar else wb.CHUNK
+    n_diag = max(round_up(n_diag, chunk), chunk)
+    prm = wbg.BatchGg2Params(
+        n_rows=R, n_diag=n_diag, m=m, q=int(q), e=int(e), chunk=chunk, p=P,
+        matt=tuple(int(v) for v in mat),
+    )
+    run = _cached_run_gg2(prm, interpret, with_cigar)
+    qpad = np.zeros((Bp, Lq), np.int8)
+    qpad[:B] = np.asarray(query, np.int8)
+    tpad = np.zeros((Bp, Lt), np.int8)
+    tpad[:B] = np.asarray(target, np.int8)
+    lens = np.zeros((3, Bp), np.int32)
+    lens[0, :B], lens[1, :B], lens[2, :B] = qlen, tlen, w
+    out_dev = run(jnp.asarray(qpad), jnp.asarray(tpad),
+                  jnp.asarray(lens[0]), jnp.asarray(lens[1]),
+                  jnp.asarray(lens[2]))
+    if with_cigar:
+        res, p = out_dev
+        p = np.asarray(p)
+    else:
+        res = out_dev
+        p = None
+    res = np.asarray(res)[:B, 0]
+
+    out = []
+    for b in range(B):
+        score = int(res[b])
+        qln, tln, wb_ = int(qlen[b]), int(tlen[b]), int(w[b])
+        if not with_cigar or qln <= 0 or tln <= 0:
+            out.append((score, []))
+            continue
+        nd = qln + tln - 1
+        st0, en0, st, en = band_bounds_rounded(nd, qln, tln, wb_)
+        n_col0 = min(wb_ + 1, tln)
+        n_col = ((n_col0 + 15) // 16 + 1) * 16
+        pmat = np.ascontiguousarray(
+            p[:nd, b * P:(b + 1) * P, :]).reshape(nd, P * 128)
+        # repack to the reference's n_col-wide rows: gg2's traceback has no
+        # upper clamp, so overflow reads must land on the next row's bytes
+        pspec = np.zeros((nd, n_col), np.int8)
+        for r in range(nd):
+            lo = int(st[r])
+            span = min(n_col, P * 128 - lo)
+            pspec[r, :span] = pmat[r, lo:lo + span]
+        cig = backtrack(pspec, st, None, n_col, tln - 1, qln - 1,
+                        is_rot=True, store_off=st)
+        out.append((score, cig))
+    return out

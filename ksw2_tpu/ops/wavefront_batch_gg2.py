@@ -1,0 +1,232 @@
+"""Batched Pallas TPU wavefront, banded global alignment (gg2_sse).
+
+One pair per P sublane rows like :mod:`ksw2_tpu.ops.wavefront_batch`,
+specialised to ``ksw_gg2_sse``: generic matrix gather through per-pair
+query-symbol profile planes (gg2 always scores through the matrix,
+ksw2_gg2_sse.c:60-66), no unsigned clamp, direction planes on every
+diagonal, and the O(1) H0 walk reconstructing the corner score — bands
+never stop the sweep (global alignment must reach the corner).
+
+The reference's block-overrun quirk (``qlen > tlen + w`` reads past the
+u array, see :mod:`ksw2_tpu.ops.wavefront_gg2`) is NOT replicated here;
+the dispatcher routes such pairs to the single-pair kernel.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .wavefront_batch import CHUNK, _bmax
+
+I32 = jnp.int32
+_INT_MIN = -(2 ** 31) + 1
+
+
+class BatchGg2Params(NamedTuple):
+    n_rows: int
+    n_diag: int
+    m: int
+    q: int
+    e: int
+    chunk: int = CHUNK
+    p: int = 1
+    matt: tuple = ()     # flattened matrix (profile source)
+
+
+def _batch_gg2_kernel(prm: BatchGg2Params, with_cigar, refs):
+    refs = list(refs)
+    (qlp_ref, tlp_ref, wp_ref, target_ref, prof_ref, qinj_ref,
+     res_ref) = refs[:7]
+    rest = refs[7:]
+    p_ref = rest.pop(0) if with_cigar else None
+    u, v, x, y, s, Q, h0p, ltp = rest[:8]
+
+    qe = prm.q + prm.e
+    R = prm.n_rows
+    shape = (R, 128)
+
+    P = prm.p
+    step = pl.program_id(0)
+    lanes = jax.lax.broadcasted_iota(I32, shape, 1)
+    rows = jax.lax.broadcasted_iota(I32, shape, 0)
+    lane = (rows % P) * 128 + lanes if P > 1 else lanes
+    lane0 = lane == 0
+
+    def _shift1(arr):
+        rolled = jnp.roll(arr, 1, axis=1)
+        if P == 1:
+            return rolled
+        carried = jnp.roll(rolled, 1, axis=0)
+        return jnp.where(lanes == 0, carried, rolled)
+
+    def _pmax(arr):
+        arr = _bmax(arr)
+        k = 1
+        while k < P:
+            alt = jnp.where((rows % P) >= k,
+                            jnp.roll(arr, k, axis=0),
+                            jnp.roll(arr, k - P, axis=0))
+            arr = jnp.maximum(arr, alt)
+            k *= 2
+        return arr
+
+    @pl.when(step == 0)
+    def _init():
+        zero = jnp.zeros(shape, I32)
+        u[...] = zero
+        v[...] = zero
+        x[...] = zero
+        y[...] = zero
+        s[...] = jnp.full(shape, ((2 * qe) & 255) ^ 128, I32)
+        Q[...] = zero
+        h0p[...] = zero
+        ltp[...] = zero
+
+    qlp = qlp_ref[...]
+    tlp = tlp_ref[...]
+    wp = wp_ref[...]
+
+    def bounds(r):
+        st0 = jnp.maximum(0, jnp.maximum(r - qlp + 1, (r - wp + 1) >> 1))
+        en0 = jnp.minimum(tlp - 1, jnp.minimum(r, (r + wp) >> 1))
+        stb = st0 // 16 * 16
+        enb = (en0 + 16) // 16 * 16 - 1
+        return st0, en0, stb, enb
+
+    def diag_body(rr, _):
+        r = step * prm.chunk + rr
+        act = r < qlp + tlp - 1
+        st0, en0, stb, enb = bounds(r)
+        _, _, pstb, penb = bounds(r - 1)
+        in_range = (r > 0) & (stb - 1 >= pstb) & (stb - 1 <= penb)
+        need_ov = (stb == 0) | jnp.logical_not(in_range)
+        ov_v = jnp.where(stb == 0, jnp.where(r > 0, prm.q, 0), 0)
+
+        col_mask = act & (enb >= r) & (lane == r)
+        ucol = jnp.where(r > 0, prm.q, 0)
+        ut = jnp.where(col_mask, ucol, u[...])
+        yt = jnp.where(col_mask, 0, y[...])
+
+        qv = pltpu.roll(qinj_ref[...], -(r % CHUNK), axis=1)
+        Qn = jnp.where(lane0, qv, _shift1(Q[...]))
+        Qn = jnp.where(act, Qn, Q[...])
+        Q[...] = Qn
+
+        # generic matrix gather via per-pair profile planes
+        sval = prof_ref[pl.ds(0, R), :]
+        for c in range(1, prm.m):
+            sval = jnp.where(Qn == c, prof_ref[pl.ds(c * R, R), :], sval)
+        smask = act & (lane >= st0) & (lane <= en0)
+        sn = jnp.where(smask, sval, s[...])
+        s[...] = sn
+
+        ovn = (lane == stb) & need_ov
+        xs = jnp.where(lane0, 0, _shift1(x[...]))
+        xs = jnp.where(ovn, 0, xs)
+        vs = jnp.where(lane0, ov_v, _shift1(v[...]))
+        vs = jnp.where(ovn, ov_v, vs)
+        a = (xs + vs) & 255
+        b = (yt + ut) & 255
+        ab = a ^ 128
+        if with_cigar:
+            d = jnp.where(ab > sn, 1, 0)
+        zb = jnp.maximum(sn, ab)
+        if with_cigar:
+            bb = b ^ 128
+            d = jnp.where(bb > zb, 2, d)
+        z = zb ^ 128
+        z = jnp.maximum(z, b)              # max_epu8; gg2 has no clamp
+        unew = (z - vs) & 255
+        vnew = (z - ut) & 255
+        z2 = z - prm.q
+        an = (a - z2) & 255
+        bn = (b - z2) & 255
+        anb = an ^ 128
+        bnb = bn ^ 128
+        if with_cigar:
+            d = d | jnp.where(anb > 128, 0x08, 0)
+            d = d | jnp.where(bnb > 128, 0x10, 0)
+        bmask = act & (lane >= stb) & (lane <= enb)
+        u[...] = jnp.where(bmask, unew, u[...])
+        v[...] = jnp.where(bmask, vnew, v[...])
+        x[...] = jnp.where(bmask, jnp.where(anb > 128, an, 0), x[...])
+        y[...] = jnp.where(bmask, jnp.where(bnb > 128, bn, 0), y[...])
+        if with_cigar:
+            # bytes outside the rounded band must be zero: gg2's traceback
+            # has no upper clamp (off_end NULL, ksw2_gg2_sse.c:124)
+            d = jnp.where(bmask, d, 0)
+            p_ref[pl.ds(rr, 1)] = d.astype(jnp.int8)[None]
+
+        # O(1) H0 walk on the UPDATED planes (in-band -> v[lt], else
+        # u[lt+1]; stale reads when the band misses lt are the reference's
+        # too).  gg2's walk has no two-candidate branch.
+        is0 = r == 0
+        lt = ltp[...]
+        c1 = (lt >= st0) & (lt <= en0)
+        d_in = _pmax(jnp.where(lane == jnp.clip(lt, 0, P * 128 - 1),
+                               v[...], _INT_MIN)) - qe
+        d_out = _pmax(jnp.where(lane == jnp.clip(lt + 1, 0, P * 128 - 1),
+                                u[...], _INT_MIN)) - qe
+        h00 = _pmax(jnp.where(lane0, v[...], _INT_MIN)) - 2 * qe
+        newH0 = jnp.where(c1, h0p[...] + d_in, h0p[...] + d_out)
+        newlt = jnp.where(c1, lt, lt + 1)
+        h0p[...] = jnp.where(act, jnp.where(is0, h00, newH0), h0p[...])
+        ltp[...] = jnp.where(act, jnp.where(is0, 0, newlt), ltp[...])
+
+    jax.lax.fori_loop(0, prm.chunk, diag_body, None)
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _emit():
+        res_ref[...] = jnp.where(lane == 0, h0p[...], 0)
+
+
+def build_batch_gg2_call(prm: BatchGg2Params, with_cigar: bool = True,
+                         interpret: bool = False):
+    R = prm.n_rows
+    shape = (R, 128)
+    chunk = prm.chunk
+    assert CHUNK % chunk == 0
+    n_steps = (prm.n_diag + chunk - 1) // chunk
+    scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(8)]
+    kernel = functools.partial(_batch_gg2_kernel, prm, with_cigar)
+
+    def wrap(*refs):
+        kernel(refs)
+
+    out_shape = [jax.ShapeDtypeStruct(shape, jnp.int32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    if with_cigar:
+        out_shape.append(jax.ShapeDtypeStruct(
+            (n_steps * chunk, R, 128), jnp.int8))
+        out_specs.append(pl.BlockSpec(
+            (chunk, R, 128), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM))
+
+    return pl.pallas_call(
+        wrap,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # qlp
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # tlp
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # wp
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # target
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # profiles
+            pl.BlockSpec((R, CHUNK), lambda i: (0, (i * chunk) // CHUNK),
+                         memory_space=pltpu.VMEM),                 # qinj
+        ],
+        out_shape=out_shape,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )
+
+
+__all__ = ["BatchGg2Params", "build_batch_gg2_call"]

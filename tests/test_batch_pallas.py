@@ -410,3 +410,27 @@ def test_extf_batch_matches_spec(xdrop, banded):
         got = [int(out[k][i]) for k in ("score", "max", "max_t", "max_q")]
         assert got == [want.score, want.max, want.max_t, want.max_q], i
         assert bool(out["zdropped"][i]) == want.zdropped, i
+
+
+@pytest.mark.parametrize("banded,with_cigar", [(False, True), (True, True),
+                                               (True, False)])
+def test_gg2_batch_matches_spec(banded, with_cigar):
+    """Batched banded global alignment: scores + byte-identical CIGARs."""
+    from ksw2_tpu.ops.batch_pallas import gg2_batch_align
+    B = 6
+    rng = np.random.default_rng(111 + banded + with_cigar)
+    pairs, Q, T, qlen, tlen = _make_batch(111 + banded, B)
+    mat = simple_mat(5, 2, 4)
+    if banded:
+        wv = np.maximum(qlen - tlen + 2,
+                        rng.integers(12, 60, B)).astype(np.int32)
+    else:
+        wv = np.maximum(qlen, tlen).astype(np.int32)
+    out = gg2_batch_align(Q, T, qlen, tlen, 5, mat, 4, 2, wv,
+                          with_cigar=with_cigar, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        ws, wcig, _ = diagdiff.gg2_sse(q, t, 5, mat, 4, 2, w=int(wv[i]))
+        score, cig = out[i]
+        assert score == ws, (i, score, ws)
+        if with_cigar:
+            assert cig == wcig, i
