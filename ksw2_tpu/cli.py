@@ -130,6 +130,79 @@ def print_aln(tname: str, qname: str, ez: ExtzResult, out=None) -> None:
     print("\t".join(fields), file=out if out is not None else sys.stdout)
 
 
+def _batch_other(args, pairs, mat, q, e, flag, kw):
+    """Whole-file batched dispatch for gg2/extf/exts; pairs the batched
+    engines cannot take (long targets, gg2's block-overrun shape) fall
+    back to the per-pair dispatch."""
+    import numpy as np
+
+    from .core.matrix import encode_dna
+
+    enc = [(encode_dna(qrec.seq), encode_dna(trec.seq))
+           for trec, qrec in pairs]
+    n = len(enc)
+    results: List[Optional[ExtzResult]] = [None] * n
+    wv = [args.w if args.w >= 0 else max(len(qs), len(ts))
+          for qs, ts in enc]
+    elig = []
+    for i, (qs, ts) in enumerate(enc):
+        ok = 0 < len(ts) <= 512 and len(qs) > 0
+        if args.algo == "gg2_sse":
+            ok = ok and len(qs) <= len(ts) + wv[i]
+        elig.append(ok)
+
+    idxs = [i for i in range(n) if elig[i]]
+    if idxs:
+        B = len(idxs)
+        Lq = max(len(enc[i][0]) for i in idxs)
+        Lt = max(len(enc[i][1]) for i in idxs)
+        Q = np.zeros((B, Lq), np.int32)
+        T = np.zeros((B, Lt), np.int32)
+        qlen = np.zeros(B, np.int32)
+        tlen = np.zeros(B, np.int32)
+        wb_ = np.zeros(B, np.int32)
+        for k, i in enumerate(idxs):
+            qs, ts = enc[i]
+            Q[k, :len(qs)] = qs
+            T[k, :len(ts)] = ts
+            qlen[k], tlen[k], wb_[k] = len(qs), len(ts), wv[i]
+        if args.algo == "gg2_sse":
+            from .ops.batch_pallas import gg2_batch_align
+            outs = gg2_batch_align(Q, T, qlen, tlen, 5, mat, q, e, wb_)
+            for k, i in enumerate(idxs):
+                ez = ExtzResult()
+                ez.reset()
+                ez.score, ez.cigar = outs[k][0], outs[k][1]
+                ez.max, ez.max_t, ez.max_q = 0, -1, -1
+                results[i] = ez
+        elif args.algo == "extf2_sse":
+            from .ops.batch_pallas import extf_batch_device
+            out = extf_batch_device(Q, T, qlen, tlen, int(mat[0]),
+                                    int(mat[1]), e, w=wb_,
+                                    xdrop=args.zdrop)
+            for k, i in enumerate(idxs):
+                ez = ExtzResult()
+                ez.reset()
+                for f in ("max", "max_t", "max_q", "score"):
+                    setattr(ez, f, int(out[f][k]))
+                ez.zdropped = bool(out["zdropped"][k])
+                results[i] = ez
+        else:   # exts2_sse
+            from .core.matrix import simple_mat
+            from .ops.batch_pallas import exts_batch_align
+            smat = simple_mat(5, 1, -2)
+            ezs = exts_batch_align(Q, T, qlen, tlen, 5, smat, 2, 1, 32, 4,
+                                   zdrop=args.zdrop,
+                                   flag=flag | Flag.SPLICE_FOR)
+            for k, i in enumerate(idxs):
+                results[i] = ezs[k]
+    for i in range(n):
+        if results[i] is None:
+            results[i] = dispatch(args.algo, pairs[i][1].seq,
+                                  pairs[i][0].seq, **kw)
+    return results
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     ap = argparse.ArgumentParser(
         prog="ksw2-tpu", add_help=True,
@@ -198,19 +271,25 @@ def main(argv: Optional[List[str]] = None) -> int:
         pairs = [(trec, qrec) for qrec in read_fastx(args.query)
                  for trec in targets]
 
-    if args.backend == "batch" and args.algo in ("extz2_sse", "extd2_sse"):
-        # whole-file batched dispatch through the scheduler
-        from .batch.scheduler import AlignJob, align_batch
+    batch_algos = ("extz2_sse", "extd2_sse", "gg2_sse", "extf2_sse",
+                   "exts2_sse")
+    if args.backend == "batch" and args.algo in batch_algos:
+        # whole-file batched dispatch
         from .core.matrix import encode_dna, simple_mat
 
-        jobs = [AlignJob(encode_dna(qrec.seq), encode_dna(trec.seq),
-                         w=args.w) for trec, qrec in pairs]
-        two = args.algo == "extd2_sse"
         mat = simple_mat(5, args.a, -args.b)
-        for _ in range(args.rep):
-            ezs = align_batch(jobs, 5, mat, q, e,
-                              q2=q2 if two else None, e2=e2 if two else None,
-                              zdrop=args.zdrop, flag=flag)
+        if args.algo in ("extz2_sse", "extd2_sse"):
+            from .batch.scheduler import AlignJob, align_batch
+            jobs = [AlignJob(encode_dna(qrec.seq), encode_dna(trec.seq),
+                             w=args.w) for trec, qrec in pairs]
+            two = args.algo == "extd2_sse"
+            for _ in range(args.rep):
+                ezs = align_batch(jobs, 5, mat, q, e,
+                                  q2=q2 if two else None,
+                                  e2=e2 if two else None,
+                                  zdrop=args.zdrop, flag=flag)
+        else:
+            ezs = _batch_other(args, pairs, mat, q, e, flag, kw)
         for (trec, qrec), ez in zip(pairs, ezs):
             print_aln(trec.name, qrec.name, ez)
         return 0

@@ -94,3 +94,17 @@ def test_cli_tpu_backend_matches_golden(tmp_path):
         capture_output=True, text=True, check=True,
         cwd="/root/repo").stdout
     assert out == ref and out.strip()
+
+
+@pytest.mark.parametrize("algo,extra", [
+    ("gg2_sse", ["-w", "30"]),
+    ("extf2_sse", ["-z", "40"]),
+    ("exts2_sse", ["-z", "100"]),
+])
+def test_cli_batch_backend_other_algos(algo, extra):
+    """--backend batch output is byte-identical to --backend spec for the
+    non-extension algos too (gg2/extf/exts)."""
+    base = ["-t", algo] + extra + [f"{TDIR}/t1.fa", f"{TDIR}/q1.fa"]
+    want = run_cli(["--backend", "spec"] + base)
+    got = run_cli(["--backend", "batch"] + base)
+    assert got == want
