@@ -123,6 +123,90 @@ def sharded_extz_scores_pallas(mesh: Mesh, query, target, qlen, tlen, w,
     return {k: stacked[i] for i, k in enumerate(_FIELDS)}
 
 
+def sharded_extd_scores_pallas(mesh: Mesh, query, target, qlen, tlen, w,
+                               m, mat, q, e, q2, e2, zdrop=-1,
+                               interpret: bool = False):
+    """Shard the two-piece batch engine over the mesh (score-only)."""
+    import numpy as np_
+    from ..core.flags import Flag
+    from ..ops import wavefront_batch as wb
+    from ..ops.batch_pallas import _cached_run_extd, _extd_batch_params
+
+    axis = mesh.axis_names[0]
+    n_shards = mesh.devices.size
+    B, Lq = query.shape
+    Lt = target.shape[1]
+    assert B % n_shards == 0, "pad the batch to the mesh size"
+    Bs = B // n_shards
+    Pp = 1 if Lt <= 128 else (2 if Lt <= 256 else 4)
+    assert (Bs * Pp) % 8 == 0, "pad the batch so each shard rows %% 8 == 0"
+    qlen_h = np_.asarray(qlen)
+    tlen_h = np_.asarray(tlen)
+    prm, _, _ = _extd_batch_params(
+        Bs, Lq, qlen_h, tlen_h, m, np_.asarray(mat), q, e, q2, e2, zdrop,
+        int(Flag.SCORE_ONLY), wb.CHUNK, Pp)
+    run = _cached_run_extd(prm, interpret)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(None, axis),
+        check_rep=False,
+    )
+    def _run(Q, T, ql, tl, wv):
+        res = run(Q, T, ql, tl, wv)
+        return res.T[:, :, None].reshape(res.shape[1], -1)
+
+    stacked = _run(query, target, qlen, tlen, w)
+    return {k: stacked[i] for i, k in enumerate(_FIELDS)}
+
+
+def sharded_band_scores(mesh: Mesh, query, target, qlen, tlen, w,
+                        m, mat, q, e, zdrop=-1, interpret: bool = False):
+    """Shard the band-relative long-pair engine over the mesh."""
+    import numpy as np_
+    from ..core.flags import Flag
+    from ..ops import wavefront_band as wband
+    from ..ops import wavefront_batch as wb
+    from ..ops.band_batch import _cached_run_band, _pick_p
+
+    axis = mesh.axis_names[0]
+    n_shards = mesh.devices.size
+    B, Lq = query.shape
+    assert B % n_shards == 0, "pad the batch to the mesh size"
+    Bs = B // n_shards
+    w_h = np_.asarray(w)
+    W = int(w_h.max())
+    Pp = _pick_p(W)
+    assert (Bs * Pp) % 8 == 0, "pad the batch so each shard rows %% 8 == 0"
+    qlen_h = np_.asarray(qlen)
+    tlen_h = np_.asarray(tlen)
+    mat = np_.asarray(mat, dtype=np_.int8).reshape(-1)
+    sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+    n_diag = int((qlen_h + tlen_h).max()) - 1
+    n_diag = max((n_diag + wb.CHUNK - 1) // wb.CHUNK * wb.CHUNK, wb.CHUNK)
+    prm = wband.BandParams(
+        n_rows=Bs * Pp, n_diag=n_diag, m=m,
+        sc_mch=int(mat[0]), sc_mis=int(mat[1]), sc_N=sc_N,
+        q=int(q), e=int(e), w=W, zdrop=int(zdrop),
+        flag=int(Flag.SCORE_ONLY), p=Pp,
+    )
+    run = _cached_run_band(prm, interpret)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(None, axis),
+        check_rep=False,
+    )
+    def _run(Q, T, ql, tl, wv):
+        res = run(Q, T, ql, tl, wv)
+        return res.T[:, :, None].reshape(res.shape[1], -1)
+
+    stacked = _run(query, target, qlen, tlen, w)
+    return {k: stacked[i] for i, k in enumerate(_FIELDS)}
+
+
 def pad_batch_for_mesh(arrays, n_shards: int):
     """Pad the leading batch dim of each array to a multiple of n_shards."""
     B = arrays[0].shape[0]
@@ -137,4 +221,5 @@ def pad_batch_for_mesh(arrays, n_shards: int):
 
 
 __all__ = ["init_distributed", "make_mesh", "sharded_extz_scores",
-           "sharded_extz_scores_pallas", "pad_batch_for_mesh"]
+           "sharded_extz_scores_pallas", "sharded_extd_scores_pallas",
+           "sharded_band_scores", "pad_batch_for_mesh"]

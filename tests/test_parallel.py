@@ -64,3 +64,78 @@ def test_sharded_pallas_engine_matches_spec():
                                flag=Flag.SCORE_ONLY)
         assert int(out["score"][i]) == ez.score, i
         assert int(out["max"][i]) == ez.max, i
+
+
+def test_sharded_extd_engine_matches_spec():
+    import jax.numpy as jnp
+    import refcmp
+    from ksw2_tpu.core.flags import Flag
+    from ksw2_tpu.core.matrix import encode_dna, simple_mat
+    from ksw2_tpu.parallel.mesh import make_mesh, sharded_extd_scores_pallas
+    from ksw2_tpu.spec import diagdiff
+
+    rng = np.random.default_rng(5)
+    B = 64
+    pairs = []
+    for _ in range(B):
+        tlen = int(rng.integers(8, 120))
+        t, q = refcmp.random_pair(rng, tlen, divergence=0.25, indel=0.1)
+        pairs.append((encode_dna(q), encode_dna(t)))
+    Lq = max(len(q) for q, t in pairs)
+    Q = np.zeros((B, Lq), np.int8)
+    T = np.zeros((B, 128), np.int8)
+    qlen = np.zeros(B, np.int32)
+    tlen = np.zeros(B, np.int32)
+    for i, (q, t) in enumerate(pairs):
+        Q[i, : len(q)] = q
+        T[i, : len(t)] = t
+        qlen[i], tlen[i] = len(q), len(t)
+    w = np.maximum(qlen, tlen)
+    mat = simple_mat(5, 2, 4)
+    out = sharded_extd_scores_pallas(
+        make_mesh(8), jnp.asarray(Q), jnp.asarray(T), jnp.asarray(qlen),
+        jnp.asarray(tlen), jnp.asarray(w), 5, mat, 4, 2, 13, 1, zdrop=50,
+        interpret=True)
+    for i, (q, t) in enumerate(pairs[:16]):
+        ez, _ = diagdiff.extd2(q, t, 5, mat, 4, 2, 13, 1, w=-1, zdrop=50,
+                               flag=Flag.SCORE_ONLY)
+        assert int(out["score"][i]) == ez.score, i
+        assert int(out["max"][i]) == ez.max, i
+
+
+def test_sharded_band_engine_matches_spec():
+    import jax.numpy as jnp
+    import refcmp
+    from ksw2_tpu.core.flags import Flag
+    from ksw2_tpu.core.matrix import encode_dna, simple_mat
+    from ksw2_tpu.parallel.mesh import make_mesh, sharded_band_scores
+    from ksw2_tpu.spec import diagdiff
+
+    rng = np.random.default_rng(7)
+    B = 64
+    pairs = []
+    for _ in range(B):
+        tlen = int(rng.integers(60, 140))
+        t, q = refcmp.random_pair(rng, tlen, divergence=0.15, indel=0.08)
+        pairs.append((encode_dna(q), encode_dna(t)))
+    Lq = max(len(q) for q, t in pairs)
+    Lt = max(len(t) for q, t in pairs)
+    Q = np.zeros((B, Lq), np.int8)
+    T = np.zeros((B, Lt), np.int8)
+    qlen = np.zeros(B, np.int32)
+    tlen = np.zeros(B, np.int32)
+    for i, (q, t) in enumerate(pairs):
+        Q[i, : len(q)] = q
+        T[i, : len(t)] = t
+        qlen[i], tlen[i] = len(q), len(t)
+    w = rng.integers(10, 60, B).astype(np.int32)
+    mat = simple_mat(5, 2, 4)
+    out = sharded_band_scores(
+        make_mesh(8), jnp.asarray(Q), jnp.asarray(T), jnp.asarray(qlen),
+        jnp.asarray(tlen), jnp.asarray(w), 5, mat, 4, 2, zdrop=60,
+        interpret=True)
+    for i, (q, t) in enumerate(pairs[:16]):
+        ez, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, w=int(w[i]), zdrop=60,
+                               flag=Flag.SCORE_ONLY)
+        assert int(out["score"][i]) == ez.score, i
+        assert int(out["max"][i]) == ez.max, i
