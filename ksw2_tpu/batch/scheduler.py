@@ -182,9 +182,11 @@ def align_batch(
         batchable = (Lt <= 512
                      and not (flag & Flag.EXTZ_ONLY)
                      and (score_only or not (flag & Flag.APPROX_MAX)))
-        # long banded score-only two-piece buckets ride the band engine
-        band_ok = (two_piece and score_only and Lt > 512
+        # long banded buckets ride the band engines (scores and CIGARs;
+        # CIGAR mode has no approx variant)
+        band_ok = (Lt > 512
                    and not (flag & (Flag.GENERIC_SC | Flag.EXTZ_ONLY))
+                   and (score_only or not (flag & Flag.APPROX_MAX))
                    and all(1 <= jobs[i].w <= 960 for i in idxs)
                    and int(mat[0]) * min(
                        max(len(jobs[i].query) for i in idxs),
@@ -203,17 +205,33 @@ def align_batch(
                 qlen[k] = len(job.query)
                 tlen[k] = len(job.target)
                 wv[k] = job.w
-            from ..ops.band_batch import extd_band_batch_device
-            out = extd_band_batch_device(Q, T, qlen, tlen, m, mat, q, e,
-                                         q2, e2, wv, zdrop=zdrop, flag=flag)
-            for k, i in enumerate(idxs):
-                ez = ExtzResult()
-                ez.reset()
-                for f in ("max", "max_t", "max_q", "mqe", "mqe_t",
-                          "mte", "mte_q", "score"):
-                    setattr(ez, f, int(out[f][k]))
-                ez.zdropped = bool(out["zdropped"][k])
-                results[i] = ez
+            if two_piece and score_only:
+                from ..ops.band_batch import extd_band_batch_device
+                out = extd_band_batch_device(Q, T, qlen, tlen, m, mat, q, e,
+                                             q2, e2, wv, zdrop=zdrop,
+                                             flag=flag)
+                for k, i in enumerate(idxs):
+                    ez = ExtzResult()
+                    ez.reset()
+                    for f in ("max", "max_t", "max_q", "mqe", "mqe_t",
+                              "mte", "mte_q", "score"):
+                        setattr(ez, f, int(out[f][k]))
+                    ez.zdropped = bool(out["zdropped"][k])
+                    results[i] = ez
+            elif two_piece:
+                from ..ops.band_batch import extd_band_batch_align
+                ezs = extd_band_batch_align(Q, T, qlen, tlen, m, mat, q, e,
+                                            q2, e2, wv, zdrop=zdrop,
+                                            end_bonus=end_bonus, flag=flag)
+                for k, i in enumerate(idxs):
+                    results[i] = ezs[k]
+            else:
+                from ..ops.band_batch import extz_band_batch_align
+                ezs = extz_band_batch_align(Q, T, qlen, tlen, m, mat, q, e,
+                                            wv, zdrop=zdrop,
+                                            end_bonus=end_bonus, flag=flag)
+                for k, i in enumerate(idxs):
+                    results[i] = ezs[k]
         elif batchable:
             B = len(idxs)
             Q = np.zeros((B, Lq), np.int32)

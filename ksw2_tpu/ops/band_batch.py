@@ -59,12 +59,12 @@ def _tinj_layout(n_steps: int, n_diag: int, W: int, P: int):
     return IDX, MASK
 
 
-def _make_band_run(call, prm):
+def _make_band_run(call, prm, with_cigar=False):
     R, n_diag, P, W = prm.n_rows, prm.n_diag, prm.p, prm.w
     B = R // P
-    n_steps = (n_diag + prm.chunk - 1) // prm.chunk
+    n_steps128 = (n_diag + wb.CHUNK - 1) // wb.CHUNK   # tinj is CHUNK-blocked
     orgv = wband.org_schedule(n_diag, W)
-    IDX, MASK = _tinj_layout(n_steps, n_diag, W, P)
+    IDX, MASK = _tinj_layout(n_steps128, n_diag, W, P)
     t_need = int(orgv[-1]) + P * 128       # highest target index gathered
 
     def run(query, target, qlen, tlen, w):
@@ -98,22 +98,27 @@ def _make_band_run(call, prm):
                          tpad[:, jnp.asarray(IDX)], 0)
         tinj = jnp.repeat(tinj, P, axis=0)
         out = call(qlp, tlp, wpl, rlp, tinit, qinj, tinj)
+        if with_cigar:
+            return out[0][::P, :wb.NFIELDS], out[1]
         return out[0][::P, :wb.NFIELDS]
 
     return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=64)
-def _cached_run_band(prm: wband.BandParams, interpret: bool):
-    return _make_band_run(wband.build_band_call(prm, interpret=interpret),
-                          prm)
+def _cached_run_band(prm: wband.BandParams, interpret: bool,
+                     with_cigar: bool = False):
+    return _make_band_run(
+        wband.build_band_call(prm, with_cigar, interpret=interpret),
+        prm, with_cigar)
 
 
 @functools.lru_cache(maxsize=64)
-def _cached_run_band_extd(prm, interpret: bool):
+def _cached_run_band_extd(prm, interpret: bool, with_cigar: bool = False):
     from . import wavefront_band_extd as wbe
-    return _make_band_run(wbe.build_band_extd_call(prm, interpret=interpret),
-                          prm)
+    return _make_band_run(
+        wbe.build_band_extd_call(prm, with_cigar, interpret=interpret),
+        prm, with_cigar)
 
 
 def extz_band_batch_device(
@@ -216,6 +221,148 @@ def extz_band_batch_device(
                 -1 if k.endswith(("_t", "_q")) else NEG_INF)
         out["max_t"][:] = -1
         out["max_q"][:] = -1
+    return out
+
+
+def extz_band_batch_align(
+    query: np.ndarray,
+    target: np.ndarray,
+    qlen: np.ndarray,
+    tlen: np.ndarray,
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    w: np.ndarray,
+    zdrop: int = -1,
+    end_bonus: int = 0,
+    flag: Flag | int = Flag.NONE,
+    interpret: bool = False,
+):
+    """Batched banded one-piece extension WITH CIGARs for long pairs.
+
+    Direction planes are stored band-relative and walked by the native
+    backtrack with per-diagonal ``store_off = org(r)``.
+    """
+    from ..core.result import ExtzResult
+    from ..native.bindings import backtrack
+
+    flag = Flag(int(flag))
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    if flag & (Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.GENERIC_SC):
+        raise ValueError("use extz_band_batch_device for score batches")
+    B, Lq = query.shape
+    Bt, Lt = target.shape
+    assert B == Bt
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    w = np.asarray(w, np.int32)
+    if B == 0:
+        return []
+    if w.min() < 1:
+        raise ValueError("band engine needs per-pair w >= 1")
+    W = int(w.max())
+    P = _pick_p(W)
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    hmax = int(mat[0]) * int(min(qlen.max(), tlen.max()))
+    if hmax >= (1 << 17):
+        raise ValueError("scores too large for the packed banded argmax")
+
+    RMAX = 256 // P          # direction planes bound VMEM harder
+    if B > RMAX:
+        out = []
+        for i in range(0, B, RMAX):
+            out.extend(extz_band_batch_align(
+                query[i:i + RMAX], target[i:i + RMAX], qlen[i:i + RMAX],
+                tlen[i:i + RMAX], m, mat, q, e, w[i:i + RMAX], zdrop,
+                end_bonus, flag, interpret))
+        return out
+
+    sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+    min_sc = int(mat[1:].min())
+    if -min_sc > 2 * (q + e):
+        out = []
+        for _ in range(B):
+            ez = ExtzResult()
+            ez.reset()
+            out.append(ez)
+        return out
+
+    Bp = max(B, 1)
+    while (Bp * P) % 8:
+        Bp += 1
+    R = Bp * P
+    n_diag = int((qlen + tlen).max()) - 1 if B else 1
+    n_diag = max(round_up(n_diag, wb.CHUNK), wb.CHUNK)
+
+    prm = wband.BandParams(
+        n_rows=R, n_diag=n_diag, m=m,
+        sc_mch=int(mat[0]), sc_mis=int(mat[1]), sc_N=sc_N,
+        q=int(q), e=int(e), w=W, zdrop=int(zdrop), flag=int(flag),
+        chunk=32, p=P,
+    )
+    run = _cached_run_band(prm, interpret, True)
+
+    qpad = np.zeros((Bp, Lq), np.int8)
+    qpad[:B] = np.asarray(query, np.int8)
+    tpad = np.zeros((Bp, Lt), np.int8)
+    tpad[:B] = np.asarray(target, np.int8)
+    lens = np.zeros((3, Bp), np.int32)
+    lens[0, :B], lens[1, :B], lens[2, :B] = qlen, tlen, w
+    lens[2, B:] = 1
+
+    res, p = run(jnp.asarray(qpad), jnp.asarray(tpad),
+                 jnp.asarray(lens[0]), jnp.asarray(lens[1]),
+                 jnp.asarray(lens[2]))
+    res = np.asarray(res)[:B]
+    p = np.asarray(p)
+
+    orgv = wband.org_schedule(n_diag, W)
+    rr = np.arange(n_diag, dtype=np.int64)[None, :]
+    st0 = np.maximum(0, np.maximum(rr - qlen[:, None] + 1,
+                                   (rr - w[:, None] + 1) >> 1))
+    en0 = np.minimum(tlen[:, None] - 1,
+                     np.minimum(rr, (rr + w[:, None]) >> 1))
+    stb = (st0 // 16 * 16).astype(np.int32)
+    enb = ((en0 + 16) // 16 * 16 - 1).astype(np.int32)
+
+    out = []
+    rev = bool(flag & Flag.REV_CIGAR)
+    for b in range(B):
+        ez = ExtzResult()
+        ez.reset()
+        ez.max = int(res[b, wb.F_MAX])
+        ez.max_t = int(res[b, wb.F_MAXT])
+        ez.max_q = int(res[b, wb.F_MAXQ])
+        ez.mqe = int(res[b, wb.F_MQE])
+        ez.mqe_t = int(res[b, wb.F_MQET])
+        ez.mte = int(res[b, wb.F_MTE])
+        ez.mte_q = int(res[b, wb.F_MTEQ])
+        ez.score = int(res[b, wb.F_SCORE])
+        ez.zdropped = bool(res[b, wb.F_ZDROP])
+        qln, tln = int(qlen[b]), int(tlen[b])
+        if qln <= 0 or tln <= 0:
+            out.append(ez)
+            continue
+        if not ez.zdropped and not (flag & Flag.EXTZ_ONLY):
+            i0, j0 = tln - 1, qln - 1
+        elif (not ez.zdropped and (flag & Flag.EXTZ_ONLY)
+              and ez.mqe + end_bonus > ez.max):
+            ez.reach_end = True
+            i0, j0 = ez.mqe_t, qln - 1
+        elif ez.max_t >= 0 and ez.max_q >= 0:
+            i0, j0 = ez.max_t, ez.max_q
+        else:
+            out.append(ez)
+            continue
+        nd = qln + tln - 1
+        pmat = np.ascontiguousarray(
+            p[:nd, b * P:(b + 1) * P, :]).reshape(nd, P * 128)
+        ez.cigar = backtrack(
+            pmat, stb[b, :nd], enb[b, :nd], P * 128, i0, j0,
+            is_rot=True, is_rev=rev, store_off=orgv[:nd])
+        out.append(ez)
     return out
 
 
@@ -337,4 +484,161 @@ def extd_band_batch_device(
     return out
 
 
-__all__ = ["extz_band_batch_device", "extd_band_batch_device"]
+def extd_band_batch_align(
+    query: np.ndarray,
+    target: np.ndarray,
+    qlen: np.ndarray,
+    tlen: np.ndarray,
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    q2: int,
+    e2: int,
+    w: np.ndarray,
+    zdrop: int = -1,
+    end_bonus: int = 0,
+    flag: Flag | int = Flag.NONE,
+    interpret: bool = False,
+):
+    """Batched banded two-piece extension WITH CIGARs for long pairs."""
+    from ..core import cigar as cigarmod
+    from ..core.result import ExtzResult
+    from ..native.bindings import backtrack
+    from ..spec.common import c_div
+    from . import wavefront_band_extd as wbe
+
+    flag = Flag(int(flag))
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    if flag & (Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.GENERIC_SC):
+        raise ValueError("use extd_band_batch_device for score batches")
+    B, Lq = query.shape
+    Bt, Lt = target.shape
+    assert B == Bt
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    w = np.asarray(w, np.int32)
+    if B == 0:
+        return []
+    if w.min() < 1:
+        raise ValueError("band engine needs per-pair w >= 1")
+    W = int(w.max())
+    P = _pick_p(W)
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    hmax = int(mat[0]) * int(min(qlen.max(), tlen.max()))
+    if hmax >= (1 << 17):
+        raise ValueError("scores too large for the packed banded argmax")
+
+    RMAX = 256 // P
+    if B > RMAX:
+        out = []
+        for i in range(0, B, RMAX):
+            out.extend(extd_band_batch_align(
+                query[i:i + RMAX], target[i:i + RMAX], qlen[i:i + RMAX],
+                tlen[i:i + RMAX], m, mat, q, e, q2, e2, w[i:i + RMAX],
+                zdrop, end_bonus, flag, interpret))
+        return out
+
+    q, e, q2, e2 = int(q), int(e), int(q2), int(e2)
+    qe_pre_swap = q + e
+    if q2 + e2 < q + e:
+        q, q2 = q2, q
+        e, e2 = e2, e
+    long_thres = c_div(q2 - q, e - e2) - 1 if e != e2 else 0
+    if q2 + e2 + long_thres * e2 > q + e + long_thres * e:
+        long_thres += 1
+    long_diff = long_thres * (e - e2) - (q2 - q) - e2
+    sc_N = -e2 if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+    min_sc = int(mat[1:].min())
+    if -min_sc > 2 * (q + e):
+        out = []
+        for _ in range(B):
+            ez = ExtzResult()
+            ez.reset()
+            out.append(ez)
+        return out
+
+    Bp = max(B, 1)
+    while (Bp * P) % 8:
+        Bp += 1
+    R = Bp * P
+    n_diag = int((qlen + tlen).max()) - 1 if B else 1
+    n_diag = max(round_up(n_diag, wb.CHUNK), wb.CHUNK)
+
+    prm = wbe.BandExtdParams(
+        n_rows=R, n_diag=n_diag, m=m,
+        sc_mch=int(mat[0]), sc_mis=int(mat[1]), sc_N=sc_N,
+        q=q, e=e, q2=q2, e2=e2, qe_pre_swap=qe_pre_swap,
+        long_thres=int(long_thres), long_diff=int(long_diff),
+        w=W, zdrop=int(zdrop), flag=int(flag), chunk=32, p=P,
+    )
+    run = _cached_run_band_extd(prm, interpret, True)
+
+    qpad = np.zeros((Bp, Lq), np.int8)
+    qpad[:B] = np.asarray(query, np.int8)
+    tpad = np.zeros((Bp, Lt), np.int8)
+    tpad[:B] = np.asarray(target, np.int8)
+    lens = np.zeros((3, Bp), np.int32)
+    lens[0, :B], lens[1, :B], lens[2, :B] = qlen, tlen, w
+    lens[2, B:] = 1
+
+    res, p = run(jnp.asarray(qpad), jnp.asarray(tpad),
+                 jnp.asarray(lens[0]), jnp.asarray(lens[1]),
+                 jnp.asarray(lens[2]))
+    res = np.asarray(res)[:B]
+    p = np.asarray(p)
+
+    orgv = wband.org_schedule(n_diag, W)
+    rr = np.arange(n_diag, dtype=np.int64)[None, :]
+    st0 = np.maximum(0, np.maximum(rr - qlen[:, None] + 1,
+                                   (rr - w[:, None] + 1) >> 1))
+    en0 = np.minimum(tlen[:, None] - 1,
+                     np.minimum(rr, (rr + w[:, None]) >> 1))
+    stb = (st0 // 16 * 16).astype(np.int32)
+    enb = ((en0 + 16) // 16 * 16 - 1).astype(np.int32)
+
+    out = []
+    rev = bool(flag & Flag.REV_CIGAR)
+    for b in range(B):
+        ez = ExtzResult()
+        ez.reset()
+        ez.max = int(res[b, wb.F_MAX])
+        ez.max_t = int(res[b, wb.F_MAXT])
+        ez.max_q = int(res[b, wb.F_MAXQ])
+        ez.mqe = int(res[b, wb.F_MQE])
+        ez.mqe_t = int(res[b, wb.F_MQET])
+        ez.mte = int(res[b, wb.F_MTE])
+        ez.mte_q = int(res[b, wb.F_MTEQ])
+        ez.score = int(res[b, wb.F_SCORE])
+        ez.zdropped = bool(res[b, wb.F_ZDROP])
+        qln, tln = int(qlen[b]), int(tlen[b])
+        if qln <= 0 or tln <= 0:
+            out.append(ez)
+            continue
+        if not ez.zdropped and not (flag & Flag.EXTZ_ONLY):
+            i0, j0 = tln - 1, qln - 1
+        elif (not ez.zdropped and (flag & Flag.EXTZ_ONLY)
+              and ez.mqe + end_bonus > ez.max):
+            ez.reach_end = True
+            i0, j0 = ez.mqe_t, qln - 1
+        elif ez.max_t >= 0 and ez.max_q >= 0:
+            i0, j0 = ez.max_t, ez.max_q
+        else:
+            out.append(ez)
+            continue
+        nd = qln + tln - 1
+        pmat = np.ascontiguousarray(
+            p[:nd, b * P:(b + 1) * P, :]).reshape(nd, P * 128)
+        ez.cigar = backtrack(
+            pmat, stb[b, :nd], enb[b, :nd], P * 128, i0, j0,
+            is_rot=True, is_rev=rev, store_off=orgv[:nd])
+        if (flag & Flag.EQX) and ez.cigar:
+            ez.cigar = cigarmod.to_eqx(ez.cigar, query[b][:qln],
+                                       target[b][:tln])
+        out.append(ez)
+    return out
+
+
+__all__ = ["extz_band_batch_device", "extz_band_batch_align",
+           "extd_band_batch_device", "extd_band_batch_align"]

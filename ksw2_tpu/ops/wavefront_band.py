@@ -86,17 +86,21 @@ def org_schedule(n_diag: int, w: int):
     return np.maximum(0, ((floor2 >> 4) - 1) * 16).astype(np.int32)
 
 
-def _band_kernel_body(prm: BandParams, refs):
+def _band_kernel_body(prm: BandParams, with_cigar, refs):
     from ..core.flags import Flag
     withz = prm.zdrop >= 0
     approx = bool(prm.flag & int(Flag.APPROX_MAX))
     withad = approx and bool(prm.flag & int(Flag.APPROX_DROP))
+    right = bool(prm.flag & int(Flag.RIGHT))
     refs = list(refs)
-    (qlp_ref, tlp_ref, wp_ref, rlim_ref, tinit_ref, qinj_ref, tinj_ref,
-     res_ref,
-     u, v, x, y, s, Q, T, H,
-     mxp, mtp, mqp, zdp, MQ, MQR, MT, MTR, SC) = refs[:25]
-    h0p, ltp = (refs[25], refs[26]) if approx else (None, None)
+    (qlp_ref, tlp_ref, wp_ref, rlim_ref, tinit_ref, qinj_ref,
+     tinj_ref) = refs[:7]
+    rest = refs[7:]
+    res_ref = rest.pop(0)
+    p_ref = rest.pop(0) if with_cigar else None
+    (u, v, x, y, s, Q, T, H,
+     mxp, mtp, mqp, zdp, MQ, MQR, MT, MTR, SC) = rest[:17]
+    h0p, ltp = (rest[17], rest[18]) if approx else (None, None)
 
     qe = prm.q + prm.e
     R = prm.n_rows
@@ -256,7 +260,18 @@ def _band_kernel_body(prm: BandParams, refs):
         a = (xs + vs) & 255
         b = (yt + ut) & 255
         ab = a ^ 128
+        if with_cigar:
+            if not right:
+                d = jnp.where(ab > sn, 1, 0)
+            else:
+                d = jnp.where(sn > ab, 0, 1)
         zb = jnp.maximum(sn, ab)                  # signed epi8 max (biased)
+        if with_cigar:
+            bb = b ^ 128
+            if not right:
+                d = jnp.where(bb > zb, 2, d)
+            else:
+                d = jnp.where(zb > bb, d, 2)
         z = zb ^ 128
         z = jnp.maximum(z, b)                     # max_epu8
         z = jnp.minimum(z, clamp)                 # min_epu8 vs constant
@@ -267,6 +282,14 @@ def _band_kernel_body(prm: BandParams, refs):
         bn = (b - z2) & 255
         anb = an ^ 128
         bnb = bn ^ 128
+        if with_cigar:
+            if not right:
+                ta, tb = anb > 128, bnb > 128
+            else:
+                ta = jnp.logical_not(anb < 128)
+                tb = jnp.logical_not(bnb < 128)
+            d = d | jnp.where(ta, 0x08, 0) | jnp.where(tb, 0x10, 0)
+            p_ref[pl.ds(rr, 1)] = d.astype(jnp.int8)[None]
         bmask = act & (jb >= stb) & (jb <= enb)
         un = jnp.where(bmask, unew, u[...])
         vn = jnp.where(bmask, vnew, v[...])
@@ -415,7 +438,8 @@ def _band_kernel_body(prm: BandParams, refs):
         res_ref[...] = out
 
 
-def build_band_call(prm: BandParams, interpret: bool = False):
+def build_band_call(prm: BandParams, with_cigar: bool = False,
+                    interpret: bool = False):
     R = prm.n_rows
     shape = (R, 128)
     chunk = prm.chunk
@@ -425,10 +449,19 @@ def build_band_call(prm: BandParams, interpret: bool = False):
     from ..core.flags import Flag as _F
     n_scr = 17 + (2 if prm.flag & int(_F.APPROX_MAX) else 0)
     scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(n_scr)]
-    kernel = functools.partial(_band_kernel_body, prm)
+    kernel = functools.partial(_band_kernel_body, prm, with_cigar)
 
     def wrap(*refs):
         kernel(refs)
+
+    out_shape = [jax.ShapeDtypeStruct(shape, jnp.int32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    if with_cigar:
+        out_shape.append(jax.ShapeDtypeStruct(
+            (n_steps * chunk, R, 128), jnp.int8))
+        out_specs.append(pl.BlockSpec(
+            (chunk, R, 128), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM))
 
     return pl.pallas_call(
         wrap,
@@ -444,8 +477,8 @@ def build_band_call(prm: BandParams, interpret: bool = False):
             pl.BlockSpec((R, 128), lambda i: (0, (i * chunk) // CHUNK),
                          memory_space=pltpu.VMEM),                 # tinj
         ],
-        out_shape=[jax.ShapeDtypeStruct(shape, jnp.int32)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_shape=out_shape,
+        out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(

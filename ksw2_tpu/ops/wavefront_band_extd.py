@@ -54,17 +54,21 @@ class BandExtdParams(NamedTuple):
     p: int = 1
 
 
-def _band_extd_kernel_body(prm: BandExtdParams, refs):
+def _band_extd_kernel_body(prm: BandExtdParams, with_cigar, refs):
     from ..core.flags import Flag
     withz = prm.zdrop >= 0
     approx = bool(prm.flag & int(Flag.APPROX_MAX))
     withad = approx and bool(prm.flag & int(Flag.APPROX_DROP))
+    right = bool(prm.flag & int(Flag.RIGHT))
     refs = list(refs)
-    (qlp_ref, tlp_ref, wp_ref, rlim_ref, tinit_ref, qinj_ref, tinj_ref,
-     res_ref,
-     u, v, x, y, x2, y2, s, Q, T, H,
-     mxp, mtp, mqp, zdp, MQ, MQR, MT, MTR, SC) = refs[:27]
-    h0p, ltp = (refs[27], refs[28]) if approx else (None, None)
+    (qlp_ref, tlp_ref, wp_ref, rlim_ref, tinit_ref, qinj_ref,
+     tinj_ref) = refs[:7]
+    rest = refs[7:]
+    res_ref = rest.pop(0)
+    p_ref = rest.pop(0) if with_cigar else None
+    (u, v, x, y, x2, y2, s, Q, T, H,
+     mxp, mtp, mqp, zdp, MQ, MQR, MT, MTR, SC) = rest[:19]
+    h0p, ltp = (rest[19], rest[20]) if approx else (None, None)
 
     qe, qe2 = prm.q + prm.e, prm.q2 + prm.e2
     R = prm.n_rows
@@ -229,8 +233,17 @@ def _band_extd_kernel_body(prm: BandExtdParams, refs):
         a2 = (x2s + vs - BIAS) & 255
         b2 = (y2t + ut - BIAS) & 255
         z = sn
-        for cand in (a, b, a2, b2):
-            z = jnp.maximum(z, cand)
+        if with_cigar:
+            d = jnp.zeros(shape, I32)
+            for cand, code in ((a, 1), (b, 2), (a2, 3), (b2, 4)):
+                if not right:
+                    d = jnp.where(cand > z, code, d)
+                else:
+                    d = jnp.where(z > cand, d, code)
+                z = jnp.maximum(z, cand)
+        else:
+            for cand in (a, b, a2, b2):
+                z = jnp.maximum(z, cand)
         z = jnp.minimum(z, sb_mch)
         unew = (z - vs + BIAS) & 255
         vnew = (z - ut + BIAS) & 255
@@ -240,6 +253,18 @@ def _band_extd_kernel_body(prm: BandExtdParams, refs):
         bn = (b - t1 + BIAS) & 255
         a2n = (a2 - t2 + BIAS) & 255
         b2n = (b2 - t2 + BIAS) & 255
+        if with_cigar:
+            if not right:
+                ca, cb = an > BIAS, bn > BIAS
+                ca2, cb2 = a2n > BIAS, b2n > BIAS
+            else:
+                ca = jnp.logical_not(an < BIAS)
+                cb = jnp.logical_not(bn < BIAS)
+                ca2 = jnp.logical_not(a2n < BIAS)
+                cb2 = jnp.logical_not(b2n < BIAS)
+            d = d | jnp.where(ca, 0x08, 0) | jnp.where(cb, 0x10, 0)
+            d = d | jnp.where(ca2, 0x20, 0) | jnp.where(cb2, 0x40, 0)
+            p_ref[pl.ds(rr, 1)] = d.astype(jnp.int8)[None]
         bmask = act & (jb >= stb) & (jb <= enb)
         un = jnp.where(bmask, unew, u[...])
         vn = jnp.where(bmask, vnew, v[...])
@@ -390,7 +415,8 @@ def _band_extd_kernel_body(prm: BandExtdParams, refs):
         res_ref[...] = out
 
 
-def build_band_extd_call(prm: BandExtdParams, interpret: bool = False):
+def build_band_extd_call(prm: BandExtdParams, with_cigar: bool = False,
+                         interpret: bool = False):
     R = prm.n_rows
     shape = (R, 128)
     chunk = prm.chunk
@@ -400,10 +426,19 @@ def build_band_extd_call(prm: BandExtdParams, interpret: bool = False):
     from ..core.flags import Flag as _F
     n_scr = 19 + (2 if prm.flag & int(_F.APPROX_MAX) else 0)
     scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(n_scr)]
-    kernel = functools.partial(_band_extd_kernel_body, prm)
+    kernel = functools.partial(_band_extd_kernel_body, prm, with_cigar)
 
     def wrap(*refs):
         kernel(refs)
+
+    out_shape = [jax.ShapeDtypeStruct(shape, jnp.int32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    if with_cigar:
+        out_shape.append(jax.ShapeDtypeStruct(
+            (n_steps * chunk, R, 128), jnp.int8))
+        out_specs.append(pl.BlockSpec(
+            (chunk, R, 128), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM))
 
     return pl.pallas_call(
         wrap,
@@ -419,8 +454,8 @@ def build_band_extd_call(prm: BandExtdParams, interpret: bool = False):
             pl.BlockSpec((R, 128), lambda i: (0, (i * chunk) // CHUNK),
                          memory_space=pltpu.VMEM),                 # tinj
         ],
-        out_shape=[jax.ShapeDtypeStruct(shape, jnp.int32)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_shape=out_shape,
+        out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(

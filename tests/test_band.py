@@ -190,3 +190,73 @@ def test_band_via_scheduler(flag):
         want, _ = diagdiff.extd2(job.query, job.target, 5, MAT, 4, 2, 13, 1,
                                  w=job.w, zdrop=100, flag=flag)
         assert ez.tsv_fields() == want.tsv_fields()
+
+
+@pytest.mark.parametrize("zdrop,flag", [
+    (-1, Flag.NONE), (60, Flag.NONE), (60, Flag.RIGHT),
+])
+def test_band_cigar_matches_spec(zdrop, flag):
+    """Band-relative CIGAR planes + native backtrack with store_off=org."""
+    from ksw2_tpu.ops.band_batch import extz_band_batch_align
+    rng = np.random.default_rng(51 + zdrop)
+    pairs = _mk(rng, 4, 150, 450, 0.15, 0.08)
+    wv = rng.integers(10, 64, len(pairs)).astype(np.int32)
+    B = len(pairs)
+    Lq = max(len(q) for q, t in pairs)
+    Lt = max(len(t) for q, t in pairs)
+    Q = np.zeros((B, Lq), np.int32)
+    T = np.zeros((B, Lt), np.int32)
+    qlen = np.array([len(q) for q, t in pairs], np.int32)
+    tlen = np.array([len(t) for q, t in pairs], np.int32)
+    for i, (q, t) in enumerate(pairs):
+        Q[i, : len(q)] = q
+        T[i, : len(t)] = t
+    ezs = extz_band_batch_align(Q, T, qlen, tlen, 5, MAT, 4, 2, wv,
+                                zdrop=zdrop, flag=flag, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extz2(q, t, 5, MAT, 4, 2, w=int(wv[i]),
+                                 zdrop=zdrop, flag=flag)
+        assert ezs[i].tsv_fields() == want.tsv_fields(), i
+
+
+@pytest.mark.parametrize("flag", [Flag.NONE, Flag.EQX])
+def test_band_extd_cigar_matches_spec(flag):
+    from ksw2_tpu.ops.band_batch import extd_band_batch_align
+    rng = np.random.default_rng(77)
+    pairs = _mk(rng, 3, 200, 600, 0.2, 0.1)
+    wv = rng.integers(30, 180, len(pairs)).astype(np.int32)
+    B = len(pairs)
+    Lq = max(len(q) for q, t in pairs)
+    Lt = max(len(t) for q, t in pairs)
+    Q = np.zeros((B, Lq), np.int32)
+    T = np.zeros((B, Lt), np.int32)
+    qlen = np.array([len(q) for q, t in pairs], np.int32)
+    tlen = np.array([len(t) for q, t in pairs], np.int32)
+    for i, (q, t) in enumerate(pairs):
+        Q[i, : len(q)] = q
+        T[i, : len(t)] = t
+    ezs = extd_band_batch_align(Q, T, qlen, tlen, 5, MAT, 4, 2, 13, 1, wv,
+                                zdrop=60, flag=flag, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extd2(q, t, 5, MAT, 4, 2, 13, 1, w=int(wv[i]),
+                                 zdrop=60, flag=flag)
+        assert ezs[i].tsv_fields() == want.tsv_fields(), i
+
+
+def test_band_cigar_via_scheduler():
+    from ksw2_tpu.batch.scheduler import AlignJob, align_batch
+    rng = np.random.default_rng(33)
+    pairs = _mk(rng, 3, 560, 800, 0.15, 0.08)
+    jobs = [AlignJob(q, t, w=int(rng.integers(20, 120)))
+            for q, t in pairs]
+    for q2e2 in (None, (13, 1)):
+        kw = dict(q2=q2e2[0], e2=q2e2[1]) if q2e2 else {}
+        ezs = align_batch(jobs, 5, MAT, 4, 2, zdrop=100, **kw)
+        for job, ez in zip(jobs, ezs):
+            if q2e2:
+                want, _ = diagdiff.extd2(job.query, job.target, 5, MAT,
+                                         4, 2, 13, 1, w=job.w, zdrop=100)
+            else:
+                want, _ = diagdiff.extz2(job.query, job.target, 5, MAT,
+                                         4, 2, w=job.w, zdrop=100)
+            assert ez.tsv_fields() == want.tsv_fields()
