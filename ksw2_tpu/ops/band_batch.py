@@ -15,6 +15,7 @@ coordinate system.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict
 
 import jax
@@ -103,6 +104,52 @@ def _make_band_run(call, prm, with_cigar=False):
         return out[0][::P, :wb.NFIELDS]
 
     return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_run_band_tb(prm, interpret: bool):
+    from . import traceback_band as tbb
+    call = tbb.build_band_tb_call(prm, interpret=interpret)
+    R, P = prm.n_rows, prm.p
+
+    def run(p, qlen, tlen, w, i0, j0):
+        I = jnp.int32
+
+        def rep(vec):
+            return (jnp.repeat(vec.astype(I), P)[:, None]
+                    * jnp.ones((R, 128), I))
+
+        res, ops8 = call(rep(qlen), rep(tlen), rep(w), rep(i0), rep(j0), p)
+        return res[::P, :2], ops8
+
+    return jax.jit(run)
+
+
+def _band_device_tb(p, prm_f, qlen, tlen, w, i0, j0, started, rev,
+                    interpret):
+    """Walk all pairs on device; only ops-by-diagonal + ends come back."""
+    from . import traceback_band as tbb
+
+    P = prm_f.p
+    prm = tbb.BandTbParams(n_rows=prm_f.n_rows, n_diag=prm_f.n_diag,
+                           w=prm_f.w, p=P)
+    run = _cached_run_band_tb(prm, interpret)
+    Bp = prm_f.n_rows // P
+    i0p = np.full(Bp, -1, np.int32)
+    j0p = np.full(Bp, -1, np.int32)
+    i0p[:len(i0)] = i0
+    j0p[:len(j0)] = j0
+    lens = np.zeros((3, Bp), np.int32)
+    lens[0, :len(qlen)], lens[1, :len(qlen)] = qlen, tlen
+    lens[2, :len(qlen)] = w
+    lens[2, len(qlen):] = 1
+    res2, ops8 = run(p, jnp.asarray(lens[0]), jnp.asarray(lens[1]),
+                     jnp.asarray(lens[2]), jnp.asarray(i0p),
+                     jnp.asarray(j0p))
+    res2 = np.asarray(res2)
+    ops8 = np.asarray(ops8)
+    return tbb.finish_band_cigars(ops8, res2[:, 0], res2[:, 1], qlen, tlen,
+                                  P, rev, started)
 
 
 @functools.lru_cache(maxsize=64)
@@ -316,19 +363,12 @@ def extz_band_batch_align(
                  jnp.asarray(lens[0]), jnp.asarray(lens[1]),
                  jnp.asarray(lens[2]))
     res = np.asarray(res)[:B]
-    p = np.asarray(p)
-
-    orgv = wband.org_schedule(n_diag, W)
-    rr = np.arange(n_diag, dtype=np.int64)[None, :]
-    st0 = np.maximum(0, np.maximum(rr - qlen[:, None] + 1,
-                                   (rr - w[:, None] + 1) >> 1))
-    en0 = np.minimum(tlen[:, None] - 1,
-                     np.minimum(rr, (rr + w[:, None]) >> 1))
-    stb = (st0 // 16 * 16).astype(np.int32)
-    enb = ((en0 + 16) // 16 * 16 - 1).astype(np.int32)
 
     out = []
     rev = bool(flag & Flag.REV_CIGAR)
+    i0a = np.full(B, -1, np.int32)
+    j0a = np.full(B, -1, np.int32)
+    started = np.zeros(B, bool)
     for b in range(B):
         ez = ExtzResult()
         ez.reset()
@@ -341,28 +381,50 @@ def extz_band_batch_align(
         ez.mte_q = int(res[b, wb.F_MTEQ])
         ez.score = int(res[b, wb.F_SCORE])
         ez.zdropped = bool(res[b, wb.F_ZDROP])
+        out.append(ez)
         qln, tln = int(qlen[b]), int(tlen[b])
         if qln <= 0 or tln <= 0:
-            out.append(ez)
             continue
         if not ez.zdropped and not (flag & Flag.EXTZ_ONLY):
-            i0, j0 = tln - 1, qln - 1
+            i0a[b], j0a[b] = tln - 1, qln - 1
         elif (not ez.zdropped and (flag & Flag.EXTZ_ONLY)
               and ez.mqe + end_bonus > ez.max):
             ez.reach_end = True
-            i0, j0 = ez.mqe_t, qln - 1
+            i0a[b], j0a[b] = ez.mqe_t, qln - 1
         elif ez.max_t >= 0 and ez.max_q >= 0:
-            i0, j0 = ez.max_t, ez.max_q
+            i0a[b], j0a[b] = ez.max_t, ez.max_q
         else:
-            out.append(ez)
             continue
-        nd = qln + tln - 1
-        pmat = np.ascontiguousarray(
-            p[:nd, b * P:(b + 1) * P, :]).reshape(nd, P * 128)
-        ez.cigar = backtrack(
-            pmat, stb[b, :nd], enb[b, :nd], P * 128, i0, j0,
-            is_rot=True, is_rev=rev, store_off=orgv[:nd])
-        out.append(ez)
+        started[b] = True
+
+    if os.environ.get("KSW2_HOST_TB") == "1":
+        # fetch the direction planes and walk on the host (debug path)
+        p = np.asarray(p)
+        orgv = wband.org_schedule(n_diag, W)
+        rr = np.arange(n_diag, dtype=np.int64)[None, :]
+        st0 = np.maximum(0, np.maximum(rr - qlen[:, None] + 1,
+                                       (rr - w[:, None] + 1) >> 1))
+        en0 = np.minimum(tlen[:, None] - 1,
+                         np.minimum(rr, (rr + w[:, None]) >> 1))
+        stb = (st0 // 16 * 16).astype(np.int32)
+        enb = ((en0 + 16) // 16 * 16 - 1).astype(np.int32)
+        for b in range(B):
+            if not started[b]:
+                continue
+            qln, tln = int(qlen[b]), int(tlen[b])
+            nd = qln + tln - 1
+            pmat = np.ascontiguousarray(
+                p[:nd, b * P:(b + 1) * P, :]).reshape(nd, P * 128)
+            out[b].cigar = backtrack(
+                pmat, stb[b, :nd], enb[b, :nd], P * 128,
+                int(i0a[b]), int(j0a[b]),
+                is_rot=True, is_rev=rev, store_off=orgv[:nd])
+    else:
+        # batched on-device walk: the planes never leave the chip
+        cigs = _band_device_tb(p, prm, qlen, tlen, w, i0a, j0a, started,
+                               rev, interpret)
+        for b in range(B):
+            out[b].cigar = cigs[b]
     return out
 
 
@@ -587,19 +649,12 @@ def extd_band_batch_align(
                  jnp.asarray(lens[0]), jnp.asarray(lens[1]),
                  jnp.asarray(lens[2]))
     res = np.asarray(res)[:B]
-    p = np.asarray(p)
-
-    orgv = wband.org_schedule(n_diag, W)
-    rr = np.arange(n_diag, dtype=np.int64)[None, :]
-    st0 = np.maximum(0, np.maximum(rr - qlen[:, None] + 1,
-                                   (rr - w[:, None] + 1) >> 1))
-    en0 = np.minimum(tlen[:, None] - 1,
-                     np.minimum(rr, (rr + w[:, None]) >> 1))
-    stb = (st0 // 16 * 16).astype(np.int32)
-    enb = ((en0 + 16) // 16 * 16 - 1).astype(np.int32)
 
     out = []
     rev = bool(flag & Flag.REV_CIGAR)
+    i0a = np.full(B, -1, np.int32)
+    j0a = np.full(B, -1, np.int32)
+    started = np.zeros(B, bool)
     for b in range(B):
         ez = ExtzResult()
         ez.reset()
@@ -612,31 +667,54 @@ def extd_band_batch_align(
         ez.mte_q = int(res[b, wb.F_MTEQ])
         ez.score = int(res[b, wb.F_SCORE])
         ez.zdropped = bool(res[b, wb.F_ZDROP])
+        out.append(ez)
         qln, tln = int(qlen[b]), int(tlen[b])
         if qln <= 0 or tln <= 0:
-            out.append(ez)
             continue
         if not ez.zdropped and not (flag & Flag.EXTZ_ONLY):
-            i0, j0 = tln - 1, qln - 1
+            i0a[b], j0a[b] = tln - 1, qln - 1
         elif (not ez.zdropped and (flag & Flag.EXTZ_ONLY)
               and ez.mqe + end_bonus > ez.max):
             ez.reach_end = True
-            i0, j0 = ez.mqe_t, qln - 1
+            i0a[b], j0a[b] = ez.mqe_t, qln - 1
         elif ez.max_t >= 0 and ez.max_q >= 0:
-            i0, j0 = ez.max_t, ez.max_q
+            i0a[b], j0a[b] = ez.max_t, ez.max_q
         else:
-            out.append(ez)
             continue
-        nd = qln + tln - 1
-        pmat = np.ascontiguousarray(
-            p[:nd, b * P:(b + 1) * P, :]).reshape(nd, P * 128)
-        ez.cigar = backtrack(
-            pmat, stb[b, :nd], enb[b, :nd], P * 128, i0, j0,
-            is_rot=True, is_rev=rev, store_off=orgv[:nd])
-        if (flag & Flag.EQX) and ez.cigar:
-            ez.cigar = cigarmod.to_eqx(ez.cigar, query[b][:qln],
-                                       target[b][:tln])
-        out.append(ez)
+        started[b] = True
+
+    if os.environ.get("KSW2_HOST_TB") == "1":
+        p = np.asarray(p)
+        orgv = wband.org_schedule(n_diag, W)
+        rr = np.arange(n_diag, dtype=np.int64)[None, :]
+        st0 = np.maximum(0, np.maximum(rr - qlen[:, None] + 1,
+                                       (rr - w[:, None] + 1) >> 1))
+        en0 = np.minimum(tlen[:, None] - 1,
+                         np.minimum(rr, (rr + w[:, None]) >> 1))
+        stb = (st0 // 16 * 16).astype(np.int32)
+        enb = ((en0 + 16) // 16 * 16 - 1).astype(np.int32)
+        for b in range(B):
+            if not started[b]:
+                continue
+            qln, tln = int(qlen[b]), int(tlen[b])
+            nd = qln + tln - 1
+            pmat = np.ascontiguousarray(
+                p[:nd, b * P:(b + 1) * P, :]).reshape(nd, P * 128)
+            out[b].cigar = backtrack(
+                pmat, stb[b, :nd], enb[b, :nd], P * 128,
+                int(i0a[b]), int(j0a[b]),
+                is_rot=True, is_rev=rev, store_off=orgv[:nd])
+    else:
+        cigs = _band_device_tb(p, prm, qlen, tlen, w, i0a, j0a, started,
+                               rev, interpret)
+        for b in range(B):
+            out[b].cigar = cigs[b]
+    if flag & Flag.EQX:
+        for b in range(B):
+            if out[b].cigar:
+                out[b].cigar = cigarmod.to_eqx(
+                    out[b].cigar, query[b][:int(qlen[b])],
+                    target[b][:int(tlen[b])])
     return out
 
 

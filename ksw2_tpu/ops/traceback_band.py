@@ -1,0 +1,195 @@
+"""Batched on-device traceback for the band-relative engines.
+
+The band engines stream ``(n_diag, R, 128)`` direction planes to HBM —
+for 64 x 50 kb pairs that is ~6.5 GB, far too much to fetch for a host
+backtrack.  This kernel walks ALL pairs' tracebacks on the TPU in one
+reverse sweep over the diagonals: at diagonal ``r`` every pair whose walk
+currently sits on ``r`` takes exactly one step (each step decreases r by
+1 or 2, so a single descending sweep completes every walk).  The per-pair
+walk state (i, j, state) lives in lane-replicated planes; the direction
+byte is selected at band lane ``i - org(r)`` with one butterfly.
+
+Output is one op byte per (pair, visited diagonal) — ``(R, n_diag)``
+int8, 0xFF where not visited — plus the per-pair walk remainders.  The
+host run-length encodes each pair's visited subsequence (descending r ==
+walk order) and finishes exactly like ``ksw_backtrack``'s tail flush.
+~R/128 KB per diagonal leaves the device instead of R*128 bytes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .wavefront_band import _org_of
+from .wavefront_batch import _bmax
+
+I32 = jnp.int32
+_INT_MIN = -(2 ** 31) + 1
+BLK = 128
+
+
+class BandTbParams(NamedTuple):
+    n_rows: int
+    n_diag: int      # padded to BLK
+    w: int           # shared band cap (org schedule)
+    p: int = 1
+
+
+def _band_tb_kernel(prm: BandTbParams, refs):
+    (qlp_ref, tlp_ref, wp_ref, i0_ref, j0_ref, p_ref,
+     res_ref, ops_ref, ip, jp, st, done, acc) = refs
+
+    R = prm.n_rows
+    shape = (R, 128)
+    P = prm.p
+    W = prm.w
+    step = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+    blk_hi = (n_steps - step) * BLK       # this block covers [blk_hi-BLK, blk_hi)
+    blk_lo = blk_hi - BLK
+
+    lanes = jax.lax.broadcasted_iota(I32, shape, 1)
+    rows = jax.lax.broadcasted_iota(I32, shape, 0)
+    lane = (rows % P) * 128 + lanes if P > 1 else lanes
+
+    def _pmax(arr):
+        arr = _bmax(arr)
+        k = 1
+        while k < P:
+            alt = jnp.where((rows % P) >= k,
+                            jnp.roll(arr, k, axis=0),
+                            jnp.roll(arr, k - P, axis=0))
+            arr = jnp.maximum(arr, alt)
+            k *= 2
+        return arr
+
+    @pl.when(step == 0)
+    def _init():
+        ip[...] = i0_ref[...]
+        jp[...] = j0_ref[...]
+        st[...] = jnp.zeros(shape, I32)
+        done[...] = ((i0_ref[...] < 0) | (j0_ref[...] < 0)).astype(I32)
+
+    qlp = qlp_ref[...]
+    tlp = tlp_ref[...]
+    wp = wp_ref[...]
+
+    acc[...] = jnp.full(shape, 255, I32)
+
+    def walk(k, _):
+        rr = BLK - 1 - k                      # descending within the block
+        r = blk_lo + rr
+        o_now = _org_of(r, W)
+        i = ip[...]
+        j = jp[...]
+        state = st[...]
+        active = (done[...] == 0) & (i + j == r)
+
+        st0 = jnp.maximum(0, jnp.maximum(r - qlp + 1, (r - wp + 1) >> 1))
+        en0 = jnp.minimum(tlp - 1, jnp.minimum(r, (r + wp) >> 1))
+        stb = st0 // 16 * 16
+        enb = (en0 + 16) // 16 * 16 - 1
+        force = jnp.where(i < stb, 2, jnp.where(i > enb, 1, -1))
+
+        pblk = p_ref[pl.ds(rr, 1)][0].astype(I32) & 255
+        byte = _pmax(jnp.where(lane == jnp.clip(i - o_now, 0, P * 128 - 1),
+                               pblk, _INT_MIN))
+        tmp = jnp.where(force >= 0, 0, byte)
+        # ksw_backtrack state machine (ksw2.h:139-148)
+        s1 = jnp.where(state == 0, tmp & 7,
+                       jnp.where((tmp >> (state + 2)) & 1, state, 0))
+        s1 = jnp.where(s1 == 0, tmp & 7, s1)
+        s1 = jnp.where(force >= 0, force, s1)
+        is_m = s1 == 0
+        is_d = (s1 == 1) | (s1 == 3)          # min_intron <= 0 here
+        op = jnp.where(is_m, 0, jnp.where(is_d, 2, 1))
+
+        acc[...] = jnp.where(active & (lanes == rr), op, acc[...])
+        st[...] = jnp.where(active, s1, state)
+        ni = jnp.where(is_m | is_d, i - 1, i)
+        nj = jnp.where(is_m, j - 1, jnp.where(is_d, j, j - 1))
+        ip[...] = jnp.where(active, ni, i)
+        jp[...] = jnp.where(active, nj, j)
+        done[...] = jnp.maximum(
+            done[...], ((ip[...] < 0) | (jp[...] < 0)).astype(I32))
+
+    jax.lax.fori_loop(0, BLK, walk, None)
+    ops_ref[...] = acc[...].astype(jnp.int8)[None]
+
+    @pl.when(step == n_steps - 1)
+    def _emit():
+        out = jnp.where(lane == 0, ip[...], 0)
+        out = jnp.where(lane == 1, jp[...], out)
+        res_ref[...] = out
+
+
+def build_band_tb_call(prm: BandTbParams, interpret: bool = False):
+    R = prm.n_rows
+    shape = (R, 128)
+    assert prm.n_diag % BLK == 0
+    n_steps = prm.n_diag // BLK
+    kernel = functools.partial(_band_tb_kernel, prm)
+
+    def wrap(*refs):
+        kernel(refs)
+
+    return pl.pallas_call(
+        wrap,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # qlp
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # tlp
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # wp
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # i0
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # j0
+            pl.BlockSpec((BLK, R, 128), lambda k: (n_steps - 1 - k, 0, 0),
+                         memory_space=pltpu.VMEM),                 # p reversed
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(shape, jnp.int32),
+            jax.ShapeDtypeStruct((n_steps * BLK // 128, R, 128), jnp.int8),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, 128), lambda k: (n_steps - 1 - k, 0, 0),
+                         memory_space=pltpu.VMEM),                 # ops blocks
+        ],
+        scratch_shapes=[pltpu.VMEM(shape, jnp.int32) for _ in range(5)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )
+
+
+def finish_band_cigars(ops8: np.ndarray, iend: np.ndarray, jend: np.ndarray,
+                       qlen: np.ndarray, tlen: np.ndarray, P: int,
+                       is_rev: bool, started: np.ndarray):
+    """RLE each pair's visited op subsequence + ksw_backtrack tail flush.
+
+    ``ops8``: (n_blocks, R, 128) int8 with the op at (r//128, pair_row,
+    r%128) for visited diagonals, 255 elsewhere.
+    """
+    from .traceback_device import finish_cigar
+
+    n_diag = ops8.shape[0] * 128
+    cigars = []
+    for b in range(len(started)):              # actual pairs (R//P padded)
+        if not started[b]:
+            cigars.append([])
+            continue
+        colu = ops8[:, b * P, :].reshape(n_diag).astype(np.uint8)
+        vis = np.nonzero(colu != 255)[0]
+        ops = colu[vis][::-1].astype(np.int64)     # walk order: descending r
+        cigars.append(finish_cigar(ops, len(ops), int(iend[b]),
+                                   int(jend[b]), 0, is_rev))
+    return cigars
+
+
+__all__ = ["BandTbParams", "build_band_tb_call", "finish_band_cigars"]
