@@ -212,6 +212,22 @@ def main():
          bcells / best_of(run_band_extd, n=3),
          "Gcells/s", baseline=1.05)  # ref extd2_sse -w751 -z400, this machine
 
+    # full CIGARs for a batch of long banded pairs: forward direction
+    # planes AND the batched traceback stay on the chip
+    from ksw2_tpu.ops.band_batch import extz_band_batch_align
+
+    Bc = 32
+    def run_band_cigar():
+        ezs = extz_band_batch_align(Qb[:Bc], Tb[:Bc], qlb[:Bc], tlb[:Bc],
+                                    5, mat, 4, 2, wvb[:Bc], zdrop=400,
+                                    flag=Flag.NONE)
+        assert ezs[0].score == 69932 and len(ezs[0].cigar) == 3995, \
+            (ezs[0].score, len(ezs[0].cigar))
+
+    emit("band_batch_cigar_32x50k_w751_gcells_per_s",
+         (bcells * Bc / Bb) / best_of(run_band_cigar, n=2),
+         "Gcells/s", baseline=0.70)  # ref extz2_sse -w751 -z400 +cigar
+
     if ctx is not None:
         ctx.__exit__(None, None, None)
 
