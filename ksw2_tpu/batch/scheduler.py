@@ -182,11 +182,10 @@ def align_batch(
         batchable = (Lt <= 512
                      and not (flag & Flag.EXTZ_ONLY)
                      and (score_only or not (flag & Flag.APPROX_MAX)))
-        # long banded buckets ride the band engines (scores and CIGARs;
-        # CIGAR mode has no approx variant)
+        # long banded buckets ride the band engines (scores and CIGARs,
+        # exact or approx-max)
         band_ok = (Lt > 512
                    and not (flag & (Flag.GENERIC_SC | Flag.EXTZ_ONLY))
-                   and (score_only or not (flag & Flag.APPROX_MAX))
                    and all(1 <= jobs[i].w <= 960 for i in idxs)
                    and int(mat[0]) * min(
                        max(len(jobs[i].query) for i in idxs),

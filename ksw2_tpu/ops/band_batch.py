@@ -297,7 +297,7 @@ def extz_band_batch_align(
     flag = Flag(int(flag))
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
-    if flag & (Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.GENERIC_SC):
+    if flag & (Flag.SCORE_ONLY | Flag.GENERIC_SC):
         raise ValueError("use extz_band_batch_device for score batches")
     B, Lq = query.shape
     Bt, Lt = target.shape
@@ -573,7 +573,7 @@ def extd_band_batch_align(
     flag = Flag(int(flag))
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
-    if flag & (Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.GENERIC_SC):
+    if flag & (Flag.SCORE_ONLY | Flag.GENERIC_SC):
         raise ValueError("use extd_band_batch_device for score batches")
     B, Lq = query.shape
     Bt, Lt = target.shape

@@ -194,6 +194,7 @@ def test_band_via_scheduler(flag):
 
 @pytest.mark.parametrize("zdrop,flag", [
     (-1, Flag.NONE), (60, Flag.NONE), (60, Flag.RIGHT),
+    (60, Flag.APPROX_MAX | Flag.APPROX_DROP),
 ])
 def test_band_cigar_matches_spec(zdrop, flag):
     """Band-relative CIGAR planes + native backtrack with store_off=org."""
