@@ -188,6 +188,16 @@ def sweep_band(n, rng):
         T[i, : len(t)] = t
     wv = rng.integers(16, 120, B).astype(np.int32)
     fails = 0
+    # full CIGARs through the batched on-device traceback
+    from ksw2_tpu.ops.band_batch import extz_band_batch_align
+    ezs = extz_band_batch_align(Q, T, qlen, tlen, 5, mat, 4, 2, wv,
+                                zdrop=80, flag=Flag.NONE)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, w=int(wv[i]),
+                                 zdrop=80, flag=Flag.NONE)
+        if ezs[i].tsv_fields() != want.tsv_fields():
+            print(f"band cigar FAIL i={i} w={wv[i]}")
+            fails += 1
     for flag, z in ((Flag.SCORE_ONLY, 80),
                     (Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.APPROX_DROP,
                      80)):
