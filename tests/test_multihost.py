@@ -40,7 +40,7 @@ def _spawn_workers():
     outs = []
     try:
         for p in procs:
-            out, err = p.communicate(timeout=300)
+            out, err = p.communicate(timeout=450)
             assert p.returncode == 0, (out, err[-2000:])
             outs.append(out.strip().splitlines()[-1])
     finally:
