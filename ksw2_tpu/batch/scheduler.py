@@ -284,4 +284,81 @@ def align_batch(
     return results  # type: ignore[return-value]
 
 
-__all__ = ["AlignJob", "align_batch_scores", "align_batch"]
+
+
+def align_batch_splice(
+    jobs: Sequence[AlignJob],
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    q2: int,
+    noncan: int,
+    zdrop: int = -1,
+    junc_bonus: int = 0,
+    flag: Flag | int = Flag.NONE,
+    juncs: Optional[Sequence[Optional[np.ndarray]]] = None,
+) -> List[ExtzResult]:
+    """Spliced (mRNA-to-genome) alignment for a batch of jobs.
+
+    Short-target buckets (tlen <= 512) batch through the exts engine;
+    longer targets run the single-pair exts kernel.  ``juncs`` optionally
+    supplies per-job junction annotation tracks.
+    """
+    flag = Flag(int(flag))
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    results: List[Optional[ExtzResult]] = [None] * len(jobs)
+    min_sc = int(mat[1:].min())
+
+    buckets: Dict[Tuple[int, int], List[int]] = {}
+    for i, job in enumerate(jobs):
+        if len(job.query) == 0 or len(job.target) == 0 or \
+                -min_sc > 2 * (q + e):
+            ez = ExtzResult()
+            ez.reset()
+            results[i] = ez
+            continue
+        key = (_bucket_len(len(job.query)), _bucket_len(len(job.target)))
+        buckets.setdefault(key, []).append(i)
+
+    from ..ops.batch_pallas import exts_batch_align
+    from ..ops.exts import exts2_device
+
+    for (Lq, Lt), idxs in buckets.items():
+        if Lt <= 512 and not (flag & Flag.EXTZ_ONLY):
+            B = len(idxs)
+            Q = np.zeros((B, Lq), np.int32)
+            T = np.zeros((B, Lt), np.int32)
+            qlen = np.zeros(B, np.int32)
+            tlen = np.zeros(B, np.int32)
+            jb = None
+            if juncs is not None and any(juncs[i] is not None for i in idxs):
+                jb = np.zeros((B, Lt), np.uint8)
+                for k, i in enumerate(idxs):
+                    if juncs[i] is not None:
+                        jb[k, : len(juncs[i])] = juncs[i]
+            for k, i in enumerate(idxs):
+                job = jobs[i]
+                Q[k, : len(job.query)] = job.query
+                T[k, : len(job.target)] = job.target
+                qlen[k] = len(job.query)
+                tlen[k] = len(job.target)
+            ezs = exts_batch_align(Q, T, qlen, tlen, m, mat, q, e, q2,
+                                   noncan, zdrop=zdrop,
+                                   junc_bonus=junc_bonus, flag=flag,
+                                   junc=jb)
+            for k, i in enumerate(idxs):
+                results[i] = ezs[k]
+        else:
+            for i in idxs:
+                job = jobs[i]
+                ez, _ = exts2_device(
+                    job.query, job.target, m, mat, q, e, q2, noncan,
+                    zdrop=zdrop, junc_bonus=junc_bonus, flag=flag,
+                    junc=None if juncs is None else juncs[i])
+                results[i] = ez
+    return results  # type: ignore[return-value]
+
+
+__all__ = ["AlignJob", "align_batch_scores", "align_batch",
+           "align_batch_splice"]

@@ -85,3 +85,27 @@ def test_align_batch_two_piece():
     ezs = align_batch(jobs, 5, mat, 4, 2, q2=13, e2=1, zdrop=60)
     for i, (got, want) in enumerate(zip(ezs, wants)):
         assert got.tsv_fields() == want.tsv_fields(), i
+
+
+def test_align_batch_splice_matches_spec():
+    """Unified splice batch API (exts engine, bucketed)."""
+    import refcmp
+    from ksw2_tpu.batch.scheduler import AlignJob, align_batch_splice
+    from ksw2_tpu.core.flags import Flag
+    from ksw2_tpu.core.matrix import encode_dna, simple_mat
+    from ksw2_tpu.spec import diagdiff
+
+    rng = np.random.default_rng(19)
+    smat = simple_mat(5, 1, -2)
+    jobs = []
+    for _ in range(5):
+        tl = int(rng.integers(30, 400))
+        t, q = refcmp.random_pair(rng, tl, divergence=0.2, indel=0.1)
+        jobs.append(AlignJob(encode_dna(q), encode_dna(t)))
+    ezs = align_batch_splice(jobs, 5, smat, 2, 1, 32, 4, zdrop=60,
+                             flag=Flag.SPLICE_FOR)
+    for j, ez in zip(jobs, ezs):
+        want, _ = diagdiff.exts2(j.query, j.target, 5, smat, 2, 1, 32, 4,
+                                 zdrop=60, junc_bonus=0,
+                                 flag=Flag.SPLICE_FOR)
+        assert ez.tsv_fields() == want.tsv_fields()
