@@ -110,7 +110,9 @@ def _make_band_run(call, prm, with_cigar=False):
 def _cached_run_band_tb(prm, interpret: bool):
     from . import traceback_band as tbb
     call = tbb.build_band_tb_call(prm, interpret=interpret)
-    R, P = prm.n_rows, prm.p
+    R, P, n_diag = prm.n_rows, prm.p, prm.n_diag
+    Bp = R // P
+    MAXR = min(8192, max(256, n_diag // 8))
 
     def run(p, qlen, tlen, w, i0, j0):
         I = jnp.int32
@@ -120,20 +122,46 @@ def _cached_run_band_tb(prm, interpret: bool):
                     * jnp.ones((R, 128), I))
 
         res, ops8 = call(rep(qlen), rep(tlen), rep(w), rep(i0), rep(j0), p)
-        return res[::P, :2], ops8
+        # device-side RLE over each pair's visited ops in WALK order
+        # (descending r), so only ~MAXR runs per pair leave the device
+        arr = jnp.transpose(ops8[:, ::P, :], (1, 0, 2)).reshape(Bp, -1)
+        opw = (arr[:, ::-1].astype(I)) & 255
+        vis = opw != 255
+        k = jnp.arange(n_diag, dtype=I)[None, :]
+        packed = jnp.where(vis, k * 4 + (opw & 3), -1)
+        cm = jax.lax.cummax(packed, axis=1)
+        prev = jnp.concatenate(
+            [jnp.full((Bp, 1), -1, I), cm[:, :-1]], axis=1)
+        bnd = vis & ((prev < 0) | ((prev & 3) != (opw & 3)))
+        cnt = jnp.sum(bnd.astype(I), axis=1)
+        v = jnp.cumsum(vis.astype(I), axis=1)
+        big = jnp.asarray(n_diag, I)
+        negpos, _ = jax.lax.top_k(jnp.where(bnd, -k, -big - 1), MAXR)
+        bpos = -negpos                        # ascending boundary positions
+        bposc = jnp.minimum(bpos, n_diag - 1)
+        startc = jnp.take_along_axis(v, bposc, axis=1) - 1
+        nextc = jnp.concatenate(
+            [startc[:, 1:], jnp.zeros((Bp, 1), I)], axis=1)
+        idx = jnp.arange(MAXR, dtype=I)[None, :]
+        totv = v[:, -1][:, None]
+        nextc = jnp.where(idx + 1 >= cnt[:, None], totv, nextc)
+        rlens = jnp.where(idx < cnt[:, None], nextc - startc, 0)
+        rops = jnp.where(idx < cnt[:, None],
+                         jnp.take_along_axis(opw, bposc, axis=1), 0)
+        return res[::P, :2], rops, rlens, cnt, ops8
 
-    return jax.jit(run)
+    return jax.jit(run), MAXR
 
 
 def _band_device_tb(p, prm_f, qlen, tlen, w, i0, j0, started, rev,
                     interpret):
-    """Walk all pairs on device; only ops-by-diagonal + ends come back."""
+    """Walk all pairs on device; only compact RLE runs + ends come back."""
     from . import traceback_band as tbb
 
     P = prm_f.p
     prm = tbb.BandTbParams(n_rows=prm_f.n_rows, n_diag=prm_f.n_diag,
                            w=prm_f.w, p=P)
-    run = _cached_run_band_tb(prm, interpret)
+    run, MAXR = _cached_run_band_tb(prm, interpret)
     Bp = prm_f.n_rows // P
     i0p = np.full(Bp, -1, np.int32)
     j0p = np.full(Bp, -1, np.int32)
@@ -143,13 +171,21 @@ def _band_device_tb(p, prm_f, qlen, tlen, w, i0, j0, started, rev,
     lens[0, :len(qlen)], lens[1, :len(qlen)] = qlen, tlen
     lens[2, :len(qlen)] = w
     lens[2, len(qlen):] = 1
-    res2, ops8 = run(p, jnp.asarray(lens[0]), jnp.asarray(lens[1]),
-                     jnp.asarray(lens[2]), jnp.asarray(i0p),
-                     jnp.asarray(j0p))
+    res2, rops, rlens, cnt, ops8 = run(
+        p, jnp.asarray(lens[0]), jnp.asarray(lens[1]),
+        jnp.asarray(lens[2]), jnp.asarray(i0p), jnp.asarray(j0p))
     res2 = np.asarray(res2)
-    ops8 = np.asarray(ops8)
-    return tbb.finish_band_cigars(ops8, res2[:, 0], res2[:, 1], qlen, tlen,
-                                  P, rev, started)
+    cnt = np.asarray(cnt)
+    if (cnt[:len(started)][started] > MAXR).any():
+        # compaction overflow (degenerate alignments): fall back to the
+        # full ops-by-diagonal fetch
+        ops8 = np.asarray(ops8)
+        return tbb.finish_band_cigars(ops8, res2[:, 0], res2[:, 1], qlen,
+                                      tlen, P, rev, started)
+    rops = np.asarray(rops)
+    rlens = np.asarray(rlens)
+    return tbb.finish_band_cigars_rle(rops, rlens, cnt, res2[:, 0],
+                                      res2[:, 1], rev, started)
 
 
 @functools.lru_cache(maxsize=64)

@@ -192,4 +192,34 @@ def finish_band_cigars(ops8: np.ndarray, iend: np.ndarray, jend: np.ndarray,
     return cigars
 
 
-__all__ = ["BandTbParams", "build_band_tb_call", "finish_band_cigars"]
+
+
+
+def finish_band_cigars_rle(rops: np.ndarray, rlens: np.ndarray,
+                           cnt: np.ndarray, iend: np.ndarray,
+                           jend: np.ndarray, is_rev: bool,
+                           started: np.ndarray):
+    """Build CIGARs from device-compacted (op, length) runs in walk order."""
+    from ..core.cigar import push
+    from ..core.flags import CigarOp
+
+    cigars = []
+    for b in range(len(started)):
+        if not started[b]:
+            cigars.append([])
+            continue
+        cigar = []
+        for i in range(int(cnt[b])):
+            push(cigar, int(rops[b, i]), int(rlens[b, i]))
+        if int(iend[b]) >= 0:
+            push(cigar, CigarOp.DEL, int(iend[b]) + 1)
+        if int(jend[b]) >= 0:
+            push(cigar, CigarOp.INS, int(jend[b]) + 1)
+        if not is_rev:
+            cigar.reverse()
+        cigars.append(cigar)
+    return cigars
+
+
+__all__ = ["BandTbParams", "build_band_tb_call", "finish_band_cigars",
+           "finish_band_cigars_rle"]
