@@ -352,7 +352,7 @@ def extz_band_batch_align(
     if hmax >= (1 << 17):
         raise ValueError("scores too large for the packed banded argmax")
 
-    RMAX = 256 // P          # direction planes bound VMEM harder
+    RMAX = 512 // P          # d blocks are chunk=32 deep: VMEM stays ~8 MB
     if B > RMAX:
         out = []
         for i in range(0, B, RMAX):
@@ -628,7 +628,7 @@ def extd_band_batch_align(
     if hmax >= (1 << 17):
         raise ValueError("scores too large for the packed banded argmax")
 
-    RMAX = 256 // P
+    RMAX = 512 // P
     if B > RMAX:
         out = []
         for i in range(0, B, RMAX):

@@ -31,7 +31,7 @@ from .wavefront_batch import _bmax
 
 I32 = jnp.int32
 _INT_MIN = -(2 ** 31) + 1
-BLK = 128
+BLK = 64          # p-block depth; two walker steps share one ops block
 
 
 class BandTbParams(NamedTuple):
@@ -53,6 +53,7 @@ def _band_tb_kernel(prm: BandTbParams, refs):
     n_steps = pl.num_programs(0)
     blk_hi = (n_steps - step) * BLK       # this block covers [blk_hi-BLK, blk_hi)
     blk_lo = blk_hi - BLK
+    first_half = (blk_lo % 128) == 64     # first (upper) visit of an ops block
 
     lanes = jax.lax.broadcasted_iota(I32, shape, 1)
     rows = jax.lax.broadcasted_iota(I32, shape, 0)
@@ -80,7 +81,9 @@ def _band_tb_kernel(prm: BandTbParams, refs):
     tlp = tlp_ref[...]
     wp = wp_ref[...]
 
-    acc[...] = jnp.full(shape, 255, I32)
+    @pl.when(first_half)
+    def _acc_reset():
+        acc[...] = jnp.full(shape, 255, I32)
 
     def walk(k, _):
         rr = BLK - 1 - k                      # descending within the block
@@ -110,7 +113,7 @@ def _band_tb_kernel(prm: BandTbParams, refs):
         is_d = (s1 == 1) | (s1 == 3)          # min_intron <= 0 here
         op = jnp.where(is_m, 0, jnp.where(is_d, 2, 1))
 
-        acc[...] = jnp.where(active & (lanes == rr), op, acc[...])
+        acc[...] = jnp.where(active & (lanes == r % 128), op, acc[...])
         st[...] = jnp.where(active, s1, state)
         ni = jnp.where(is_m | is_d, i - 1, i)
         nj = jnp.where(is_m, j - 1, jnp.where(is_d, j, j - 1))
@@ -132,7 +135,7 @@ def _band_tb_kernel(prm: BandTbParams, refs):
 def build_band_tb_call(prm: BandTbParams, interpret: bool = False):
     R = prm.n_rows
     shape = (R, 128)
-    assert prm.n_diag % BLK == 0
+    assert prm.n_diag % 128 == 0
     n_steps = prm.n_diag // BLK
     kernel = functools.partial(_band_tb_kernel, prm)
 
@@ -157,7 +160,8 @@ def build_band_tb_call(prm: BandTbParams, interpret: bool = False):
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, 128), lambda k: (n_steps - 1 - k, 0, 0),
+            pl.BlockSpec((1, R, 128),
+                         lambda k: ((n_steps - 1 - k) // 2, 0, 0),
                          memory_space=pltpu.VMEM),                 # ops blocks
         ],
         scratch_shapes=[pltpu.VMEM(shape, jnp.int32) for _ in range(5)],
