@@ -88,14 +88,15 @@ def align_batch_scores(
             qlen[k] = len(job.query)
             tlen[k] = len(job.target)
             wv[k] = job.w if job.w >= 0 else max(len(job.query), len(job.target))
-        use_pallas = (
-            run_fn is None and engine in ("auto", "pallas") and Lt <= 512
-        )
         use_band = (
             run_fn is None and engine in ("auto", "band") and Lt > 512
             and not (flag & Flag.GENERIC_SC)
             and wv.min() >= 1 and wv.max() <= 960
             and int(mat[0]) * int(min(qlen.max(), tlen.max())) < (1 << 17)
+        )
+        use_pallas = (
+            run_fn is None and engine in ("auto", "pallas") and Lt <= 1024
+            and not use_band
         )
         if use_pallas:
             from ..ops.batch_pallas import extz_batch_device
@@ -179,7 +180,7 @@ def align_batch(
     from ..ops.extz import extz2_device
 
     for (Lq, Lt), idxs in buckets.items():
-        batchable = (Lt <= 512
+        batchable = (Lt <= 1024
                      and not (flag & Flag.EXTZ_ONLY)
                      and (score_only or not (flag & Flag.APPROX_MAX)))
         # long banded buckets ride the band engines (scores and CIGARs,
@@ -325,7 +326,7 @@ def align_batch_splice(
     from ..ops.exts import exts2_device
 
     for (Lq, Lt), idxs in buckets.items():
-        if Lt <= 512 and not (flag & Flag.EXTZ_ONLY):
+        if Lt <= 1024 and not (flag & Flag.EXTZ_ONLY):
             B = len(idxs)
             Q = np.zeros((B, Lq), np.int32)
             T = np.zeros((B, Lt), np.int32)

@@ -146,7 +146,7 @@ def _batch_other(args, pairs, mat, q, e, flag, kw):
           for qs, ts in enc]
     elig = []
     for i, (qs, ts) in enumerate(enc):
-        ok = 0 < len(ts) <= 512 and len(qs) > 0
+        ok = 0 < len(ts) <= 1024 and len(qs) > 0
         if args.algo == "gg2_sse":
             ok = ok and len(qs) <= len(ts) + wv[i]
         elig.append(ok)

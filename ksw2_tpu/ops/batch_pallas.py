@@ -95,8 +95,8 @@ def extz_batch_device(
         raise ValueError("batched engine is score-only; use extz2_device")
     B, Lq = query.shape
     Bt, Lt = target.shape
-    assert B == Bt and Lt <= 512
-    P = 1 if Lt <= 128 else (2 if Lt <= 256 else 4)
+    assert B == Bt and Lt <= 1024
+    P = 1 if Lt <= 128 else (2 if Lt <= 256 else (4 if Lt <= 512 else 8))
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     if w is None:
@@ -201,8 +201,8 @@ def extz_batch_align(
         raise ValueError("use extz_batch_device for score-only batches")
     B, Lq = query.shape
     Bt, Lt = target.shape
-    assert B == Bt and Lt <= 512
-    P = 1 if Lt <= 128 else (2 if Lt <= 256 else 4)
+    assert B == Bt and Lt <= 1024
+    P = 1 if Lt <= 128 else (2 if Lt <= 256 else (4 if Lt <= 512 else 8))
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     if w is None:
@@ -412,8 +412,8 @@ def extd_batch_device(
         raise ValueError("score-only entry; use extd_batch_align for CIGARs")
     B, Lq = query.shape
     Bt, Lt = target.shape
-    assert B == Bt and Lt <= 512
-    P = 1 if Lt <= 128 else (2 if Lt <= 256 else 4)
+    assert B == Bt and Lt <= 1024
+    P = 1 if Lt <= 128 else (2 if Lt <= 256 else (4 if Lt <= 512 else 8))
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     if w is None:
@@ -492,8 +492,8 @@ def extd_batch_align(
         raise ValueError("use extd_batch_device for score-only batches")
     B, Lq = query.shape
     Bt, Lt = target.shape
-    assert B == Bt and Lt <= 512
-    P = 1 if Lt <= 128 else (2 if Lt <= 256 else 4)
+    assert B == Bt and Lt <= 1024
+    P = 1 if Lt <= 128 else (2 if Lt <= 256 else (4 if Lt <= 512 else 8))
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     if w is None:
@@ -681,8 +681,8 @@ def exts_batch_align(
     with_cigar = not (flag & Flag.SCORE_ONLY)
     B, Lq = query.shape
     Bt, Lt = target.shape
-    assert B == Bt and Lt <= 512
-    P = 1 if Lt <= 128 else (2 if Lt <= 256 else 4)
+    assert B == Bt and Lt <= 1024
+    P = 1 if Lt <= 128 else (2 if Lt <= 256 else (4 if Lt <= 512 else 8))
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     RMAX = (256 if with_cigar else 384) // P
@@ -843,8 +843,8 @@ def extf_batch_device(
         interpret = True
     B, Lq = query.shape
     Bt, Lt = target.shape
-    assert B == Bt and Lt <= 512
-    P = 1 if Lt <= 128 else (2 if Lt <= 256 else 4)
+    assert B == Bt and Lt <= 1024
+    P = 1 if Lt <= 128 else (2 if Lt <= 256 else (4 if Lt <= 512 else 8))
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     if w is None:
@@ -951,8 +951,8 @@ def gg2_batch_align(
         interpret = True
     B, Lq = query.shape
     Bt, Lt = target.shape
-    assert B == Bt and Lt <= 512
-    P = 1 if Lt <= 128 else (2 if Lt <= 256 else 4)
+    assert B == Bt and Lt <= 1024
+    P = 1 if Lt <= 128 else (2 if Lt <= 256 else (4 if Lt <= 512 else 8))
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     if w is None:

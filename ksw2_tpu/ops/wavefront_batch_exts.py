@@ -100,22 +100,24 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
 
     def _pmax(arr):
         arr = _bmax(arr)
-        if P > 1:
-            for k in (1, 2) if P == 4 else (1,):
-                alt = jnp.where((rows % P) >= k,
-                                jnp.roll(arr, k, axis=0),
-                                jnp.roll(arr, k - P, axis=0))
-                arr = jnp.maximum(arr, alt)
+        k = 1
+        while k < P:
+            alt = jnp.where((rows % P) >= k,
+                            jnp.roll(arr, k, axis=0),
+                            jnp.roll(arr, k - P, axis=0))
+            arr = jnp.maximum(arr, alt)
+            k *= 2
         return arr
 
     def _pmin(arr):
         arr = _bmin(arr)
-        if P > 1:
-            for k in (1, 2) if P == 4 else (1,):
-                alt = jnp.where((rows % P) >= k,
-                                jnp.roll(arr, k, axis=0),
-                                jnp.roll(arr, k - P, axis=0))
-                arr = jnp.minimum(arr, alt)
+        k = 1
+        while k < P:
+            alt = jnp.where((rows % P) >= k,
+                            jnp.roll(arr, k, axis=0),
+                            jnp.roll(arr, k - P, axis=0))
+            arr = jnp.minimum(arr, alt)
+            k *= 2
         return arr
 
     @pl.when(step == 0)
@@ -306,13 +308,14 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
             en1 = st0 + (en0 - st0) // 4 * 4
             cls = (lane - st0) & 3
             TV = P * 128
+            KB = 8192 if P == 8 else 4096
             kf = jnp.where(lane < en1, cls * TV + lane, 4 * TV + lane) + 1
             kf = jnp.where(en0m, 0, kf)
-            hcl = jnp.maximum(Hn, -(1 << 18))
-            packedv = jnp.where(band, hcl * 4096 + (4095 - kf), _INT_MIN)
+            hcl = jnp.maximum(Hn, -(1 << 17))
+            packedv = jnp.where(band, hcl * KB + (KB - 1 - kf), _INT_MIN)
             Cbest = _pmax(packedv)
-            M = Cbest >> 12
-            kstar = 4095 - (Cbest & 4095)
+            M = Cbest // KB
+            kstar = KB - 1 - (Cbest % KB)
             max_t = jnp.where(kstar == 0, en0,
                               jnp.where(kstar <= 4 * TV, (kstar - 1) % TV,
                                         kstar - 1 - 4 * TV))

@@ -434,3 +434,36 @@ def test_gg2_batch_matches_spec(banded, with_cigar):
         assert score == ws, (i, score, ws)
         if with_cigar:
             assert cig == wcig, i
+
+
+def test_p8_multirow_to_1024():
+    """tlen in (512, 1024]: P = 8 sublane rows per pair, 13-bit tie key."""
+    rng = np.random.default_rng(88)
+    B = 3
+    pairs = []
+    for _ in range(B):
+        tlen = int(rng.integers(600, 1000))
+        t, q = refcmp.random_pair(rng, tlen, divergence=0.25, indel=0.1)
+        pairs.append((encode_dna(q), encode_dna(t)))
+    Lq = max(len(q) for q, t in pairs)
+    Lt = max(len(t) for q, t in pairs)
+    Q = np.zeros((B, Lq), np.int32)
+    T = np.zeros((B, Lt), np.int32)
+    qlen = np.array([len(q) for q, t in pairs], np.int32)
+    tlen = np.array([len(t) for q, t in pairs], np.int32)
+    for i, (q, t) in enumerate(pairs):
+        Q[i, : len(q)] = q
+        T[i, : len(t)] = t
+    mat = simple_mat(5, 2, 4)
+    out = extz_batch_device(Q, T, qlen, tlen, 5, mat, 4, 2, zdrop=100,
+                            flag=Flag.SCORE_ONLY, interpret=True)
+    from ksw2_tpu.ops.batch_pallas import extd_batch_align
+    ezs = extd_batch_align(Q, T, qlen, tlen, 5, mat, 4, 2, 13, 1,
+                           zdrop=100, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        wz, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, w=-1, zdrop=100,
+                               flag=Flag.SCORE_ONLY)
+        wd, _ = diagdiff.extd2(q, t, 5, mat, 4, 2, 13, 1, w=-1, zdrop=100)
+        assert int(out["score"][i]) == wz.score and \
+            int(out["max"][i]) == wz.max, i
+        assert ezs[i].tsv_fields() == wd.tsv_fields(), i
