@@ -181,8 +181,7 @@ def align_batch(
 
     for (Lq, Lt), idxs in buckets.items():
         batchable = (Lt <= 1024
-                     and not (flag & Flag.EXTZ_ONLY)
-                     and (score_only or not (flag & Flag.APPROX_MAX)))
+                     and not (flag & Flag.EXTZ_ONLY))
         # long banded buckets ride the band engines (scores and CIGARs,
         # exact or approx-max)
         band_ok = (Lt > 512

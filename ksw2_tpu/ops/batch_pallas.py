@@ -197,7 +197,7 @@ def extz_batch_align(
     flag = Flag(int(flag))
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
-    if flag & (Flag.SCORE_ONLY | Flag.APPROX_MAX):
+    if flag & Flag.SCORE_ONLY:
         raise ValueError("use extz_batch_device for score-only batches")
     B, Lq = query.shape
     Bt, Lt = target.shape
@@ -488,7 +488,7 @@ def extd_batch_align(
     flag = Flag(int(flag))
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
-    if flag & (Flag.SCORE_ONLY | Flag.APPROX_MAX):
+    if flag & Flag.SCORE_ONLY:
         raise ValueError("use extd_batch_device for score-only batches")
     B, Lq = query.shape
     Bt, Lt = target.shape
@@ -676,8 +676,6 @@ def exts_batch_align(
     flag = Flag(int(flag))
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
-    if (flag & Flag.APPROX_MAX) and not (flag & Flag.SCORE_ONLY):
-        raise NotImplementedError("approx batched splice is score-only")
     with_cigar = not (flag & Flag.SCORE_ONLY)
     B, Lq = query.shape
     Bt, Lt = target.shape

@@ -467,3 +467,23 @@ def test_p8_multirow_to_1024():
         assert int(out["score"][i]) == wz.score and \
             int(out["max"][i]) == wz.max, i
         assert ezs[i].tsv_fields() == wd.tsv_fields(), i
+
+
+def test_approx_cigar_batches_match_spec():
+    """APPROX_MAX|APPROX_DROP with full CIGARs in all three engines."""
+    from ksw2_tpu.ops.batch_pallas import (extd_batch_align,
+                                           extz_batch_align)
+    B = 6
+    pairs, Q, T, qlen, tlen = _make_batch(121, B)
+    mat = simple_mat(5, 2, 4)
+    FAD = Flag.APPROX_MAX | Flag.APPROX_DROP
+    e1 = extz_batch_align(Q, T, qlen, tlen, 5, mat, 4, 2, zdrop=30,
+                          flag=FAD, interpret=True)
+    e2 = extd_batch_align(Q, T, qlen, tlen, 5, mat, 4, 2, 13, 1, zdrop=30,
+                          flag=FAD, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        w1, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, w=-1, zdrop=30, flag=FAD)
+        w2, _ = diagdiff.extd2(q, t, 5, mat, 4, 2, 13, 1, w=-1, zdrop=30,
+                               flag=FAD)
+        assert e1[i].tsv_fields() == w1.tsv_fields(), i
+        assert e2[i].tsv_fields() == w2.tsv_fields(), i
