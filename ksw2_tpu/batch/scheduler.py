@@ -90,7 +90,6 @@ def align_batch_scores(
             wv[k] = job.w if job.w >= 0 else max(len(job.query), len(job.target))
         use_band = (
             run_fn is None and engine in ("auto", "band") and Lt > 512
-            and not (flag & Flag.GENERIC_SC)
             and wv.min() >= 1 and wv.max() <= 960
             and int(mat[0]) * int(min(qlen.max(), tlen.max())) < (1 << 17)
         )
@@ -185,7 +184,7 @@ def align_batch(
         # long banded buckets ride the band engines (scores and CIGARs,
         # exact or approx-max)
         band_ok = (Lt > 512
-                   and not (flag & (Flag.GENERIC_SC | Flag.EXTZ_ONLY))
+                   and not (flag & Flag.EXTZ_ONLY)
                    and all(1 <= jobs[i].w <= 960 for i in idxs)
                    and int(mat[0]) * min(
                        max(len(jobs[i].query) for i in idxs),

@@ -224,8 +224,6 @@ def extz_band_batch_device(
         interpret = True
     if not (flag & Flag.SCORE_ONLY):
         raise ValueError("band engine is score-only; use extz2_device")
-    if flag & Flag.GENERIC_SC:
-        raise NotImplementedError("generic banded batches pending")
     B, Lq = query.shape
     Bt, Lt = target.shape
     assert B == Bt
@@ -271,6 +269,7 @@ def extz_band_batch_device(
         n_rows=R, n_diag=n_diag, m=m,
         sc_mch=int(mat[0]), sc_mis=int(mat[1]), sc_N=sc_N,
         q=int(q), e=int(e), w=W, zdrop=int(zdrop), flag=int(flag), p=P,
+        matt=tuple(int(v) for v in mat) if flag & Flag.GENERIC_SC else (),
     )
     run = _cached_run_band(prm, interpret)
 
@@ -333,7 +332,7 @@ def extz_band_batch_align(
     flag = Flag(int(flag))
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
-    if flag & (Flag.SCORE_ONLY | Flag.GENERIC_SC):
+    if flag & Flag.SCORE_ONLY:
         raise ValueError("use extz_band_batch_device for score batches")
     B, Lq = query.shape
     Bt, Lt = target.shape
@@ -384,6 +383,7 @@ def extz_band_batch_align(
         sc_mch=int(mat[0]), sc_mis=int(mat[1]), sc_N=sc_N,
         q=int(q), e=int(e), w=W, zdrop=int(zdrop), flag=int(flag),
         chunk=32, p=P,
+        matt=tuple(int(v) for v in mat) if flag & Flag.GENERIC_SC else (),
     )
     run = _cached_run_band(prm, interpret, True)
 
@@ -489,8 +489,6 @@ def extd_band_batch_device(
         interpret = True
     if not (flag & Flag.SCORE_ONLY):
         raise ValueError("band engine is score-only; use extd2_device")
-    if flag & Flag.GENERIC_SC:
-        raise NotImplementedError("generic banded batches pending")
     B, Lq = query.shape
     Bt, Lt = target.shape
     assert B == Bt
@@ -546,6 +544,7 @@ def extd_band_batch_device(
         q=q, e=e, q2=q2, e2=e2, qe_pre_swap=qe_pre_swap,
         long_thres=int(long_thres), long_diff=int(long_diff),
         w=W, zdrop=int(zdrop), flag=int(flag), p=P,
+        matt=tuple(int(v) for v in mat) if flag & Flag.GENERIC_SC else (),
     )
     run = _cached_run_band_extd(prm, interpret)
 
@@ -609,7 +608,7 @@ def extd_band_batch_align(
     flag = Flag(int(flag))
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
-    if flag & (Flag.SCORE_ONLY | Flag.GENERIC_SC):
+    if flag & Flag.SCORE_ONLY:
         raise ValueError("use extd_band_batch_device for score batches")
     B, Lq = query.shape
     Bt, Lt = target.shape
@@ -670,6 +669,7 @@ def extd_band_batch_align(
         q=q, e=e, q2=q2, e2=e2, qe_pre_swap=qe_pre_swap,
         long_thres=int(long_thres), long_diff=int(long_diff),
         w=W, zdrop=int(zdrop), flag=int(flag), chunk=32, p=P,
+        matt=tuple(int(v) for v in mat) if flag & Flag.GENERIC_SC else (),
     )
     run = _cached_run_band_extd(prm, interpret, True)
 

@@ -70,6 +70,7 @@ class BandParams(NamedTuple):
     flag: int
     chunk: int = CHUNK
     p: int = 1       # sublane rows per pair (w <= p*128 - 64)
+    matt: tuple = ()     # flattened matrix (GENERIC_SC source)
 
 
 def _org_of(r, w):
@@ -92,6 +93,7 @@ def _band_kernel_body(prm: BandParams, with_cigar, refs):
     approx = bool(prm.flag & int(Flag.APPROX_MAX))
     withad = approx and bool(prm.flag & int(Flag.APPROX_DROP))
     right = bool(prm.flag & int(Flag.RIGHT))
+    generic = bool(prm.flag & int(Flag.GENERIC_SC))
     refs = list(refs)
     (qlp_ref, tlp_ref, wp_ref, rlim_ref, tinit_ref, qinj_ref,
      tinj_ref) = refs[:7]
@@ -242,12 +244,26 @@ def _band_kernel_body(prm: BandParams, with_cigar, refs):
         Qn = jnp.where(act, Qn, Q[...])
         Q[...] = Qn
 
-        fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
-        eq = Tv == Qn
-        nm = tN | (Qn == prm.m - 1)
-        sval = jnp.where(eq, sb_mch, sb_mis)
-        sval = jnp.where(nm, sb_N, sval)
-        smask = act & (jb >= st0) & (jb <= fill_hi)
+        if generic:
+            # in-kernel matrix gather: the score plane would have to shift
+            # with T at jumps, so select mat[T*m + Q] directly (the
+            # reference's generic path fills exactly [st0, en0])
+            mm = prm.m * prm.m
+            idxp = Tv * prm.m + Qn
+            sval = jnp.full(shape,
+                            ((int(prm.matt[0]) + 2 * qe) & 255) ^ 128, I32)
+            for kk in range(1, mm):
+                sval = jnp.where(
+                    idxp == kk,
+                    ((int(prm.matt[kk]) + 2 * qe) & 255) ^ 128, sval)
+            smask = act & (jb >= st0) & (jb <= en0)
+        else:
+            fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
+            eq = Tv == Qn
+            nm = tN | (Qn == prm.m - 1)
+            sval = jnp.where(eq, sb_mch, sb_mis)
+            sval = jnp.where(nm, sb_N, sval)
+            smask = act & (jb >= st0) & (jb <= fill_hi)
         sn = jnp.where(smask, sval, s[...])
         s[...] = sn
 

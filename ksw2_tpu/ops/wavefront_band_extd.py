@@ -52,6 +52,7 @@ class BandExtdParams(NamedTuple):
     flag: int
     chunk: int = CHUNK
     p: int = 1
+    matt: tuple = ()     # flattened matrix (GENERIC_SC source)
 
 
 def _band_extd_kernel_body(prm: BandExtdParams, with_cigar, refs):
@@ -60,6 +61,7 @@ def _band_extd_kernel_body(prm: BandExtdParams, with_cigar, refs):
     approx = bool(prm.flag & int(Flag.APPROX_MAX))
     withad = approx and bool(prm.flag & int(Flag.APPROX_DROP))
     right = bool(prm.flag & int(Flag.RIGHT))
+    generic = bool(prm.flag & int(Flag.GENERIC_SC))
     refs = list(refs)
     (qlp_ref, tlp_ref, wp_ref, rlim_ref, tinit_ref, qinj_ref,
      tinj_ref) = refs[:7]
@@ -211,12 +213,20 @@ def _band_extd_kernel_body(prm: BandExtdParams, with_cigar, refs):
         Qn = jnp.where(act, Qn, Q[...])
         Q[...] = Qn
 
-        fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
-        eq = Tv == Qn
-        nm = tN | (Qn == prm.m - 1)
-        sval = jnp.where(eq, sb_mch, sb_mis)
-        sval = jnp.where(nm, sb_N, sval)
-        smask = act & (jb >= st0) & (jb <= fill_hi)
+        if generic:
+            mm = prm.m * prm.m
+            idxp = Tv * prm.m + Qn
+            sval = jnp.full(shape, _b(int(prm.matt[0])), I32)
+            for kk in range(1, mm):
+                sval = jnp.where(idxp == kk, _b(int(prm.matt[kk])), sval)
+            smask = act & (jb >= st0) & (jb <= en0)
+        else:
+            fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
+            eq = Tv == Qn
+            nm = tN | (Qn == prm.m - 1)
+            sval = jnp.where(eq, sb_mch, sb_mis)
+            sval = jnp.where(nm, sb_N, sval)
+            smask = act & (jb >= st0) & (jb <= fill_hi)
         sn = jnp.where(smask, sval, s[...])
         s[...] = sn
 

@@ -261,3 +261,43 @@ def test_band_cigar_via_scheduler():
                 want, _ = diagdiff.extz2(job.query, job.target, 5, MAT,
                                          4, 2, w=job.w, zdrop=100)
             assert ez.tsv_fields() == want.tsv_fields()
+
+
+GMAT = np.array([[3, -2, -4, -3, 0],
+                 [-3, 2, -2, -4, 0],
+                 [-4, -2, 4, -1, 0],
+                 [-2, -3, -1, 2, 0],
+                 [0, 0, 0, 0, 0]], np.int8).reshape(-1)
+
+
+@pytest.mark.parametrize("zdrop", [-1, 50])
+def test_band_generic_sc_matches_spec(zdrop):
+    """GENERIC_SC through the band engines (in-kernel matrix gather)."""
+    from ksw2_tpu.ops.band_batch import (extd_band_batch_align,
+                                         extz_band_batch_align)
+    rng = np.random.default_rng(61 + zdrop)
+    pairs = _mk(rng, 3, 150, 400, 0.25, 0.12, with_n=True)
+    wv = rng.integers(10, 80, len(pairs)).astype(np.int32)
+    B = len(pairs)
+    Lq = max(len(q) for q, t in pairs)
+    Lt = max(len(t) for q, t in pairs)
+    Q = np.zeros((B, Lq), np.int32)
+    T = np.zeros((B, Lt), np.int32)
+    qlen = np.array([len(q) for q, t in pairs], np.int32)
+    tlen = np.array([len(t) for q, t in pairs], np.int32)
+    for i, (q, t) in enumerate(pairs):
+        Q[i, : len(q)] = q
+        T[i, : len(t)] = t
+    e1 = extz_band_batch_align(Q, T, qlen, tlen, 5, GMAT, 4, 2, wv,
+                               zdrop=zdrop, flag=Flag.GENERIC_SC,
+                               interpret=True)
+    e2 = extd_band_batch_align(Q, T, qlen, tlen, 5, GMAT, 4, 2, 13, 1, wv,
+                               zdrop=zdrop, flag=Flag.GENERIC_SC,
+                               interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        w1, _ = diagdiff.extz2(q, t, 5, GMAT, 4, 2, w=int(wv[i]),
+                               zdrop=zdrop, flag=Flag.GENERIC_SC)
+        w2, _ = diagdiff.extd2(q, t, 5, GMAT, 4, 2, 13, 1, w=int(wv[i]),
+                               zdrop=zdrop, flag=Flag.GENERIC_SC)
+        assert e1[i].tsv_fields() == w1.tsv_fields(), i
+        assert e2[i].tsv_fields() == w2.tsv_fields(), i
