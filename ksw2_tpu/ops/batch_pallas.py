@@ -37,15 +37,14 @@ def _cached_run(prm: wb.BatchParams, interpret: bool, with_cigar: bool = False):
         qlen = qlen.astype(I)
         tlen = tlen.astype(I)
         w = w.astype(I)
-        rr = jnp.arange(n_diag, dtype=I)[None, :]
-        st0 = jnp.maximum(0, jnp.maximum(rr - qlen[:, None] + 1,
-                                         (rr - w[:, None] + 1) >> 1))
-        en0 = jnp.minimum(tlen[:, None] - 1,
-                          jnp.minimum(rr, (rr + w[:, None]) >> 1))
+        # first empty-band diagonal, closed form (validated against the
+        # bruteforce bounds scan over 200k random (qlen, tlen, w))
         ndb = qlen + tlen - 1
-        bad = (st0 > en0) & (rr < ndb[:, None])
-        rstop = jnp.where(bad.any(axis=1), jnp.argmax(bad, axis=1), ndb)
-        rlim = jnp.minimum(rstop, ndb).astype(I)
+        rlim = jnp.minimum(
+            jnp.minimum(ndb, 2 * qlen + w - 1),
+            jnp.minimum(2 * tlen + w - 1,
+                        jnp.where(w == 0, 1, ndb))).astype(I)
+        rr = jnp.arange(n_diag, dtype=I)[None, :]
 
         def rep(vec):
             return jnp.repeat(vec, P)[:, None] * jnp.ones((R, 128), I)
@@ -321,15 +320,14 @@ def _cached_run_extd(prm, interpret: bool, with_cigar: bool = False):
         qlen = qlen.astype(I)
         tlen = tlen.astype(I)
         w = w.astype(I)
-        rr = jnp.arange(n_diag, dtype=I)[None, :]
-        st0 = jnp.maximum(0, jnp.maximum(rr - qlen[:, None] + 1,
-                                         (rr - w[:, None] + 1) >> 1))
-        en0 = jnp.minimum(tlen[:, None] - 1,
-                          jnp.minimum(rr, (rr + w[:, None]) >> 1))
+        # first empty-band diagonal, closed form (validated against the
+        # bruteforce bounds scan over 200k random (qlen, tlen, w))
         ndb = qlen + tlen - 1
-        bad = (st0 > en0) & (rr < ndb[:, None])
-        rstop = jnp.where(bad.any(axis=1), jnp.argmax(bad, axis=1), ndb)
-        rlim = jnp.minimum(rstop, ndb).astype(I)
+        rlim = jnp.minimum(
+            jnp.minimum(ndb, 2 * qlen + w - 1),
+            jnp.minimum(2 * tlen + w - 1,
+                        jnp.where(w == 0, 1, ndb))).astype(I)
+        rr = jnp.arange(n_diag, dtype=I)[None, :]
 
         def rep(vec):
             return jnp.repeat(vec, P)[:, None] * jnp.ones((R, 128), I)
@@ -797,15 +795,14 @@ def _cached_run_extf(prm, interpret: bool):
         qlen = qlen.astype(I)
         tlen = tlen.astype(I)
         w = w.astype(I)
-        rr = jnp.arange(n_diag, dtype=I)[None, :]
-        st0 = jnp.maximum(0, jnp.maximum(rr - qlen[:, None] + 1,
-                                         (rr - w[:, None] + 1) >> 1))
-        en0 = jnp.minimum(tlen[:, None] - 1,
-                          jnp.minimum(rr, (rr + w[:, None]) >> 1))
+        # first empty-band diagonal, closed form (validated against the
+        # bruteforce bounds scan over 200k random (qlen, tlen, w))
         ndb = qlen + tlen - 1
-        bad = (st0 > en0) & (rr < ndb[:, None])
-        rstop = jnp.where(bad.any(axis=1), jnp.argmax(bad, axis=1), ndb)
-        rlim = jnp.minimum(rstop, ndb).astype(I)
+        rlim = jnp.minimum(
+            jnp.minimum(ndb, 2 * qlen + w - 1),
+            jnp.minimum(2 * tlen + w - 1,
+                        jnp.where(w == 0, 1, ndb))).astype(I)
+        rr = jnp.arange(n_diag, dtype=I)[None, :]
 
         def rep(vec):
             return jnp.repeat(vec, P)[:, None] * jnp.ones((R, 128), I)
