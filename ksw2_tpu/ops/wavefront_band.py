@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.flags import NEG_INF
 from .wavefront_batch import CHUNK, NFIELDS
 from .wavefront_batch import (F_MAX, F_MAXT, F_MAXQ, F_MQE, F_MQET, F_MTE,
-                              F_MTEQ, F_SCORE, F_ZDROP, _bmax, _bmin)
+                              F_MTEQ, F_SCORE, F_ZDROP, _bmax, _bmin, _bsum)
 
 I32 = jnp.int32
 _INT_MIN = -(2 ** 31) + 1
@@ -101,8 +101,8 @@ def _band_kernel_body(prm: BandParams, with_cigar, refs):
     res_ref = rest.pop(0)
     p_ref = rest.pop(0) if with_cigar else None
     (u, v, x, y, s, Q, T, H,
-     mxp, mtp, mqp, zdp, MQ, MQR, MT, MTR, SC) = rest[:17]
-    h0p, ltp = (rest[17], rest[18]) if approx else (None, None)
+     mxp, mtp, mqp, zdp, MQ, MQR, MT, MTR, SC, pbs) = rest[:18]
+    h0p, ltp = (rest[18], rest[19]) if approx else (None, None)
 
     qe = prm.q + prm.e
     R = prm.n_rows
@@ -159,6 +159,17 @@ def _band_kernel_body(prm: BandParams, with_cigar, refs):
             k *= 2
         return arr
 
+    def _psum(arr):
+        arr = _bsum(arr)
+        k = 1
+        while k < P:
+            alt = jnp.where((rows % P) >= k,
+                            jnp.roll(arr, k, axis=0),
+                            jnp.roll(arr, k - P, axis=0))
+            arr = arr + alt
+            k *= 2
+        return arr
+
     @pl.when(step == 0)
     def _init():
         zero = jnp.zeros(shape, I32)
@@ -179,6 +190,7 @@ def _band_kernel_body(prm: BandParams, with_cigar, refs):
         MT[...] = jnp.full(shape, NEG_INF, I32)
         MTR[...] = zero
         SC[...] = jnp.full(shape, NEG_INF, I32)
+        pbs[...] = zero
         if approx:
             h0p[...] = zero
             ltp[...] = zero
@@ -188,13 +200,22 @@ def _band_kernel_body(prm: BandParams, with_cigar, refs):
     wp = wp_ref[...]
     rlim = rlim_ref[...]
     q032 = (W - 1) % 32              # jump diagonals' residue mod 32
+    # loop invariants hoisted out of diag_body (Mosaic does not reliably
+    # LICM vector ops out of the fori_loop body)
+    tlm1 = tlp - 1
+    qlm1 = qlp - 1
+    ndc = qlp + tlp - 1
+    ndcm1 = ndc - 1
+    TV = P * 128
+    lane4 = 4 * TV + lane + 1        # packed-argmax key for the en1.. tail
+    lanep1 = lane + 1
 
     def bounds(r):
-        st0 = jnp.maximum(0, jnp.maximum(r - qlp + 1, (r - wp + 1) >> 1))
-        en0 = jnp.minimum(tlp - 1, jnp.minimum(r, (r + wp) >> 1))
-        stb = st0 // 16 * 16
-        enb = (en0 + 16) // 16 * 16 - 1
-        return st0, en0, stb, enb
+        # st0 >= 0 so the 16-rounding is a mask; en0 >= 0 so the round-up
+        # (en0+16)//16*16-1 is just en0|15
+        st0 = jnp.maximum(0, jnp.maximum(r + 1 - qlp, (r + 1 - wp) >> 1))
+        en0 = jnp.minimum(tlm1, jnp.minimum(r, (r + wp) >> 1))
+        return st0, en0, st0 & -16, en0 | 15
 
     def diag_body(rr, _):
         r = step * prm.chunk + rr
@@ -225,9 +246,14 @@ def _band_kernel_body(prm: BandParams, with_cigar, refs):
         if withz:
             act = act & (zdp[...] == 0)
         st0, en0, stb, enb = bounds(r)
-        _, _, pstb, penb = bounds(r - 1)
-        in_range = (r > 0) & (stb - 1 >= pstb) & (stb - 1 <= penb)
-        need_ov = (stb == 0) | jnp.logical_not(in_range)
+        # st0 advances by at most 1 per diagonal, so stb steps by 0 or 16.
+        # The stale st-1 edge byte is live exactly when stb just advanced
+        # (then stb-1 = prev stb + 15 <= prev enb, inside the previous
+        # diagonal's written block range); prev stb is memoised in a
+        # scratch plane instead of recomputing bounds(r-1).  At r == 0
+        # stb == 0 covers the init case.
+        need_ov = (stb == 0) | (stb == pbs[...])
+        pbs[...] = stb
         ov_v = jnp.where(stb == 0, jnp.where(r > 0, prm.q, 0), 0)
 
         col_mask = act & (enb >= r) & (jb == r)
@@ -258,7 +284,7 @@ def _band_kernel_body(prm: BandParams, with_cigar, refs):
                     ((int(prm.matt[kk]) + 2 * qe) & 255) ^ 128, sval)
             smask = act & (jb >= st0) & (jb <= en0)
         else:
-            fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
+            fill_hi = st0 + ((en0 - st0) & -16) + 15
             eq = Tv == Qn
             nm = tN | (Qn == prm.m - 1)
             sval = jnp.where(eq, sb_mch, sb_mis)
@@ -322,15 +348,25 @@ def _band_kernel_body(prm: BandParams, with_cigar, refs):
             ltj = lt - o_now
             c1 = (lt >= st0) & (lt <= en0)
             c2 = (lt + 1 >= st0) & (lt + 1 <= en0)
-            d0 = _pmax(jnp.where(lane == ltj, vn, _INT_MIN)) - qe
-            d1 = _pmax(jnp.where(lane == jnp.minimum(ltj + 1, P * 128 - 1),
-                                 un, _INT_MIN)) - qe
+            # one fused reduction instead of three: at most three lanes per
+            # pair are nonzero (vn at ltj, un at ltj+1, vn at lane 0 — the
+            # last only consumed at r == 0), the deltas are bytes in
+            # [0, 255], so packing them at disjoint shifts and butterfly-
+            # SUMMING recovers every field exactly (overlapping lanes sum
+            # into disjoint bit ranges; total < 2^24)
+            sel = (jnp.where(lane == ltj, vn, 0) * 256
+                   + jnp.where(lane == jnp.minimum(ltj + 1, P * 128 - 1),
+                               un, 0))
+            sel = sel + jnp.where(lane == 0, vn, 0) * 65536
+            Mb = _psum(sel)
+            d0 = ((Mb >> 8) & 255) - qe
+            d1 = (Mb & 255) - qe
             both = c1 & c2
             newH0 = jnp.where(both, h0p[...] + jnp.maximum(d0, d1),
                               jnp.where(c1, h0p[...] + d0, h0p[...] + d1))
             newlt = jnp.where(both, jnp.where(d0 > d1, lt, lt + 1),
                               jnp.where(c1, lt, lt + 1))
-            h00 = _pmax(jnp.where(lane == 0, vn, _INT_MIN)) - 2 * qe
+            h00 = (Mb >> 16) - 2 * qe
             h0p[...] = jnp.where(act, jnp.where(is0, h00, newH0), h0p[...])
             ltp[...] = jnp.where(act, jnp.where(is0, 0, newlt), ltp[...])
             if withad:
@@ -363,26 +399,24 @@ def _band_kernel_body(prm: BandParams, with_cigar, refs):
         # per-pair captures into NON-shifting planes: per-lane (max H,
         # earliest r); the final merge resolves cross-lane ties by min r,
         # which is exactly the reference's strict-> update order
-        qmask = act & ((r - st0) == (qlp - 1)) & (jb == st0)
+        qmask = act & ((r - st0) == qlm1) & (jb == st0)
         bq = qmask & (Hn > MQ[...])
         MQ[...] = jnp.where(bq, Hn, MQ[...])
         MQR[...] = jnp.where(bq, r, MQR[...])
-        tmask = en0m & (en0 == tlp - 1)
+        tmask = en0m & (en0 == tlm1)
         bt = tmask & (Hn > MT[...])
         MT[...] = jnp.where(bt, Hn, MT[...])
         MTR[...] = jnp.where(bt, r, MTR[...])
-        ndc = qlp + tlp - 1
-        cmask = act & (r == ndc - 1) & (jb == tlp - 1)
+        cmask = act & (r == ndcm1) & (jb == tlm1)
         SC[...] = jnp.where(cmask, Hn, SC[...])
 
         # per-diagonal packed argmax + ksw_apply_zdrop (max updates always;
         # the drop itself only with a live threshold).  13-bit tie key:
         # positions are band-relative so kf < 5*P*128 + 2 <= 5122 < 8192.
         band = scan_mask | en0m
-        en1 = st0 + (en0 - st0) // 4 * 4
+        en1 = st0 + ((en0 - st0) & -4)
         cls = (jb - st0) & 3
-        TV = P * 128
-        kf = jnp.where(jb < en1, cls * TV + lane, 4 * TV + lane) + 1
+        kf = jnp.where(jb < en1, cls * TV + lanep1, lane4)
         kf = jnp.where(en0m, 0, kf)        # boundary cell wins ties
         hcl = jnp.maximum(Hn, -(1 << 17))
         packedv = jnp.where(band, hcl * 8192 + (8191 - kf), _INT_MIN)
@@ -463,7 +497,7 @@ def build_band_call(prm: BandParams, with_cigar: bool = False,
     assert prm.w <= prm.p * 128 - 64, "band cap too wide for the plane"
     n_steps = (prm.n_diag + chunk - 1) // chunk
     from ..core.flags import Flag as _F
-    n_scr = 17 + (2 if prm.flag & int(_F.APPROX_MAX) else 0)
+    n_scr = 18 + (2 if prm.flag & int(_F.APPROX_MAX) else 0)
     scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(n_scr)]
     kernel = functools.partial(_band_kernel_body, prm, with_cigar)
 

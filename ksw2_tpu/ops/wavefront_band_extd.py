@@ -24,7 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.flags import NEG_INF
 from .wavefront_batch import CHUNK
 from .wavefront_batch import (F_MAX, F_MAXT, F_MAXQ, F_MQE, F_MQET, F_MTE,
-                              F_MTEQ, F_SCORE, F_ZDROP, _bmax, _bmin)
+                              F_MTEQ, F_SCORE, F_ZDROP, _bmax, _bmin, _bsum)
 from .wavefront_band import _org_of
 from .wavefront_extd import BIAS, _b
 
@@ -69,8 +69,8 @@ def _band_extd_kernel_body(prm: BandExtdParams, with_cigar, refs):
     res_ref = rest.pop(0)
     p_ref = rest.pop(0) if with_cigar else None
     (u, v, x, y, x2, y2, s, Q, T, H,
-     mxp, mtp, mqp, zdp, MQ, MQR, MT, MTR, SC) = rest[:19]
-    h0p, ltp = (rest[19], rest[20]) if approx else (None, None)
+     mxp, mtp, mqp, zdp, MQ, MQR, MT, MTR, SC, pbs) = rest[:20]
+    h0p, ltp = (rest[20], rest[21]) if approx else (None, None)
 
     qe, qe2 = prm.q + prm.e, prm.q2 + prm.e2
     R = prm.n_rows
@@ -121,6 +121,17 @@ def _band_extd_kernel_body(prm: BandExtdParams, with_cigar, refs):
             k *= 2
         return arr
 
+    def _psum(arr):
+        arr = _bsum(arr)
+        k = 1
+        while k < P:
+            alt = jnp.where((rows % P) >= k,
+                            jnp.roll(arr, k, axis=0),
+                            jnp.roll(arr, k - P, axis=0))
+            arr = arr + alt
+            k *= 2
+        return arr
+
     @pl.when(step == 0)
     def _init():
         u[...] = jnp.full(shape, _b(-qe), I32)
@@ -142,6 +153,7 @@ def _band_extd_kernel_body(prm: BandExtdParams, with_cigar, refs):
         MT[...] = jnp.full(shape, NEG_INF, I32)
         MTR[...] = jnp.zeros(shape, I32)
         SC[...] = jnp.full(shape, NEG_INF, I32)
+        pbs[...] = jnp.zeros(shape, I32)
         if approx:
             h0p[...] = jnp.zeros(shape, I32)
             ltp[...] = jnp.zeros(shape, I32)
@@ -151,13 +163,19 @@ def _band_extd_kernel_body(prm: BandExtdParams, with_cigar, refs):
     wp = wp_ref[...]
     rlim = rlim_ref[...]
     q032 = (W - 1) % 32
+    # loop invariants hoisted out of diag_body (see wavefront_band.py)
+    tlm1 = tlp - 1
+    qlm1 = qlp - 1
+    ndc = qlp + tlp - 1
+    ndcm1 = ndc - 1
+    TV = P * 128
+    lane4 = 4 * TV + lane + 1
+    lanep1 = lane + 1
 
     def bounds(r):
-        st0 = jnp.maximum(0, jnp.maximum(r - qlp + 1, (r - wp + 1) >> 1))
-        en0 = jnp.minimum(tlp - 1, jnp.minimum(r, (r + wp) >> 1))
-        stb = st0 // 16 * 16
-        enb = (en0 + 16) // 16 * 16 - 1
-        return st0, en0, stb, enb
+        st0 = jnp.maximum(0, jnp.maximum(r + 1 - qlp, (r + 1 - wp) >> 1))
+        en0 = jnp.minimum(tlm1, jnp.minimum(r, (r + wp) >> 1))
+        return st0, en0, st0 & -16, en0 | 15
 
     def _ucol(r):
         return jnp.where(
@@ -194,9 +212,9 @@ def _band_extd_kernel_body(prm: BandExtdParams, with_cigar, refs):
         if withz:
             act = act & (zdp[...] == 0)
         st0, en0, stb, enb = bounds(r)
-        _, _, pstb, penb = bounds(r - 1)
-        in_range = (r > 0) & (stb - 1 >= pstb) & (stb - 1 <= penb)
-        need_ov = (stb == 0) | jnp.logical_not(in_range)
+        # prev-stb memo instead of bounds(r-1); see wavefront_band.py
+        need_ov = (stb == 0) | (stb == pbs[...])
+        pbs[...] = stb
         ucol_r = _ucol(r)
         ov_v = jnp.where(stb == 0, ucol_r, _b(-qe))
 
@@ -221,7 +239,7 @@ def _band_extd_kernel_body(prm: BandExtdParams, with_cigar, refs):
                 sval = jnp.where(idxp == kk, _b(int(prm.matt[kk])), sval)
             smask = act & (jb >= st0) & (jb <= en0)
         else:
-            fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
+            fill_hi = st0 + ((en0 - st0) & -16) + 15
             eq = Tv == Qn
             nm = tN | (Qn == prm.m - 1)
             sval = jnp.where(eq, sb_mch, sb_mis)
@@ -297,16 +315,21 @@ def _band_extd_kernel_body(prm: BandExtdParams, with_cigar, refs):
             ltj = lt - o_now
             c1 = (lt >= st0) & (lt <= en0)
             c2 = (lt + 1 >= st0) & (lt + 1 <= en0)
-            d0 = _pmax(jnp.where(lane == ltj, vn, _INT_MIN)) - BIAS
-            d1 = _pmax(jnp.where(lane == jnp.minimum(ltj + 1, P * 128 - 1),
-                                 un, _INT_MIN)) - BIAS
+            # fused three-field butterfly SUM (see wavefront_band.py):
+            # biased deltas are bytes, disjoint shifts, total < 2^24
+            sel = (jnp.where(lane == ltj, vn, 0) * 256
+                   + jnp.where(lane == jnp.minimum(ltj + 1, P * 128 - 1),
+                               un, 0))
+            sel = sel + jnp.where(lane == 0, vn, 0) * 65536
+            Mb = _psum(sel)
+            d0 = ((Mb >> 8) & 255) - BIAS
+            d1 = (Mb & 255) - BIAS
             both = c1 & c2
             newH0 = jnp.where(both, h0p[...] + jnp.maximum(d0, d1),
                               jnp.where(c1, h0p[...] + d0, h0p[...] + d1))
             newlt = jnp.where(both, jnp.where(d0 > d1, lt, lt + 1),
                               jnp.where(c1, lt, lt + 1))
-            h00 = _pmax(jnp.where(lane == 0, vn, _INT_MIN)) - BIAS \
-                - prm.qe_pre_swap
+            h00 = (Mb >> 16) - BIAS - prm.qe_pre_swap
             h0p[...] = jnp.where(act, jnp.where(is0, h00, newH0), h0p[...])
             ltp[...] = jnp.where(act, jnp.where(is0, 0, newlt), ltp[...])
             if withad:
@@ -337,24 +360,22 @@ def _band_extd_kernel_body(prm: BandExtdParams, with_cigar, refs):
         H[...] = Hn
 
         # per-pair captures (see wavefront_band.py)
-        qmask = act & ((r - st0) == (qlp - 1)) & (jb == st0)
+        qmask = act & ((r - st0) == qlm1) & (jb == st0)
         bq = qmask & (Hn > MQ[...])
         MQ[...] = jnp.where(bq, Hn, MQ[...])
         MQR[...] = jnp.where(bq, r, MQR[...])
-        tmask = en0m & (en0 == tlp - 1)
+        tmask = en0m & (en0 == tlm1)
         bt = tmask & (Hn > MT[...])
         MT[...] = jnp.where(bt, Hn, MT[...])
         MTR[...] = jnp.where(bt, r, MTR[...])
-        ndc = qlp + tlp - 1
-        cmask = act & (r == ndc - 1) & (jb == tlp - 1)
+        cmask = act & (r == ndcm1) & (jb == tlm1)
         SC[...] = jnp.where(cmask, Hn, SC[...])
 
         # per-diagonal packed argmax + ksw_apply_zdrop (e2 compensation)
         band = scan_mask | en0m
-        en1 = st0 + (en0 - st0) // 4 * 4
+        en1 = st0 + ((en0 - st0) & -4)
         cls = (jb - st0) & 3
-        TV = P * 128
-        kf = jnp.where(jb < en1, cls * TV + lane, 4 * TV + lane) + 1
+        kf = jnp.where(jb < en1, cls * TV + lanep1, lane4)
         kf = jnp.where(en0m, 0, kf)
         hcl = jnp.maximum(Hn, -(1 << 17))
         packedv = jnp.where(band, hcl * 8192 + (8191 - kf), _INT_MIN)
@@ -434,7 +455,7 @@ def build_band_extd_call(prm: BandExtdParams, with_cigar: bool = False,
     assert prm.w <= prm.p * 128 - 64, "band cap too wide for the plane"
     n_steps = (prm.n_diag + chunk - 1) // chunk
     from ..core.flags import Flag as _F
-    n_scr = 19 + (2 if prm.flag & int(_F.APPROX_MAX) else 0)
+    n_scr = 20 + (2 if prm.flag & int(_F.APPROX_MAX) else 0)
     scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(n_scr)]
     kernel = functools.partial(_band_extd_kernel_body, prm, with_cigar)
 

@@ -78,6 +78,13 @@ def _bmin(arr):
     return arr
 
 
+def _bsum(arr):
+    """Butterfly sum along lanes; every lane ends up holding the row sum."""
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        arr = arr + pltpu.roll(arr, k, axis=1)
+    return arr
+
+
 def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
     approx = bool(prm.flag & int(Flag.APPROX_MAX))
     withz = prm.zdrop >= 0
@@ -94,8 +101,8 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
     qinj_ref, res_ref = rest[:2]
     rest = rest[2:]
     p_ref = rest.pop(0) if with_cigar else None
-    u, v, x, y, s, Q, H, HM, RD, MQ = rest[:10]
-    rest = rest[10:]
+    u, v, x, y, s, Q, H, HM, RD, MQ, pbs = rest[:11]
+    rest = rest[11:]
     if approx:
         h0p, ltp = rest[:2]
         rest = rest[2:]
@@ -152,6 +159,17 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
             k *= 2
         return arr
 
+    def _psum(arr):
+        arr = _bsum(arr)
+        k = 1
+        while k < P:
+            alt = jnp.where((rows % P) >= k,
+                            jnp.roll(arr, k, axis=0),
+                            jnp.roll(arr, k - P, axis=0))
+            arr = arr + alt
+            k *= 2
+        return arr
+
     @pl.when(step == 0)
     def _init():
         zero = jnp.zeros(shape, I32)
@@ -165,6 +183,7 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
         HM[...] = jnp.full(shape, NEG_INF, I32)
         RD[...] = zero
         MQ[...] = jnp.full(shape, NEG_INF, I32)
+        pbs[...] = zero
         if approx:
             h0p[...] = zero
             ltp[...] = zero
@@ -180,13 +199,19 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
     rlim = rlim_ref[...]
     T = target_ref[...]
     tN = T == prm.m - 1
+    # loop invariants hoisted out of diag_body (Mosaic does not reliably
+    # LICM vector ops out of the fori_loop body)
+    tlm1 = tlp - 1
+    qlm1 = qlp - 1
+    TV = P * 128
+    lane4 = 4 * TV + lane + 1
+    lanep1 = lane + 1
 
     def bounds(r):
-        st0 = jnp.maximum(0, jnp.maximum(r - qlp + 1, (r - wp + 1) >> 1))
-        en0 = jnp.minimum(tlp - 1, jnp.minimum(r, (r + wp) >> 1))
-        stb = st0 // 16 * 16
-        enb = (en0 + 16) // 16 * 16 - 1
-        return st0, en0, stb, enb
+        # st0 >= 0 so 16-rounding is a mask; en0 >= 0 so the round-up is |15
+        st0 = jnp.maximum(0, jnp.maximum(r + 1 - qlp, (r + 1 - wp) >> 1))
+        en0 = jnp.minimum(tlm1, jnp.minimum(r, (r + wp) >> 1))
+        return st0, en0, st0 & -16, en0 | 15
 
     def diag_body(rr, _):
         r = step * prm.chunk + rr
@@ -194,11 +219,12 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
         if withz:
             act = act & (zdp[...] == 0)
         st0, en0, stb, enb = bounds(r)
-        # previous rounded band from the closed form (valid whenever r-1 was
-        # itself live; for r == 0 the st==0 branch below takes over anyway)
-        _, _, pstb, penb = bounds(r - 1)
-        in_range = (r > 0) & (stb - 1 >= pstb) & (stb - 1 <= penb)
-        need_ov = (stb == 0) | jnp.logical_not(in_range)
+        # st0 advances by at most 1 per diagonal, so stb steps by 0 or 16;
+        # the stale st-1 edge byte is live exactly when stb just advanced.
+        # prev stb is memoised in a scratch plane instead of recomputing
+        # bounds(r-1); stb == 0 covers r == 0.
+        need_ov = (stb == 0) | (stb == pbs[...])
+        pbs[...] = stb
         ov_v = jnp.where(stb == 0, jnp.where(r > 0, prm.q, 0), 0)
 
         col_mask = act & (enb >= r) & (lane == r)
@@ -223,7 +249,7 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
                                  sval)
             smask = act & (lane >= st0) & (lane <= en0)
         else:
-            fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
+            fill_hi = st0 + ((en0 - st0) & -16) + 15
             eq = T == Qn
             nm = tN | (Qn == prm.m - 1)
             sval = jnp.where(eq, sb_mch, sb_mis)
@@ -295,23 +321,31 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
         RD[...] = jnp.where(better, r, RD[...])
         # mqe one-shot samples on the last query row
         MQ[...] = jnp.where(
-            act & ((r - st0) == (qlp - 1)) & (lane == st0), Hn, MQ[...])
+            act & ((r - st0) == qlm1) & (lane == st0), Hn, MQ[...])
 
         if approx:
-            # O(1) per-row H0 walk (ksw2_extz2_sse.c:270-286): one lane
-            # select per operand, butterflied so results stay replicated
+            # O(1) per-row H0 walk (ksw2_extz2_sse.c:270-286).  One fused
+            # butterfly instead of three: at most three lanes per pair are
+            # nonzero (vn at lt, un at lt+1, vn at lane 0 — the last only
+            # consumed at r == 0); the deltas are bytes in [0, 255], so
+            # packing them at disjoint shifts and butterfly-SUMMING
+            # recovers every field exactly (total < 2^24)
             lt = ltp[...]
             c1 = (lt >= st0) & (lt <= en0)
             c2 = (lt + 1 >= st0) & (lt + 1 <= en0)
-            d0 = _pmax(jnp.where(lane == lt, vn, _INT_MIN)) - qe
-            d1 = _pmax(jnp.where(lane == jnp.minimum(lt + 1, P * 128 - 1),
-                                 un, _INT_MIN)) - qe
+            sel = (jnp.where(lane == lt, vn, 0) * 256
+                   + jnp.where(lane == jnp.minimum(lt + 1, P * 128 - 1),
+                               un, 0))
+            sel = sel + jnp.where(lane0, vn, 0) * 65536
+            Mb = _psum(sel)
+            d0 = ((Mb >> 8) & 255) - qe
+            d1 = (Mb & 255) - qe
             both = c1 & c2
             newH0 = jnp.where(both, h0p[...] + jnp.maximum(d0, d1),
                               jnp.where(c1, h0p[...] + d0, h0p[...] + d1))
             newlt = jnp.where(both, jnp.where(d0 > d1, lt, lt + 1),
                               jnp.where(c1, lt, lt + 1))
-            h00 = _pmax(jnp.where(lane == 0, vn, _INT_MIN)) - 2 * qe
+            h00 = (Mb >> 16) - 2 * qe
             h0p[...] = jnp.where(act, jnp.where(is0, h00, newH0), h0p[...])
             ltp[...] = jnp.where(act, jnp.where(is0, 0, newlt), ltp[...])
 
@@ -337,11 +371,10 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
             # deeply negative H is clamped, which cannot change the drop
             # decision (the margin is already far beyond any zdrop).
             band = scan_mask | en0m
-            en1 = st0 + (en0 - st0) // 4 * 4
+            en1 = st0 + ((en0 - st0) & -4)
             cls = (lane - st0) & 3
-            TV = P * 128
             KB = 8192 if P == 8 else 4096      # 5*TV + 2 key values
-            kf = jnp.where(lane < en1, cls * TV + lane, 4 * TV + lane) + 1
+            kf = jnp.where(lane < en1, cls * TV + lanep1, lane4)
             kf = jnp.where(en0m, 0, kf)        # boundary cell wins ties
             hcl = jnp.maximum(Hn, -(1 << 17))
             packedv = jnp.where(band, hcl * KB + (KB - 1 - kf), _INT_MIN)
@@ -461,7 +494,7 @@ def build_batch_call(prm: BatchParams, with_cigar: bool = False,
     chunk = prm.chunk
     assert CHUNK % chunk == 0
     n_steps = (prm.n_diag + chunk - 1) // chunk
-    n_scr = (10 + (2 if prm.flag & int(Flag.APPROX_MAX) else 0)
+    n_scr = (11 + (2 if prm.flag & int(Flag.APPROX_MAX) else 0)
              + (4 if prm.zdrop >= 0 or (prm.flag & int(Flag.APPROX_MAX)
                            and prm.flag & int(Flag.APPROX_DROP)) else 0))
     scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(n_scr)]

@@ -21,7 +21,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.flags import NEG_INF, Flag
-from .wavefront_batch import CHUNK, NFIELDS, _bmax, _bmin
+from .wavefront_batch import CHUNK, NFIELDS, _bmax, _bmin, _bsum
 from .wavefront_batch import (F_MAX, F_MAXT, F_MAXQ, F_MQE, F_MQET, F_MTE,
                               F_MTEQ, F_SCORE, F_ZDROP)
 from .wavefront_extd import BIAS, _b
@@ -68,8 +68,8 @@ def _batch_extd_kernel(prm: BatchExtdParams, with_cigar, refs):
     qinj_ref, res_ref = rest[:2]
     rest = rest[2:]
     p_ref = rest.pop(0) if with_cigar else None
-    u, v, x, y, x2, y2, s, Q, H, HM, RD, MQ = rest[:12]
-    rest = rest[12:]
+    u, v, x, y, x2, y2, s, Q, H, HM, RD, MQ, pbs = rest[:13]
+    rest = rest[13:]
     if approx:
         h0p, ltp = rest[:2]
         rest = rest[2:]
@@ -110,6 +110,17 @@ def _batch_extd_kernel(prm: BatchExtdParams, with_cigar, refs):
             k *= 2
         return arr
 
+    def _psum(arr):
+        arr = _bsum(arr)
+        k = 1
+        while k < P:
+            alt = jnp.where((rows % P) >= k,
+                            jnp.roll(arr, k, axis=0),
+                            jnp.roll(arr, k - P, axis=0))
+            arr = arr + alt
+            k *= 2
+        return arr
+
     def _pmin(arr):
         arr = _bmin(arr)
         k = 1
@@ -135,6 +146,7 @@ def _batch_extd_kernel(prm: BatchExtdParams, with_cigar, refs):
         HM[...] = jnp.full(shape, NEG_INF, I32)
         RD[...] = jnp.zeros(shape, I32)
         MQ[...] = jnp.full(shape, NEG_INF, I32)
+        pbs[...] = jnp.zeros(shape, I32)
         if approx:
             h0p[...] = jnp.zeros(shape, I32)
             ltp[...] = jnp.zeros(shape, I32)
@@ -150,6 +162,12 @@ def _batch_extd_kernel(prm: BatchExtdParams, with_cigar, refs):
     rlim = rlim_ref[...]
     T = target_ref[...]
     tN = T == prm.m - 1
+    # loop invariants hoisted out of diag_body (see wavefront_batch.py)
+    tlm1 = tlp - 1
+    qlm1 = qlp - 1
+    TV = P * 128
+    lane4 = 4 * TV + lane + 1
+    lanep1 = lane + 1
 
     def _ucol(r):
         return jnp.where(
@@ -163,16 +181,14 @@ def _batch_extd_kernel(prm: BatchExtdParams, with_cigar, refs):
         act = r < rlim
         if withz:
             act = act & (zdp[...] == 0)
-        st0 = jnp.maximum(0, jnp.maximum(r - qlp + 1, (r - wp + 1) >> 1))
-        en0 = jnp.minimum(tlp - 1, jnp.minimum(r, (r + wp) >> 1))
-        stb = st0 // 16 * 16
-        enb = (en0 + 16) // 16 * 16 - 1
-        r1 = r - 1
-        st0p = jnp.maximum(0, jnp.maximum(r1 - qlp + 1, (r1 - wp + 1) >> 1))
-        en0p = jnp.minimum(tlp - 1, jnp.minimum(r1, (r1 + wp) >> 1))
-        in_range = ((r > 0) & (stb - 1 >= st0p // 16 * 16)
-                    & (stb - 1 <= (en0p + 16) // 16 * 16 - 1))
-        need_ov = (stb == 0) | jnp.logical_not(in_range)
+        st0 = jnp.maximum(0, jnp.maximum(r + 1 - qlp, (r + 1 - wp) >> 1))
+        en0 = jnp.minimum(tlm1, jnp.minimum(r, (r + wp) >> 1))
+        stb = st0 & -16
+        enb = en0 | 15
+        # prev-stb memo instead of recomputing bounds(r-1); see
+        # wavefront_batch.py
+        need_ov = (stb == 0) | (stb == pbs[...])
+        pbs[...] = stb
         ucol_r = _ucol(r)
         ov_v = jnp.where(stb == 0, ucol_r, _b(-qe))
 
@@ -195,7 +211,7 @@ def _batch_extd_kernel(prm: BatchExtdParams, with_cigar, refs):
                                  sval)
             smask = act & (lane >= st0) & (lane <= en0)
         else:
-            fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
+            fill_hi = st0 + ((en0 - st0) & -16) + 15
             eq = T == Qn
             nm = tN | (Qn == prm.m - 1)
             sval = jnp.where(eq, sb_mch, sb_mis)
@@ -277,23 +293,27 @@ def _batch_extd_kernel(prm: BatchExtdParams, with_cigar, refs):
         HM[...] = jnp.where(better, Hn, HM[...])
         RD[...] = jnp.where(better, r, RD[...])
         MQ[...] = jnp.where(
-            act & ((r - st0) == (qlp - 1)) & (lane == st0), Hn, MQ[...])
+            act & ((r - st0) == qlm1) & (lane == st0), Hn, MQ[...])
 
         if approx:
-            # O(1) per-row H0 walk on biased deltas (no -e offset in extd)
+            # O(1) per-row H0 walk on biased deltas (no -e offset in extd);
+            # fused three-field butterfly SUM (see wavefront_batch.py)
             lt = ltp[...]
             c1 = (lt >= st0) & (lt <= en0)
             c2 = (lt + 1 >= st0) & (lt + 1 <= en0)
-            d0 = _pmax(jnp.where(lane == lt, vn, _INT_MIN)) - BIAS
-            d1 = _pmax(jnp.where(lane == jnp.minimum(lt + 1, P * 128 - 1),
-                                 un, _INT_MIN)) - BIAS
+            sel = (jnp.where(lane == lt, vn, 0) * 256
+                   + jnp.where(lane == jnp.minimum(lt + 1, P * 128 - 1),
+                               un, 0))
+            sel = sel + jnp.where(lane0, vn, 0) * 65536
+            Mb = _psum(sel)
+            d0 = ((Mb >> 8) & 255) - BIAS
+            d1 = (Mb & 255) - BIAS
             both = c1 & c2
             newH0 = jnp.where(both, h0p[...] + jnp.maximum(d0, d1),
                               jnp.where(c1, h0p[...] + d0, h0p[...] + d1))
             newlt = jnp.where(both, jnp.where(d0 > d1, lt, lt + 1),
                               jnp.where(c1, lt, lt + 1))
-            h00 = _pmax(jnp.where(lane == 0, vn, _INT_MIN)) - BIAS \
-                - prm.qe_pre_swap
+            h00 = (Mb >> 16) - BIAS - prm.qe_pre_swap
             h0p[...] = jnp.where(act, jnp.where(is0, h00, newH0), h0p[...])
             ltp[...] = jnp.where(act, jnp.where(is0, 0, newlt), ltp[...])
 
@@ -319,11 +339,10 @@ def _batch_extd_kernel(prm: BatchExtdParams, with_cigar, refs):
             # deeply negative H is clamped, which cannot change the drop
             # decision (the margin is already far beyond any zdrop).
             band = scan_mask | en0m
-            en1 = st0 + (en0 - st0) // 4 * 4
+            en1 = st0 + ((en0 - st0) & -4)
             cls = (lane - st0) & 3
-            TV = P * 128
             KB = 8192 if P == 8 else 4096      # 5*TV + 2 key values
-            kf = jnp.where(lane < en1, cls * TV + lane, 4 * TV + lane) + 1
+            kf = jnp.where(lane < en1, cls * TV + lanep1, lane4)
             kf = jnp.where(en0m, 0, kf)        # boundary cell wins ties
             hcl = jnp.maximum(Hn, -(1 << 17))
             packedv = jnp.where(band, hcl * KB + (KB - 1 - kf), _INT_MIN)
@@ -438,7 +457,7 @@ def build_batch_extd_call(prm: BatchExtdParams, with_cigar: bool = False,
     chunk = prm.chunk
     assert CHUNK % chunk == 0
     n_steps = (prm.n_diag + chunk - 1) // chunk
-    n_scr = (12 + (2 if prm.flag & int(Flag.APPROX_MAX) else 0)
+    n_scr = (13 + (2 if prm.flag & int(Flag.APPROX_MAX) else 0)
              + (4 if prm.zdrop >= 0 or (prm.flag & int(Flag.APPROX_MAX)
                            and prm.flag & int(Flag.APPROX_DROP)) else 0))
     scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(n_scr)]

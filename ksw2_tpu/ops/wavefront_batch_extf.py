@@ -20,7 +20,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.flags import NEG_INF
 from .wavefront_batch import CHUNK
 from .wavefront_batch import (F_MAX, F_MAXT, F_MAXQ, F_MQE, F_MQET, F_MTE,
-                              F_MTEQ, F_SCORE, F_ZDROP, _bmax)
+                              F_MTEQ, F_SCORE, F_ZDROP, _bmax, _bsum)
 
 I32 = jnp.int32
 _INT_MIN = -(2 ** 31) + 1
@@ -39,7 +39,7 @@ class BatchExtfParams(NamedTuple):
 
 def _batch_extf_kernel(prm: BatchExtfParams, refs):
     (qlp_ref, tlp_ref, wp_ref, rlim_ref, target_ref, qinj_ref, res_ref,
-     u, v, s, Q, h0p, ltp, mxp, mtp, mqp, zdp) = refs
+     u, v, s, Q, h0p, ltp, mxp, mtp, mqp, zdp, pbs) = refs
 
     e = prm.e
     R = prm.n_rows
@@ -72,6 +72,17 @@ def _batch_extf_kernel(prm: BatchExtfParams, refs):
             k *= 2
         return arr
 
+    def _psum(arr):
+        arr = _bsum(arr)
+        k = 1
+        while k < P:
+            alt = jnp.where((rows % P) >= k,
+                            jnp.roll(arr, k, axis=0),
+                            jnp.roll(arr, k - P, axis=0))
+            arr = arr + alt
+            k *= 2
+        return arr
+
     @pl.when(step == 0)
     def _init():
         zero = jnp.zeros(shape, I32)
@@ -85,27 +96,27 @@ def _batch_extf_kernel(prm: BatchExtfParams, refs):
         mtp[...] = jnp.full(shape, -1, I32)
         mqp[...] = jnp.full(shape, -1, I32)
         zdp[...] = zero
+        pbs[...] = zero
 
     qlp = qlp_ref[...]
     tlp = tlp_ref[...]
     wp = wp_ref[...]
     rlim = rlim_ref[...]
     T = target_ref[...]
+    tlm1 = tlp - 1                     # hoisted loop invariant
 
     def bounds(r):
-        st0 = jnp.maximum(0, jnp.maximum(r - qlp + 1, (r - wp + 1) >> 1))
-        en0 = jnp.minimum(tlp - 1, jnp.minimum(r, (r + wp) >> 1))
-        stb = st0 // 16 * 16
-        enb = (en0 + 16) // 16 * 16 - 1
-        return st0, en0, stb, enb
+        st0 = jnp.maximum(0, jnp.maximum(r + 1 - qlp, (r + 1 - wp) >> 1))
+        en0 = jnp.minimum(tlm1, jnp.minimum(r, (r + wp) >> 1))
+        return st0, en0, st0 & -16, en0 | 15
 
     def diag_body(rr, _):
         r = step * prm.chunk + rr
         act = (r < rlim) & (zdp[...] == 0)
         st0, en0, stb, enb = bounds(r)
-        _, _, pstb, penb = bounds(r - 1)
-        in_range = (r > 0) & (stb - 1 >= pstb) & (stb - 1 <= penb)
-        need_ov = (stb == 0) | jnp.logical_not(in_range)
+        # prev-stb memo instead of bounds(r-1); see wavefront_batch.py
+        need_ov = (stb == 0) | (stb == pbs[...])
+        pbs[...] = stb
 
         col_mask = act & (enb >= r) & (lane == r)
         ut = jnp.where(col_mask, 0, u[...])
@@ -115,7 +126,7 @@ def _batch_extf_kernel(prm: BatchExtfParams, refs):
         Qn = jnp.where(act, Qn, Q[...])
         Q[...] = Qn
 
-        fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
+        fill_hi = st0 + ((en0 - st0) & -16) + 15
         eq = T == Qn
         sval = jnp.where(eq, sb_mch, sb_mis)
         smask = act & (lane >= st0) & (lane <= fill_hi)
@@ -136,20 +147,25 @@ def _batch_extf_kernel(prm: BatchExtfParams, refs):
         u[...] = un
         v[...] = vn
 
-        # O(1) H0 walk + per-pair X-drop (ksw2_extf2_sse.c:80-91)
+        # O(1) H0 walk + per-pair X-drop (ksw2_extf2_sse.c:80-91); fused
+        # three-field butterfly SUM (see wavefront_batch.py): deltas are
+        # bytes at disjoint shifts, at most three nonzero lanes per pair
         is0 = r == 0
         lt = ltp[...]
         c1 = (lt >= st0) & (lt <= en0)
         c2 = (lt + 1 >= st0) & (lt + 1 <= en0)
-        d0 = _pmax(jnp.where(lane == lt, vn, _INT_MIN)) - e
-        d1 = _pmax(jnp.where(lane == jnp.minimum(lt + 1, P * 128 - 1),
-                             un, _INT_MIN)) - e
+        sel = (jnp.where(lane == lt, vn, 0) * 256
+               + jnp.where(lane == jnp.minimum(lt + 1, P * 128 - 1), un, 0))
+        sel = sel + jnp.where(lane0, vn, 0) * 65536
+        Mb = _psum(sel)
+        d0 = ((Mb >> 8) & 255) - e
+        d1 = (Mb & 255) - e
         both = c1 & c2
         newH0 = jnp.where(both, h0p[...] + jnp.maximum(d0, d1),
                           jnp.where(c1, h0p[...] + d0, h0p[...] + d1))
         newlt = jnp.where(both, jnp.where(d0 > d1, lt, lt + 1),
                           jnp.where(c1, lt, lt + 1))
-        h00 = _pmax(jnp.where(lane0, vn, _INT_MIN)) - 2 * e
+        h00 = (Mb >> 16) - 2 * e
         h0p[...] = jnp.where(act, jnp.where(is0, h00, newH0), h0p[...])
         ltp[...] = jnp.where(act, jnp.where(is0, 0, newlt), ltp[...])
 
@@ -191,7 +207,7 @@ def build_batch_extf_call(prm: BatchExtfParams, interpret: bool = False):
     chunk = prm.chunk
     assert CHUNK % chunk == 0
     n_steps = (prm.n_diag + chunk - 1) // chunk
-    scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(10)]
+    scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(11)]
     kernel = functools.partial(_batch_extf_kernel, prm)
 
     def wrap(*refs):

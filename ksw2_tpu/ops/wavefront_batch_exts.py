@@ -23,7 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.flags import NEG_INF, Flag
-from .wavefront_batch import CHUNK, _bmax, _bmin
+from .wavefront_batch import CHUNK, _bmax, _bmin, _bsum
 from .wavefront_batch import (F_MAX, F_MAXT, F_MAXQ, F_MQE, F_MQET, F_MTE,
                               F_MTEQ, F_SCORE, F_ZDROP)
 from .wavefront_extd import BIAS, _b
@@ -109,6 +109,17 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
             k *= 2
         return arr
 
+    def _psum(arr):
+        arr = _bsum(arr)
+        k = 1
+        while k < P:
+            alt = jnp.where((rows % P) >= k,
+                            jnp.roll(arr, k, axis=0),
+                            jnp.roll(arr, k - P, axis=0))
+            arr = arr + alt
+            k *= 2
+        return arr
+
     def _pmin(arr):
         arr = _bmin(arr)
         k = 1
@@ -149,6 +160,12 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
     don = don_ref[...]
     acc = acc_ref[...]
     tN = T == prm.m - 1
+    # loop invariants hoisted out of diag_body
+    tlm1 = tlp - 1
+    qlm1 = qlp - 1
+    TV = P * 128
+    lane4 = 4 * TV + lane + 1
+    lanep1 = lane + 1
 
     def _ucol(r):
         """First-column switch, biased (exts: tail cost 0)."""
@@ -163,10 +180,10 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
         act = r < rlim
         if withz:
             act = act & (zdp[...] == 0)
-        st0 = jnp.maximum(0, r - qlp + 1)
-        en0 = jnp.minimum(tlp - 1, r)
-        stb = st0 // 16 * 16
-        enb = (en0 + 16) // 16 * 16 - 1
+        st0 = jnp.maximum(0, r + 1 - qlp)
+        en0 = jnp.minimum(tlm1, r)
+        stb = st0 & -16
+        enb = en0 | 15
         # exts has no band; the rounded start only leaves [0,16) when the
         # query is exhausted and never jumps, so the boundary values are
         # only injected at st == 0 (mirrors ksw2_exts2_sse.c:191-196)
@@ -190,7 +207,7 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
                                  sval)
             smask = act & (lane >= st0) & (lane <= en0)
         else:
-            fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
+            fill_hi = st0 + ((en0 - st0) & -16) + 15
             eq = T == Qn
             nm = tN | (Qn == prm.m - 1)
             sval = jnp.where(eq, sb_mch, sb_mis)
@@ -266,23 +283,28 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
         HM[...] = jnp.where(better, Hn, HM[...])
         RD[...] = jnp.where(better, r, RD[...])
         MQ[...] = jnp.where(
-            act & ((r - st0) == (qlp - 1)) & (lane == st0), Hn, MQ[...])
+            act & ((r - st0) == qlm1) & (lane == st0), Hn, MQ[...])
 
         if approx:
             # O(1) per-row H0 walk on biased deltas (ksw2_exts2_sse.c:
             # approx-max branch; raw int8 deltas, no offset)
+            # fused three-field butterfly SUM (see wavefront_batch.py)
             lt = ltp[...]
             c1 = (lt >= st0) & (lt <= en0)
             c2 = (lt + 1 >= st0) & (lt + 1 <= en0)
-            d0 = _pmax(jnp.where(lane == lt, vn, _INT_MIN)) - BIAS
-            d1 = _pmax(jnp.where(lane == jnp.minimum(lt + 1, P * 128 - 1),
-                                 un, _INT_MIN)) - BIAS
+            sel = (jnp.where(lane == lt, vn, 0) * 256
+                   + jnp.where(lane == jnp.minimum(lt + 1, P * 128 - 1),
+                               un, 0))
+            sel = sel + jnp.where(lane0, vn, 0) * 65536
+            Mb = _psum(sel)
+            d0 = ((Mb >> 8) & 255) - BIAS
+            d1 = (Mb & 255) - BIAS
             both = c1 & c2
             newH0 = jnp.where(both, h0p[...] + jnp.maximum(d0, d1),
                               jnp.where(c1, h0p[...] + d0, h0p[...] + d1))
             newlt = jnp.where(both, jnp.where(d0 > d1, lt, lt + 1),
                               jnp.where(c1, lt, lt + 1))
-            h00 = _pmax(jnp.where(lane == 0, vn, _INT_MIN)) - BIAS - qe
+            h00 = (Mb >> 16) - BIAS - qe
             h0p[...] = jnp.where(act, jnp.where(is0, h00, newH0), h0p[...])
             ltp[...] = jnp.where(act, jnp.where(is0, 0, newlt), ltp[...])
 
@@ -305,11 +327,10 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
             # packed (H, tie-key) single-butterfly argmax; Z-drop with
             # zero gap compensation (ksw2_exts2_sse.c:395)
             band = scan_mask | en0m
-            en1 = st0 + (en0 - st0) // 4 * 4
+            en1 = st0 + ((en0 - st0) & -4)
             cls = (lane - st0) & 3
-            TV = P * 128
             KB = 8192 if P == 8 else 4096
-            kf = jnp.where(lane < en1, cls * TV + lane, 4 * TV + lane) + 1
+            kf = jnp.where(lane < en1, cls * TV + lanep1, lane4)
             kf = jnp.where(en0m, 0, kf)
             hcl = jnp.maximum(Hn, -(1 << 17))
             packedv = jnp.where(band, hcl * KB + (KB - 1 - kf), _INT_MIN)

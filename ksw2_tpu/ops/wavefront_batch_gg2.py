@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .wavefront_batch import CHUNK, _bmax
+from .wavefront_batch import CHUNK, _bmax, _bsum
 
 I32 = jnp.int32
 _INT_MIN = -(2 ** 31) + 1
@@ -44,7 +44,7 @@ def _batch_gg2_kernel(prm: BatchGg2Params, with_cigar, refs):
      res_ref) = refs[:7]
     rest = refs[7:]
     p_ref = rest.pop(0) if with_cigar else None
-    u, v, x, y, s, Q, h0p, ltp = rest[:8]
+    u, v, x, y, s, Q, h0p, ltp, pbs = rest[:9]
 
     qe = prm.q + prm.e
     R = prm.n_rows
@@ -75,6 +75,17 @@ def _batch_gg2_kernel(prm: BatchGg2Params, with_cigar, refs):
             k *= 2
         return arr
 
+    def _psum(arr):
+        arr = _bsum(arr)
+        k = 1
+        while k < P:
+            alt = jnp.where((rows % P) >= k,
+                            jnp.roll(arr, k, axis=0),
+                            jnp.roll(arr, k - P, axis=0))
+            arr = arr + alt
+            k *= 2
+        return arr
+
     @pl.when(step == 0)
     def _init():
         zero = jnp.zeros(shape, I32)
@@ -86,25 +97,27 @@ def _batch_gg2_kernel(prm: BatchGg2Params, with_cigar, refs):
         Q[...] = zero
         h0p[...] = zero
         ltp[...] = zero
+        pbs[...] = zero
 
     qlp = qlp_ref[...]
     tlp = tlp_ref[...]
     wp = wp_ref[...]
+    # loop invariants hoisted out of diag_body
+    tlm1 = tlp - 1
+    ndc = qlp + tlp - 1
 
     def bounds(r):
-        st0 = jnp.maximum(0, jnp.maximum(r - qlp + 1, (r - wp + 1) >> 1))
-        en0 = jnp.minimum(tlp - 1, jnp.minimum(r, (r + wp) >> 1))
-        stb = st0 // 16 * 16
-        enb = (en0 + 16) // 16 * 16 - 1
-        return st0, en0, stb, enb
+        st0 = jnp.maximum(0, jnp.maximum(r + 1 - qlp, (r + 1 - wp) >> 1))
+        en0 = jnp.minimum(tlm1, jnp.minimum(r, (r + wp) >> 1))
+        return st0, en0, st0 & -16, en0 | 15
 
     def diag_body(rr, _):
         r = step * prm.chunk + rr
-        act = r < qlp + tlp - 1
+        act = r < ndc
         st0, en0, stb, enb = bounds(r)
-        _, _, pstb, penb = bounds(r - 1)
-        in_range = (r > 0) & (stb - 1 >= pstb) & (stb - 1 <= penb)
-        need_ov = (stb == 0) | jnp.logical_not(in_range)
+        # prev-stb memo instead of bounds(r-1); see wavefront_batch.py
+        need_ov = (stb == 0) | (stb == pbs[...])
+        pbs[...] = stb
         ov_v = jnp.where(stb == 0, jnp.where(r > 0, prm.q, 0), 0)
 
         col_mask = act & (enb >= r) & (lane == r)
@@ -168,11 +181,17 @@ def _batch_gg2_kernel(prm: BatchGg2Params, with_cigar, refs):
         is0 = r == 0
         lt = ltp[...]
         c1 = (lt >= st0) & (lt <= en0)
-        d_in = _pmax(jnp.where(lane == jnp.clip(lt, 0, P * 128 - 1),
-                               v[...], _INT_MIN)) - qe
-        d_out = _pmax(jnp.where(lane == jnp.clip(lt + 1, 0, P * 128 - 1),
-                                u[...], _INT_MIN)) - qe
-        h00 = _pmax(jnp.where(lane0, v[...], _INT_MIN)) - 2 * qe
+        # fused three-field butterfly SUM (see wavefront_batch.py): the
+        # clipped selects always hit exactly one lane, deltas are bytes at
+        # disjoint shifts, overlapping lanes sum into disjoint bit ranges
+        vv, uu = v[...], u[...]
+        sel = (jnp.where(lane == jnp.clip(lt, 0, P * 128 - 1), vv, 0) * 256
+               + jnp.where(lane == jnp.clip(lt + 1, 0, P * 128 - 1), uu, 0))
+        sel = sel + jnp.where(lane0, vv, 0) * 65536
+        Mb = _psum(sel)
+        d_in = ((Mb >> 8) & 255) - qe
+        d_out = (Mb & 255) - qe
+        h00 = (Mb >> 16) - 2 * qe
         newH0 = jnp.where(c1, h0p[...] + d_in, h0p[...] + d_out)
         newlt = jnp.where(c1, lt, lt + 1)
         h0p[...] = jnp.where(act, jnp.where(is0, h00, newH0), h0p[...])
@@ -192,7 +211,7 @@ def build_batch_gg2_call(prm: BatchGg2Params, with_cigar: bool = True,
     chunk = prm.chunk
     assert CHUNK % chunk == 0
     n_steps = (prm.n_diag + chunk - 1) // chunk
-    scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(8)]
+    scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(9)]
     kernel = functools.partial(_batch_gg2_kernel, prm, with_cigar)
 
     def wrap(*refs):
