@@ -212,6 +212,21 @@ def main():
          bcells / best_of(run_band_extd, n=3),
          "Gcells/s", baseline=1.05)  # ref extd2_sse -w751 -z400, this machine
 
+    # approx-max + approx-drop (minimap2's long-join production flags, the
+    # reference's -g): the O(1) H0 walk replaces the exact per-diagonal
+    # argmax, one fused butterfly per diagonal
+    def run_band_approx():
+        ob = extz_band_batch_device(
+            Qb, Tb, qlb, tlb, 5, mat, 4, 2, wvb, zdrop=400,
+            flag=Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.APPROX_DROP)
+        # reference CLI: -w751 -z400 -sg on t2/q2
+        assert (ob["score"] == 69932).all() and (ob["max"] == 70010).all(), \
+            (int(ob["score"][0]), int(ob["max"][0]))
+
+    emit("band_batch_approx_64x50k_w751_gcells_per_s",
+         bcells / best_of(run_band_approx, n=3),
+         "Gcells/s", baseline=4.45)  # ref extz2_sse -w751 -z400 -sg -R100
+
     # full CIGARs for a batch of long banded pairs: forward direction
     # planes AND the batched traceback stay on the chip
     from ksw2_tpu.ops.band_batch import extz_band_batch_align
