@@ -144,10 +144,12 @@ def _cached_run_band_tb(prm, interpret: bool):
         idx = jnp.arange(MAXR, dtype=I)[None, :]
         totv = v[:, -1][:, None]
         nextc = jnp.where(idx + 1 >= cnt[:, None], totv, nextc)
-        rlens = jnp.where(idx < cnt[:, None], nextc - startc, 0)
-        rops = jnp.where(idx < cnt[:, None],
-                         jnp.take_along_axis(opw, bposc, axis=1), 0)
-        return res[::P, :2], rops, rlens, cnt, ops8
+        # pack (len, op) as len<<2|op: one array crosses the tunnel
+        runs = jnp.where(
+            idx < cnt[:, None],
+            (nextc - startc) * 4
+            + (jnp.take_along_axis(opw, bposc, axis=1) & 3), 0)
+        return res[::P, :2], runs, cnt, ops8
 
     return jax.jit(run), MAXR
 
@@ -170,21 +172,18 @@ def _band_device_tb(p, prm_f, qlen, tlen, w, i0, j0, started, rev,
     lens[0, :len(qlen)], lens[1, :len(qlen)] = qlen, tlen
     lens[2, :len(qlen)] = w
     lens[2, len(qlen):] = 1
-    res2, rops, rlens, cnt, ops8 = run(
+    res2, runs, cnt, ops8 = run(
         p, jnp.asarray(lens[0]), jnp.asarray(lens[1]),
         jnp.asarray(lens[2]), jnp.asarray(i0p), jnp.asarray(j0p))
-    res2 = np.asarray(res2)
-    cnt = np.asarray(cnt)
+    res2, runs, cnt = jax.device_get((res2, runs, cnt))
     if (cnt[:len(started)][started] > MAXR).any():
         # compaction overflow (degenerate alignments): fall back to the
         # full ops-by-diagonal fetch
         ops8 = np.asarray(ops8)
         return tbb.finish_band_cigars(ops8, res2[:, 0], res2[:, 1], qlen,
                                       tlen, P, rev, started)
-    rops = np.asarray(rops)
-    rlens = np.asarray(rlens)
-    return tbb.finish_band_cigars_rle(rops, rlens, cnt, res2[:, 0],
-                                      res2[:, 1], rev, started)
+    return tbb.finish_band_cigars_runs(runs, cnt, res2[:, 0],
+                                       res2[:, 1], rev, started)
 
 
 @functools.lru_cache(maxsize=64)

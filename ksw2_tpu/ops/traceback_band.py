@@ -199,11 +199,16 @@ def finish_band_cigars(ops8: np.ndarray, iend: np.ndarray, jend: np.ndarray,
 
 
 
-def finish_band_cigars_rle(rops: np.ndarray, rlens: np.ndarray,
-                           cnt: np.ndarray, iend: np.ndarray,
-                           jend: np.ndarray, is_rev: bool,
-                           started: np.ndarray):
-    """Build CIGARs from device-compacted (op, length) runs in walk order."""
+def finish_band_cigars_runs(runs: np.ndarray, cnt: np.ndarray,
+                            iend: np.ndarray, jend: np.ndarray,
+                            is_rev: bool, started: np.ndarray):
+    """Build CIGARs from device-packed runs (``len<<2 | op``) in walk order.
+
+    Adjacent runs never share an op (the device boundary mask fires only on
+    op changes), so the BAM rewrite ``len<<4 | op`` vectorizes; only the
+    trailing gap flush (``ksw_backtrack``'s i/j>=0 tail, ksw2.h:155-156)
+    can merge, handled by ``push``.
+    """
     from ..core.cigar import push
     from ..core.flags import CigarOp
 
@@ -212,9 +217,8 @@ def finish_band_cigars_rle(rops: np.ndarray, rlens: np.ndarray,
         if not started[b]:
             cigars.append([])
             continue
-        cigar = []
-        for i in range(int(cnt[b])):
-            push(cigar, int(rops[b, i]), int(rlens[b, i]))
+        rr = runs[b, :int(cnt[b])].astype(np.int64)
+        cigar = (((rr >> 2) << 4) | (rr & 3)).tolist()
         if int(iend[b]) >= 0:
             push(cigar, CigarOp.DEL, int(iend[b]) + 1)
         if int(jend[b]) >= 0:
@@ -226,4 +230,4 @@ def finish_band_cigars_rle(rops: np.ndarray, rlens: np.ndarray,
 
 
 __all__ = ["BandTbParams", "build_band_tb_call", "finish_band_cigars",
-           "finish_band_cigars_rle"]
+           "finish_band_cigars_runs"]
