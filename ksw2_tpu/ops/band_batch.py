@@ -111,7 +111,7 @@ def _cached_run_band_tb(prm, interpret: bool):
     call = tbb.build_band_tb_call(prm, interpret=interpret)
     R, P, n_diag = prm.n_rows, prm.p, prm.n_diag
     Bp = R // P
-    MAXR = min(8192, max(256, n_diag // 8))
+    MAXR = min(n_diag, 8192, max(256, n_diag // 8))
 
     def run(p, qlen, tlen, w, i0, j0):
         I = jnp.int32
@@ -154,16 +154,22 @@ def _cached_run_band_tb(prm, interpret: bool):
     return jax.jit(run), MAXR
 
 
-def _band_device_tb(p, prm_f, qlen, tlen, w, i0, j0, started, rev,
-                    interpret):
-    """Walk all pairs on device; only compact RLE runs + ends come back."""
+def device_walk_cigars(p, R, P, n_diag, W, qlen, tlen, w, i0, j0, started,
+                       rev, interpret):
+    """Walk all pairs' tracebacks on device; only compact RLE runs + walk
+    ends come back.
+
+    Works for both plane layouts: band-relative (``W`` = the shared band
+    cap driving the drifting origin) and plain t-coordinate (pass
+    ``W >= n_diag`` so the origin schedule stays pinned at 0).  ``n_diag``
+    must be a multiple of 128 (pad ``p`` with anything; padded diagonals
+    are above every walk start and never touched).
+    """
     from . import traceback_band as tbb
 
-    P = prm_f.p
-    prm = tbb.BandTbParams(n_rows=prm_f.n_rows, n_diag=prm_f.n_diag,
-                           w=prm_f.w, p=P)
+    prm = tbb.BandTbParams(n_rows=R, n_diag=n_diag, w=W, p=P)
     run, MAXR = _cached_run_band_tb(prm, interpret)
-    Bp = prm_f.n_rows // P
+    Bp = R // P
     i0p = np.full(Bp, -1, np.int32)
     j0p = np.full(Bp, -1, np.int32)
     i0p[:len(i0)] = i0
@@ -455,8 +461,9 @@ def extz_band_batch_align(
                 is_rot=True, is_rev=rev, store_off=orgv[:nd])
     else:
         # batched on-device walk: the planes never leave the chip
-        cigs = _band_device_tb(p, prm, qlen, tlen, w, i0a, j0a, started,
-                               rev, interpret)
+        cigs = device_walk_cigars(p, prm.n_rows, prm.p, prm.n_diag,
+                                  prm.w, qlen, tlen, w, i0a, j0a,
+                                  started, rev, interpret)
         for b in range(B):
             out[b].cigar = cigs[b]
     return out
@@ -739,8 +746,9 @@ def extd_band_batch_align(
                 int(i0a[b]), int(j0a[b]),
                 is_rot=True, is_rev=rev, store_off=orgv[:nd])
     else:
-        cigs = _band_device_tb(p, prm, qlen, tlen, w, i0a, j0a, started,
-                               rev, interpret)
+        cigs = device_walk_cigars(p, prm.n_rows, prm.p, prm.n_diag,
+                                  prm.w, qlen, tlen, w, i0a, j0a,
+                                  started, rev, interpret)
         for b in range(B):
             out[b].cigar = cigs[b]
     if flag & Flag.EQX:

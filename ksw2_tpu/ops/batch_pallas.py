@@ -13,6 +13,7 @@ Longer targets fall back to the per-pair kernel via the scheduler.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Optional
 
 import jax
@@ -255,20 +256,12 @@ def extz_batch_align(
                  jnp.asarray(lens[0]), jnp.asarray(lens[1]),
                  jnp.asarray(lens[2]))
     res = np.asarray(res)[:B]
-    p = np.asarray(p)                # (n_diag_pad, R, 128) int8
-
-    # per-pair band bookkeeping (closed form, same as the kernel)
-    rr = np.arange(n_diag, dtype=np.int64)[None, :]
-    st0 = np.maximum(0, np.maximum(rr - qlen[:, None] + 1,
-                                   (rr - w[:, None] + 1) >> 1))
-    en0 = np.minimum(tlen[:, None] - 1,
-                     np.minimum(rr, (rr + w[:, None]) >> 1))
-    stb = st0 // 16 * 16
-    enb = (en0 + 16) // 16 * 16 - 1
-    zero_off = np.zeros(n_diag, np.int32)
 
     out = []
     rev = bool(flag & Flag.REV_CIGAR)
+    i0a = np.full(B, -1, np.int32)
+    j0a = np.full(B, -1, np.int32)
+    started = np.zeros(B, bool)
     for b in range(B):
         ez = ExtzResult()
         ez.reset()
@@ -281,31 +274,63 @@ def extz_batch_align(
         ez.mte_q = int(res[b, wb.F_MTEQ])
         ez.score = int(res[b, wb.F_SCORE])
         ez.zdropped = bool(res[b, wb.F_ZDROP])
+        out.append(ez)
         qln, tln = int(qlen[b]), int(tlen[b])
         if qln <= 0 or tln <= 0:
-            out.append(ez)
             continue
         # traceback start cell (ksw2_extz2_sse.c:292-301)
         if not ez.zdropped and not (flag & Flag.EXTZ_ONLY):
-            i0, j0 = tln - 1, qln - 1
+            i0a[b], j0a[b] = tln - 1, qln - 1
         elif (not ez.zdropped and (flag & Flag.EXTZ_ONLY)
               and ez.mqe + end_bonus > ez.max):
             ez.reach_end = True
-            i0, j0 = ez.mqe_t, qln - 1
+            i0a[b], j0a[b] = ez.mqe_t, qln - 1
         elif ez.max_t >= 0 and ez.max_q >= 0:
-            i0, j0 = ez.max_t, ez.max_q
+            i0a[b], j0a[b] = ez.max_t, ez.max_q
         else:
-            out.append(ez)
             continue
+        started[b] = True
+
+    if os.environ.get("KSW2_HOST_TB") == "1":
+        _host_tb_batch(np.asarray(p), out, qlen, tlen, w, i0a, j0a, started,
+                       P, n_diag, rev)
+    else:
+        # batched on-device walk (t-coordinate layout: origin pinned at 0
+        # via W >= n_diag); only compact RLE runs cross the link
+        from .band_batch import device_walk_cigars
+        nd128 = ((n_diag + 127) // 128) * 128
+        if nd128 != n_diag:
+            p = jnp.pad(p, ((0, nd128 - n_diag), (0, 0), (0, 0)))
+        cigs = device_walk_cigars(p, R, P, nd128, nd128, qlen, tlen, w,
+                                  i0a, j0a, started, rev, interpret)
+        for b in range(B):
+            out[b].cigar = cigs[b]
+    return out
+
+
+def _host_tb_batch(p, out, qlen, tlen, w, i0a, j0a, started, P, n_diag, rev):
+    """Debug path: fetch the direction planes, run the native backtrack."""
+    from ..native.bindings import backtrack
+
+    rr = np.arange(n_diag, dtype=np.int64)[None, :]
+    st0 = np.maximum(0, np.maximum(rr - qlen[:, None] + 1,
+                                   (rr - w[:, None] + 1) >> 1))
+    en0 = np.minimum(tlen[:, None] - 1,
+                     np.minimum(rr, (rr + w[:, None]) >> 1))
+    stb = (st0 // 16 * 16).astype(np.int32)
+    enb = ((en0 + 16) // 16 * 16 - 1).astype(np.int32)
+    zero_off = np.zeros(n_diag, np.int32)
+    for b in range(len(out)):
+        if not started[b]:
+            continue
+        qln, tln = int(qlen[b]), int(tlen[b])
         nd = qln + tln - 1
         pmat = np.ascontiguousarray(
             p[:nd, b * P:(b + 1) * P, :]).reshape(nd, P * 128)
-        ez.cigar = backtrack(
-            pmat, stb[b, :nd].astype(np.int32), enb[b, :nd].astype(np.int32),
-            P * 128, i0, j0, is_rot=True, is_rev=rev,
+        out[b].cigar = backtrack(
+            pmat, stb[b, :nd], enb[b, :nd], P * 128,
+            int(i0a[b]), int(j0a[b]), is_rot=True, is_rev=rev,
             store_off=zero_off[:nd])
-        out.append(ez)
-    return out
 
 
 @functools.lru_cache(maxsize=128)
@@ -529,19 +554,12 @@ def extd_batch_align(
                  jnp.asarray(lens[0]), jnp.asarray(lens[1]),
                  jnp.asarray(lens[2]))
     res = np.asarray(res)[:B]
-    p = np.asarray(p)
-
-    rr = np.arange(n_diag, dtype=np.int64)[None, :]
-    st0 = np.maximum(0, np.maximum(rr - qlen[:, None] + 1,
-                                   (rr - w[:, None] + 1) >> 1))
-    en0 = np.minimum(tlen[:, None] - 1,
-                     np.minimum(rr, (rr + w[:, None]) >> 1))
-    stb = st0 // 16 * 16
-    enb = (en0 + 16) // 16 * 16 - 1
-    zero_off = np.zeros(n_diag, np.int32)
 
     out = []
     rev = bool(flag & Flag.REV_CIGAR)
+    i0a = np.full(B, -1, np.int32)
+    j0a = np.full(B, -1, np.int32)
+    started = np.zeros(B, bool)
     for b in range(B):
         ez = ExtzResult()
         ez.reset()
@@ -554,32 +572,41 @@ def extd_batch_align(
         ez.mte_q = int(res[b, wb.F_MTEQ])
         ez.score = int(res[b, wb.F_SCORE])
         ez.zdropped = bool(res[b, wb.F_ZDROP])
+        out.append(ez)
         qln, tln = int(qlen[b]), int(tlen[b])
         if qln <= 0 or tln <= 0:
-            out.append(ez)
             continue
         if not ez.zdropped and not (flag & Flag.EXTZ_ONLY):
-            i0, j0 = tln - 1, qln - 1
+            i0a[b], j0a[b] = tln - 1, qln - 1
         elif (not ez.zdropped and (flag & Flag.EXTZ_ONLY)
               and ez.mqe + end_bonus > ez.max):
             ez.reach_end = True
-            i0, j0 = ez.mqe_t, qln - 1
+            i0a[b], j0a[b] = ez.mqe_t, qln - 1
         elif ez.max_t >= 0 and ez.max_q >= 0:
-            i0, j0 = ez.max_t, ez.max_q
+            i0a[b], j0a[b] = ez.max_t, ez.max_q
         else:
-            out.append(ez)
             continue
-        nd = qln + tln - 1
-        pmat = np.ascontiguousarray(
-            p[:nd, b * P:(b + 1) * P, :]).reshape(nd, P * 128)
-        ez.cigar = backtrack(
-            pmat, stb[b, :nd].astype(np.int32), enb[b, :nd].astype(np.int32),
-            P * 128, i0, j0, is_rot=True, is_rev=rev,
-            store_off=zero_off[:nd])
-        if (flag & Flag.EQX) and ez.cigar:
-            ez.cigar = cigarmod.to_eqx(ez.cigar, query[b][:qln],
-                                       target[b][:tln])
-        out.append(ez)
+        started[b] = True
+
+    if os.environ.get("KSW2_HOST_TB") == "1":
+        _host_tb_batch(np.asarray(p), out, qlen, tlen, w, i0a, j0a, started,
+                       P, n_diag, rev)
+    else:
+        from .band_batch import device_walk_cigars
+        R = prm.n_rows
+        nd128 = ((n_diag + 127) // 128) * 128
+        if nd128 != n_diag:
+            p = jnp.pad(p, ((0, nd128 - n_diag), (0, 0), (0, 0)))
+        cigs = device_walk_cigars(p, R, P, nd128, nd128, qlen, tlen, w,
+                                  i0a, j0a, started, rev, interpret)
+        for b in range(B):
+            out[b].cigar = cigs[b]
+    if flag & Flag.EQX:
+        for b in range(B):
+            if out[b].cigar:
+                out[b].cigar = cigarmod.to_eqx(
+                    out[b].cigar, query[b][:int(qlen[b])],
+                    target[b][:int(tlen[b])])
     return out
 
 

@@ -81,6 +81,30 @@ def test_batch_align_cigars_match_spec(zdrop, flag):
         assert ezs[i].tsv_fields() == want.tsv_fields(), i
 
 
+def test_batch_align_tiny_pairs():
+    """Small pads (n_diag < 256) must not break the device walker's top_k."""
+    rng = np.random.default_rng(5)
+    B = 4
+    pairs = []
+    for _ in range(B):
+        t, q = refcmp.random_pair(rng, 50, divergence=0.1, indel=0.05)
+        pairs.append((encode_dna(q), encode_dna(t)))
+    Q = np.zeros((B, 64), np.int32)
+    T = np.zeros((B, 64), np.int32)
+    qlen = np.zeros(B, np.int32)
+    tlen = np.zeros(B, np.int32)
+    for i, (q, t) in enumerate(pairs):
+        Q[i, : len(q)] = q
+        T[i, : len(t)] = t
+        qlen[i], tlen[i] = len(q), len(t)
+    mat = simple_mat(5, 2, 4)
+    from ksw2_tpu.ops.batch_pallas import extz_batch_align
+    ezs = extz_batch_align(Q, T, qlen, tlen, 5, mat, 4, 2, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extz2(q, t, 5, mat, 4, 2)
+        assert ezs[i].tsv_fields() == want.tsv_fields(), i
+
+
 @pytest.mark.parametrize("zdrop", [-1, 25])
 def test_extd_batch_scores_match_spec(zdrop):
     B = 10

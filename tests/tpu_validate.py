@@ -221,6 +221,48 @@ def sweep_band(n, rng):
     return fails
 
 
+def sweep_batch(n, rng):
+    """t-coordinate batch engines, full CIGARs via the on-device walker
+    (one launch per family: fixed bucket shape keeps compile cost bounded)."""
+    from ksw2_tpu.ops.batch_pallas import extd_batch_align, extz_batch_align
+    mat = simple_mat(5, 2, 4)
+    B = max(4, min(n, 8))
+    pairs = []
+    for _ in range(B):
+        tlen = int(rng.choice([60, 150, 300]))
+        t, q = refcmp.random_pair(rng, tlen,
+                                  divergence=float(rng.uniform(0, 0.3)),
+                                  indel=float(rng.uniform(0, 0.1)),
+                                  with_n=bool(rng.integers(0, 2)))
+        pairs.append((encode_dna(q), encode_dna(t)))
+    Lq = max(len(q) for q, t in pairs)
+    Lt = max(len(t) for q, t in pairs)
+    Q = np.zeros((B, Lq), np.int32)
+    T = np.zeros((B, Lt), np.int32)
+    qlen = np.array([len(q) for q, t in pairs], np.int32)
+    tlen = np.array([len(t) for q, t in pairs], np.int32)
+    for i, (q, t) in enumerate(pairs):
+        Q[i, : len(q)] = q
+        T[i, : len(t)] = t
+    fails = 0
+    ezs = extz_batch_align(Q, T, qlen, tlen, 5, mat, 4, 2, zdrop=80)
+    ezd = extd_batch_align(Q, T, qlen, tlen, 5, mat, 4, 2, 13, 1, zdrop=80)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, zdrop=80)
+        wantd, _ = diagdiff.extd2(q, t, 5, mat, 4, 2, 13, 1, zdrop=80)
+        if ezs[i].tsv_fields() != want.tsv_fields():
+            print(f"batch extz cigar FAIL i={i}")
+            print("  spec:", want.tsv_fields())
+            print("  tpu :", ezs[i].tsv_fields())
+            fails += 1
+        if ezd[i].tsv_fields() != wantd.tsv_fields():
+            print(f"batch extd cigar FAIL i={i}")
+            print("  spec:", wantd.tsv_fields())
+            print("  tpu :", ezd[i].tsv_fields())
+            fails += 1
+    return fails
+
+
 def mt_anchors():
     from ksw2_tpu.ops.extz import extz2_device
     from ksw2_tpu.ops.extd import extd2_device
@@ -266,6 +308,9 @@ if __name__ == "__main__":
     fb = sweep_band(n, rng)
     f += fb
     print(f"band sweep done ({fb} fails)")
+    fbt = sweep_batch(n, rng)
+    f += fbt
+    print(f"batch sweep done ({fbt} fails)")
     f += mt_anchors()
     print("TPU VALIDATION", "FAILED" if f else "PASSED")
     sys.exit(1 if f else 0)
