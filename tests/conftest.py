@@ -4,7 +4,14 @@ import sys
 # Run the test suite on an 8-device virtual CPU mesh.  This environment's
 # terminal pins JAX_PLATFORMS=axon via config (env alone is overridden), so
 # force the platform through jax.config before any backend initializes.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+# Subprocess-based tests (CLI golden diffs, multihost workers) must not
+# inherit the remote-TPU platform plugin: its sitecustomize pins the
+# platform back to the tunnel, and when the tunnel is down the child
+# blocks forever in backend init.  The suite is CPU-only by design.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if p and ".axon_site" not in p)
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
