@@ -20,11 +20,19 @@ from ..ops.batch_xla import BatchSpec, extz_batch_scores
 
 
 def _bucket_len(n: int, quantum: int = 128) -> int:
-    """Round a length up to a bucket size (geometric-ish steps of 128)."""
+    """Round a length up to a bucket size.
+
+    Linear 128-steps through the batched-engine range (<= 1024): the
+    engines pack pairs at P = ceil(Lt/128) rows each, so a 384-bucket runs
+    8/3x more pairs per launch than rounding up to 1024 would.  Geometric
+    above that (single-pair kernels; shape count matters more than pad).
+    """
     n = max(n, 1)
-    b = quantum
+    if n <= 1024:
+        return -(-n // quantum) * quantum
+    b = 2048
     while b < n:
-        b = b * 2 if b < 2048 else b + 2048
+        b += 2048
     return b
 
 

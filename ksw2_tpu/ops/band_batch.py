@@ -29,7 +29,7 @@ from .bands import round_up
 
 
 def _pick_p(wmax: int) -> int:
-    for p in (1, 2, 4, 8):
+    for p in range(1, 9):
         if wmax <= p * 128 - 64:
             return p
     raise ValueError(f"band cap {wmax} too wide for the band engine")
@@ -109,21 +109,25 @@ def _make_band_run(call, prm, with_cigar=False):
 def _cached_run_band_tb(prm, interpret: bool):
     from . import traceback_band as tbb
     call = tbb.build_band_tb_call(prm, interpret=interpret)
-    R, P, n_diag = prm.n_rows, prm.p, prm.n_diag
-    Bp = R // P
+    Bp, P, n_diag = prm.n_pairs, prm.p, prm.n_diag
     MAXR = min(n_diag, 8192, max(256, n_diag // 8))
 
     def run(p, qlen, tlen, w, i0, j0):
         I = jnp.int32
 
         def rep(vec):
-            return (jnp.repeat(vec.astype(I), P)[:, None]
-                    * jnp.ones((R, 128), I))
+            return vec.astype(I)[:, None] * jnp.ones((Bp, 128), I)
 
+        if P > 1:
+            # pair-major forward planes -> chunk-major for the walker's
+            # (Bp,128) state layout; one HBM-bandwidth transpose
+            nd = p.shape[0]
+            p = jnp.transpose(p.reshape(nd, Bp, P, 128),
+                              (0, 2, 1, 3)).reshape(nd, P * Bp, 128)
         res, ops8 = call(rep(qlen), rep(tlen), rep(w), rep(i0), rep(j0), p)
         # device-side RLE over each pair's visited ops in WALK order
         # (descending r), so only ~MAXR runs per pair leave the device
-        arr = jnp.transpose(ops8[:, ::P, :], (1, 0, 2)).reshape(Bp, -1)
+        arr = jnp.transpose(ops8, (1, 0, 2)).reshape(Bp, -1)
         opw = (arr[:, ::-1].astype(I)) & 255
         vis = opw != 255
         k = jnp.arange(n_diag, dtype=I)[None, :]
@@ -149,7 +153,7 @@ def _cached_run_band_tb(prm, interpret: bool):
             idx < cnt[:, None],
             (nextc - startc) * 4
             + (jnp.take_along_axis(opw, bposc, axis=1) & 3), 0)
-        return res[::P, :2], runs, cnt, ops8
+        return res[:, :2], runs, cnt, ops8
 
     return jax.jit(run), MAXR
 
@@ -167,9 +171,12 @@ def device_walk_cigars(p, R, P, n_diag, W, qlen, tlen, w, i0, j0, started,
     """
     from . import traceback_band as tbb
 
-    prm = tbb.BandTbParams(n_rows=R, n_diag=n_diag, w=W, p=P)
-    run, MAXR = _cached_run_band_tb(prm, interpret)
     Bp = R // P
+    if Bp % 8:                      # walker state is one sublane row/pair
+        Bp = -(-Bp // 8) * 8
+        p = jnp.pad(p, ((0, 0), (0, Bp * P - R), (0, 0)))
+    prm = tbb.BandTbParams(n_pairs=Bp, n_diag=n_diag, w=W, p=P)
+    run, MAXR = _cached_run_band_tb(prm, interpret)
     i0p = np.full(Bp, -1, np.int32)
     j0p = np.full(Bp, -1, np.int32)
     i0p[:len(i0)] = i0
@@ -187,7 +194,7 @@ def device_walk_cigars(p, R, P, n_diag, W, qlen, tlen, w, i0, j0, started,
         # full ops-by-diagonal fetch
         ops8 = np.asarray(ops8)
         return tbb.finish_band_cigars(ops8, res2[:, 0], res2[:, 1], qlen,
-                                      tlen, P, rev, started)
+                                      tlen, rev, started)
     return tbb.finish_band_cigars_runs(runs, cnt, res2[:, 0],
                                        res2[:, 1], rev, started)
 
@@ -248,7 +255,7 @@ def extz_band_batch_device(
     if hmax >= (1 << 17):
         raise ValueError("scores too large for the packed banded argmax")
 
-    RMAX = 512 // P
+    RMAX = 512 // P // 8 * 8
     if B > RMAX:
         outs = [
             extz_band_batch_device(query[i:i + RMAX], target[i:i + RMAX],
@@ -355,7 +362,7 @@ def extz_band_batch_align(
     if hmax >= (1 << 17):
         raise ValueError("scores too large for the packed banded argmax")
 
-    RMAX = 512 // P          # d blocks are chunk=32 deep: VMEM stays ~8 MB
+    RMAX = 512 // P // 8 * 8          # d blocks are chunk=32 deep: VMEM stays ~8 MB
     if B > RMAX:
         out = []
         for i in range(0, B, RMAX):
@@ -513,7 +520,7 @@ def extd_band_batch_device(
     if hmax >= (1 << 17):
         raise ValueError("scores too large for the packed banded argmax")
 
-    RMAX = 512 // P
+    RMAX = 512 // P // 8 * 8
     if B > RMAX:
         outs = [
             extd_band_batch_device(query[i:i + RMAX], target[i:i + RMAX],
@@ -632,7 +639,7 @@ def extd_band_batch_align(
     if hmax >= (1 << 17):
         raise ValueError("scores too large for the packed banded argmax")
 
-    RMAX = 512 // P
+    RMAX = 512 // P // 8 * 8
     if B > RMAX:
         out = []
         for i in range(0, B, RMAX):

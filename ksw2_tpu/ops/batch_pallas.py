@@ -96,7 +96,7 @@ def extz_batch_device(
     B, Lq = query.shape
     Bt, Lt = target.shape
     assert B == Bt and Lt <= 1024
-    P = 1 if Lt <= 128 else (2 if Lt <= 256 else (4 if Lt <= 512 else 8))
+    P = (Lt + 127) // 128        # rows per pair; any P in 1..8 works
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     if w is None:
@@ -104,7 +104,7 @@ def extz_batch_device(
     w = np.asarray(w, np.int32)
 
     # VMEM bounds one launch at ~512 rows; larger batches run as slices
-    RMAX = 512 // P
+    RMAX = 512 // P // 8 * 8
     if B > RMAX:
         outs = [
             extz_batch_device(query[i:i + RMAX], target[i:i + RMAX],
@@ -202,14 +202,14 @@ def extz_batch_align(
     B, Lq = query.shape
     Bt, Lt = target.shape
     assert B == Bt and Lt <= 1024
-    P = 1 if Lt <= 128 else (2 if Lt <= 256 else (4 if Lt <= 512 else 8))
+    P = (Lt + 127) // 128        # rows per pair; any P in 1..8 works
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     if w is None:
         w = np.maximum(qlen, tlen)
     w = np.asarray(w, np.int32)
 
-    RMAX = 256 // P                  # direction planes bound VMEM harder
+    RMAX = 256 // P // 8 * 8                  # direction planes bound VMEM harder
     if B > RMAX:
         out = []
         for i in range(0, B, RMAX):
@@ -436,13 +436,13 @@ def extd_batch_device(
     B, Lq = query.shape
     Bt, Lt = target.shape
     assert B == Bt and Lt <= 1024
-    P = 1 if Lt <= 128 else (2 if Lt <= 256 else (4 if Lt <= 512 else 8))
+    P = (Lt + 127) // 128        # rows per pair; any P in 1..8 works
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     if w is None:
         w = np.maximum(qlen, tlen)
     w = np.asarray(w, np.int32)
-    RMAX = 384 // P
+    RMAX = 384 // P // 8 * 8
     if B > RMAX:
         outs = [
             extd_batch_device(query[i:i + RMAX], target[i:i + RMAX],
@@ -516,7 +516,7 @@ def extd_batch_align(
     B, Lq = query.shape
     Bt, Lt = target.shape
     assert B == Bt and Lt <= 1024
-    P = 1 if Lt <= 128 else (2 if Lt <= 256 else (4 if Lt <= 512 else 8))
+    P = (Lt + 127) // 128        # rows per pair; any P in 1..8 works
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     if w is None:
@@ -705,10 +705,10 @@ def exts_batch_align(
     B, Lq = query.shape
     Bt, Lt = target.shape
     assert B == Bt and Lt <= 1024
-    P = 1 if Lt <= 128 else (2 if Lt <= 256 else (4 if Lt <= 512 else 8))
+    P = (Lt + 127) // 128        # rows per pair; any P in 1..8 works
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
-    RMAX = (256 if with_cigar else 384) // P
+    RMAX = (256 if with_cigar else 384) // P // 8 * 8
     if B > RMAX:
         out = []
         for i in range(0, B, RMAX):
@@ -866,13 +866,13 @@ def extf_batch_device(
     B, Lq = query.shape
     Bt, Lt = target.shape
     assert B == Bt and Lt <= 1024
-    P = 1 if Lt <= 128 else (2 if Lt <= 256 else (4 if Lt <= 512 else 8))
+    P = (Lt + 127) // 128        # rows per pair; any P in 1..8 works
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     if w is None:
         w = np.maximum(qlen, tlen)
     w = np.asarray(w, np.int32)
-    RMAX = 512 // P
+    RMAX = 512 // P // 8 * 8
     if B > RMAX:
         outs = [
             extf_batch_device(query[i:i + RMAX], target[i:i + RMAX],
@@ -974,7 +974,7 @@ def gg2_batch_align(
     B, Lq = query.shape
     Bt, Lt = target.shape
     assert B == Bt and Lt <= 1024
-    P = 1 if Lt <= 128 else (2 if Lt <= 256 else (4 if Lt <= 512 else 8))
+    P = (Lt + 127) // 128        # rows per pair; any P in 1..8 works
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     if w is None:
@@ -982,7 +982,7 @@ def gg2_batch_align(
     w = np.asarray(w, np.int32)
     if (qlen > tlen + w).any():
         raise ValueError("qlen > tlen + w pairs need the single-pair gg2")
-    RMAX = (256 if with_cigar else 512) // P
+    RMAX = (256 if with_cigar else 512) // P // 8 * 8
     if B > RMAX:
         out = []
         for i in range(0, B, RMAX):

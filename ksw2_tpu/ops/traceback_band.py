@@ -5,15 +5,21 @@ for 64 x 50 kb pairs that is ~6.5 GB, far too much to fetch for a host
 backtrack.  This kernel walks ALL pairs' tracebacks on the TPU in one
 reverse sweep over the diagonals: at diagonal ``r`` every pair whose walk
 currently sits on ``r`` takes exactly one step (each step decreases r by
-1 or 2, so a single descending sweep completes every walk).  The per-pair
-walk state (i, j, state) lives in lane-replicated planes; the direction
-byte is selected at band lane ``i - org(r)`` with one butterfly.
+1 or 2, so a single descending sweep completes every walk).
 
-Output is one op byte per (pair, visited diagonal) — ``(R, n_diag)``
-int8, 0xFF where not visited — plus the per-pair walk remainders.  The
-host run-length encodes each pair's visited subsequence (descending r ==
-walk order) and finishes exactly like ``ksw_backtrack``'s tail flush.
-~R/128 KB per diagonal leaves the device instead of R*128 bytes.
+Layout: the caller transposes the forward kernel's pair-major planes
+(row = pair*P + chunk) to CHUNK-MAJOR (row = chunk*Bp + pair) with one
+XLA transpose (HBM-bandwidth cost, ~ms).  The walk state (i, j, state)
+then lives on minimal ``(Bp, 128)`` planes — one sublane row per pair —
+so every per-step vector op touches P times fewer vregs than a
+pair-major walker would; the direction byte is picked from the P
+``(Bp, 128)`` chunk slices of the diagonal with static selects plus one
+lane butterfly.  Per-step cost is near the sequential latency floor.
+
+Output is one op byte per (pair, visited diagonal) — ``(Bp, n_diag)``
+int8 as ``(n_diag/128, Bp, 128)`` blocks, 0xFF where not visited — plus
+the per-pair walk remainders; the caller run-length encodes on device
+(band_batch) and finishes exactly like ``ksw_backtrack``'s tail flush.
 """
 from __future__ import annotations
 
@@ -27,26 +33,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .wavefront_band import _org_of
-from .wavefront_batch import _bmax
 
 I32 = jnp.int32
-_INT_MIN = -(2 ** 31) + 1
 BLK = 64          # p-block depth; two walker steps share one ops block
 
 
 class BandTbParams(NamedTuple):
-    n_rows: int
-    n_diag: int      # padded to BLK
+    n_pairs: int     # Bp, multiple of 8 (one sublane row per pair)
+    n_diag: int      # padded to 128
     w: int           # shared band cap (org schedule)
-    p: int = 1
+    p: int = 1       # 128-lane band chunks per pair
+
+
+def _bor(arr):
+    """Lane butterfly OR: replicate the single nonzero lane everywhere."""
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        arr = arr | pltpu.roll(arr, k, axis=1)
+    return arr
 
 
 def _band_tb_kernel(prm: BandTbParams, refs):
     (qlp_ref, tlp_ref, wp_ref, i0_ref, j0_ref, p_ref,
      res_ref, ops_ref, ip, jp, st, done, acc) = refs
 
-    R = prm.n_rows
-    shape = (R, 128)
+    Bp = prm.n_pairs
+    shape = (Bp, 128)
     P = prm.p
     W = prm.w
     step = pl.program_id(0)
@@ -56,19 +67,6 @@ def _band_tb_kernel(prm: BandTbParams, refs):
     first_half = (blk_lo % 128) == 64     # first (upper) visit of an ops block
 
     lanes = jax.lax.broadcasted_iota(I32, shape, 1)
-    rows = jax.lax.broadcasted_iota(I32, shape, 0)
-    lane = (rows % P) * 128 + lanes if P > 1 else lanes
-
-    def _pmax(arr):
-        arr = _bmax(arr)
-        k = 1
-        while k < P:
-            alt = jnp.where((rows % P) >= k,
-                            jnp.roll(arr, k, axis=0),
-                            jnp.roll(arr, k - P, axis=0))
-            arr = jnp.maximum(arr, alt)
-            k *= 2
-        return arr
 
     @pl.when(step == 0)
     def _init():
@@ -80,6 +78,8 @@ def _band_tb_kernel(prm: BandTbParams, refs):
     qlp = qlp_ref[...]
     tlp = tlp_ref[...]
     wp = wp_ref[...]
+    tlm1 = tlp - 1
+    qlm1 = qlp - 1
 
     @pl.when(first_half)
     def _acc_reset():
@@ -94,15 +94,27 @@ def _band_tb_kernel(prm: BandTbParams, refs):
         state = st[...]
         active = (done[...] == 0) & (i + j == r)
 
-        st0 = jnp.maximum(0, jnp.maximum(r - qlp + 1, (r - wp + 1) >> 1))
-        en0 = jnp.minimum(tlp - 1, jnp.minimum(r, (r + wp) >> 1))
-        stb = st0 // 16 * 16
-        enb = (en0 + 16) // 16 * 16 - 1
+        st0 = jnp.maximum(0, jnp.maximum(r - qlm1, (r - wp + 1) >> 1))
+        en0 = jnp.minimum(tlm1, jnp.minimum(r, (r + wp) >> 1))
+        stb = st0 & -16
+        enb = en0 | 15
         force = jnp.where(i < stb, 2, jnp.where(i > enb, 1, -1))
 
-        pblk = p_ref[pl.ds(rr, 1)][0].astype(I32) & 255
-        byte = _pmax(jnp.where(lane == jnp.clip(i - o_now, 0, P * 128 - 1),
-                               pblk, _INT_MIN))
+        # direction byte at band lane i - org(r): the diagonal's plane is
+        # chunk-major, so chunk c of all pairs is the static row slice
+        # [c*Bp, (c+1)*Bp) — P selects on (Bp,128) + one butterfly
+        pslice = p_ref[pl.ds(rr, 1)][0]
+        ib = jnp.clip(i - o_now, 0, P * 128 - 1)
+        hi = ib >> 7
+        lo = ib & 127
+        hit = lanes == lo
+        byte = jnp.zeros(shape, I32)
+        for c in range(P):
+            chunk = jax.lax.slice_in_dim(pslice, c * Bp, (c + 1) * Bp,
+                                         axis=0).astype(I32) & 255
+            sel = (hi == c) & hit if P > 1 else hit
+            byte = jnp.where(sel, chunk, byte)
+        byte = _bor(byte)
         tmp = jnp.where(force >= 0, 0, byte)
         # ksw_backtrack state machine (ksw2.h:139-148)
         s1 = jnp.where(state == 0, tmp & 7,
@@ -127,14 +139,15 @@ def _band_tb_kernel(prm: BandTbParams, refs):
 
     @pl.when(step == n_steps - 1)
     def _emit():
-        out = jnp.where(lane == 0, ip[...], 0)
-        out = jnp.where(lane == 1, jp[...], out)
+        out = jnp.where(lanes == 0, ip[...], 0)
+        out = jnp.where(lanes == 1, jp[...], out)
         res_ref[...] = out
 
 
 def build_band_tb_call(prm: BandTbParams, interpret: bool = False):
-    R = prm.n_rows
-    shape = (R, 128)
+    Bp = prm.n_pairs
+    assert Bp % 8 == 0, "one pair per sublane row: pad pairs to 8"
+    shape = (Bp, 128)
     assert prm.n_diag % 128 == 0
     n_steps = prm.n_diag // BLK
     kernel = functools.partial(_band_tb_kernel, prm)
@@ -151,16 +164,17 @@ def build_band_tb_call(prm: BandTbParams, interpret: bool = False):
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # wp
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # i0
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # j0
-            pl.BlockSpec((BLK, R, 128), lambda k: (n_steps - 1 - k, 0, 0),
+            pl.BlockSpec((BLK, prm.p * Bp, 128),
+                         lambda k: (n_steps - 1 - k, 0, 0),
                          memory_space=pltpu.VMEM),                 # p reversed
         ],
         out_shape=[
             jax.ShapeDtypeStruct(shape, jnp.int32),
-            jax.ShapeDtypeStruct((n_steps * BLK // 128, R, 128), jnp.int8),
+            jax.ShapeDtypeStruct((n_steps * BLK // 128, Bp, 128), jnp.int8),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, 128),
+            pl.BlockSpec((1, Bp, 128),
                          lambda k: ((n_steps - 1 - k) // 2, 0, 0),
                          memory_space=pltpu.VMEM),                 # ops blocks
         ],
@@ -173,30 +187,27 @@ def build_band_tb_call(prm: BandTbParams, interpret: bool = False):
 
 
 def finish_band_cigars(ops8: np.ndarray, iend: np.ndarray, jend: np.ndarray,
-                       qlen: np.ndarray, tlen: np.ndarray, P: int,
+                       qlen: np.ndarray, tlen: np.ndarray,
                        is_rev: bool, started: np.ndarray):
     """RLE each pair's visited op subsequence + ksw_backtrack tail flush.
 
-    ``ops8``: (n_blocks, R, 128) int8 with the op at (r//128, pair_row,
+    ``ops8``: (n_blocks, Bp, 128) int8 with the op at (r//128, pair,
     r%128) for visited diagonals, 255 elsewhere.
     """
     from .traceback_device import finish_cigar
 
     n_diag = ops8.shape[0] * 128
     cigars = []
-    for b in range(len(started)):              # actual pairs (R//P padded)
+    for b in range(len(started)):
         if not started[b]:
             cigars.append([])
             continue
-        colu = ops8[:, b * P, :].reshape(n_diag).astype(np.uint8)
+        colu = ops8[:, b, :].reshape(n_diag).astype(np.uint8)
         vis = np.nonzero(colu != 255)[0]
         ops = colu[vis][::-1].astype(np.int64)     # walk order: descending r
         cigars.append(finish_cigar(ops, len(ops), int(iend[b]),
                                    int(jend[b]), 0, is_rev))
     return cigars
-
-
-
 
 
 def finish_band_cigars_runs(runs: np.ndarray, cnt: np.ndarray,

@@ -22,9 +22,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.flags import NEG_INF
+from .group_reduce import make_group_ops
 from .wavefront_batch import CHUNK
 from .wavefront_batch import (F_MAX, F_MAXT, F_MAXQ, F_MQE, F_MQET, F_MTE,
-                              F_MTEQ, F_SCORE, F_ZDROP, _bmax, _bmin, _bsum)
+                              F_MTEQ, F_SCORE, F_ZDROP)
 from .wavefront_band import _org_of
 from .wavefront_extd import BIAS, _b
 
@@ -99,38 +100,7 @@ def _band_extd_kernel_body(prm: BandExtdParams, with_cigar, refs):
             rolled = jnp.where(lanes >= 112, nxt, rolled)
         return jnp.where(topzone, fill, rolled)
 
-    def _pmax(arr):
-        arr = _bmax(arr)
-        k = 1
-        while k < P:
-            alt = jnp.where((rows % P) >= k,
-                            jnp.roll(arr, k, axis=0),
-                            jnp.roll(arr, k - P, axis=0))
-            arr = jnp.maximum(arr, alt)
-            k *= 2
-        return arr
-
-    def _pmin(arr):
-        arr = _bmin(arr)
-        k = 1
-        while k < P:
-            alt = jnp.where((rows % P) >= k,
-                            jnp.roll(arr, k, axis=0),
-                            jnp.roll(arr, k - P, axis=0))
-            arr = jnp.minimum(arr, alt)
-            k *= 2
-        return arr
-
-    def _psum(arr):
-        arr = _bsum(arr)
-        k = 1
-        while k < P:
-            alt = jnp.where((rows % P) >= k,
-                            jnp.roll(arr, k, axis=0),
-                            jnp.roll(arr, k - P, axis=0))
-            arr = arr + alt
-            k *= 2
-        return arr
+    _pmax, _pmin, _psum = make_group_ops(rows, P)
 
     @pl.when(step == 0)
     def _init():

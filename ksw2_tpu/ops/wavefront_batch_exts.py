@@ -23,7 +23,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.flags import NEG_INF, Flag
-from .wavefront_batch import CHUNK, _bmax, _bmin, _bsum
+from .group_reduce import make_group_ops
+from .wavefront_batch import CHUNK
 from .wavefront_batch import (F_MAX, F_MAXT, F_MAXQ, F_MQE, F_MQET, F_MTE,
                               F_MTEQ, F_SCORE, F_ZDROP)
 from .wavefront_extd import BIAS, _b
@@ -98,38 +99,7 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
         carried = jnp.roll(rolled, 1, axis=0)
         return jnp.where(lanes == 0, carried, rolled)
 
-    def _pmax(arr):
-        arr = _bmax(arr)
-        k = 1
-        while k < P:
-            alt = jnp.where((rows % P) >= k,
-                            jnp.roll(arr, k, axis=0),
-                            jnp.roll(arr, k - P, axis=0))
-            arr = jnp.maximum(arr, alt)
-            k *= 2
-        return arr
-
-    def _psum(arr):
-        arr = _bsum(arr)
-        k = 1
-        while k < P:
-            alt = jnp.where((rows % P) >= k,
-                            jnp.roll(arr, k, axis=0),
-                            jnp.roll(arr, k - P, axis=0))
-            arr = arr + alt
-            k *= 2
-        return arr
-
-    def _pmin(arr):
-        arr = _bmin(arr)
-        k = 1
-        while k < P:
-            alt = jnp.where((rows % P) >= k,
-                            jnp.roll(arr, k, axis=0),
-                            jnp.roll(arr, k - P, axis=0))
-            arr = jnp.minimum(arr, alt)
-            k *= 2
-        return arr
+    _pmax, _pmin, _psum = make_group_ops(rows, P)
 
     @pl.when(step == 0)
     def _init():
@@ -329,7 +299,7 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
             band = scan_mask | en0m
             en1 = st0 + ((en0 - st0) & -4)
             cls = (lane - st0) & 3
-            KB = 8192 if P == 8 else 4096
+            KB = 1 << (5 * TV + 1).bit_length()  # 5*TV + 2 key values
             kf = jnp.where(lane < en1, cls * TV + lanep1, lane4)
             kf = jnp.where(en0m, 0, kf)
             hcl = jnp.maximum(Hn, -(1 << 17))

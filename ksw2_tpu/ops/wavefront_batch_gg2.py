@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .wavefront_batch import CHUNK, _bmax, _bsum
+from .wavefront_batch import CHUNK
+from .group_reduce import make_group_ops
 
 I32 = jnp.int32
 _INT_MIN = -(2 ** 31) + 1
@@ -64,27 +65,7 @@ def _batch_gg2_kernel(prm: BatchGg2Params, with_cigar, refs):
         carried = jnp.roll(rolled, 1, axis=0)
         return jnp.where(lanes == 0, carried, rolled)
 
-    def _pmax(arr):
-        arr = _bmax(arr)
-        k = 1
-        while k < P:
-            alt = jnp.where((rows % P) >= k,
-                            jnp.roll(arr, k, axis=0),
-                            jnp.roll(arr, k - P, axis=0))
-            arr = jnp.maximum(arr, alt)
-            k *= 2
-        return arr
-
-    def _psum(arr):
-        arr = _bsum(arr)
-        k = 1
-        while k < P:
-            alt = jnp.where((rows % P) >= k,
-                            jnp.roll(arr, k, axis=0),
-                            jnp.roll(arr, k - P, axis=0))
-            arr = arr + alt
-            k *= 2
-        return arr
+    _pmax, _, _psum = make_group_ops(rows, P)
 
     @pl.when(step == 0)
     def _init():

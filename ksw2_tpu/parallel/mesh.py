@@ -138,7 +138,7 @@ def sharded_extd_scores_pallas(mesh: Mesh, query, target, qlen, tlen, w,
     Lt = target.shape[1]
     assert B % n_shards == 0, "pad the batch to the mesh size"
     Bs = B // n_shards
-    Pp = 1 if Lt <= 128 else (2 if Lt <= 256 else 4)
+    Pp = (Lt + 127) // 128   # rows per pair; any P in 1..8
     assert (Bs * Pp) % 8 == 0, "pad the batch so each shard rows %% 8 == 0"
     qlen_h = np_.asarray(qlen)
     tlen_h = np_.asarray(tlen)

@@ -1,0 +1,119 @@
+"""Non-power-of-two sublane packing (P = 3,5,6,7).
+
+The batched engines pack one pair per P consecutive sublane rows; P used
+to be restricted to {1,2,4,8}.  The group reductions (ops/group_reduce)
+are exact for any P, which packs up to 1.6x more pairs per launch for
+intermediate target lengths / band widths.  These tests pin parity of the
+odd-P layouts against the spec engines.
+"""
+import numpy as np
+import pytest
+
+import refcmp
+from ksw2_tpu.core.flags import Flag
+from ksw2_tpu.core.matrix import encode_dna, simple_mat
+from ksw2_tpu.spec import diagdiff
+
+
+def _mk(rng, B, tlen, lmax):
+    pairs = []
+    for _ in range(B):
+        t, q = refcmp.random_pair(rng, tlen, divergence=0.2, indel=0.08)
+        pairs.append((encode_dna(q)[:lmax], encode_dna(t)[:lmax]))
+    Lq = max(len(q) for q, t in pairs)
+    Lt = max(len(t) for q, t in pairs)
+    Q = np.zeros((B, Lq), np.int32)
+    T = np.zeros((B, Lt), np.int32)
+    qlen = np.zeros(B, np.int32)
+    tlen_ = np.zeros(B, np.int32)
+    for i, (q, t) in enumerate(pairs):
+        Q[i, : len(q)] = q
+        T[i, : len(t)] = t
+        qlen[i], tlen_[i] = len(q), len(t)
+    return pairs, Q, T, qlen, tlen_
+
+
+@pytest.mark.parametrize("tlen,P", [(300, 3), (580, 5), (830, 7)])
+def test_batch_extz_odd_p(tlen, P):
+    from ksw2_tpu.ops.batch_pallas import extz_batch_align
+    rng = np.random.default_rng(tlen)
+    pairs, Q, T, qlen, tlen_ = _mk(rng, 4, tlen, P * 128)
+    assert (T.shape[1] + 127) // 128 == P
+    mat = simple_mat(5, 2, 4)
+    ezs = extz_batch_align(Q, T, qlen, tlen_, 5, mat, 4, 2, zdrop=100,
+                           interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, zdrop=100)
+        assert ezs[i].tsv_fields() == want.tsv_fields(), i
+
+
+@pytest.mark.parametrize("tlen,P,flag", [
+    (300, 3, Flag.SCORE_ONLY),
+    (580, 5, Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.APPROX_DROP),
+])
+def test_batch_extz_scores_odd_p(tlen, P, flag):
+    """Score-only engine: approx path exercises the exact odd-P group sum."""
+    from ksw2_tpu.ops.batch_pallas import extz_batch_device
+    rng = np.random.default_rng(tlen + 1)
+    pairs, Q, T, qlen, tlen_ = _mk(rng, 4, tlen, P * 128)
+    assert (T.shape[1] + 127) // 128 == P
+    mat = simple_mat(5, 2, 4)
+    out = extz_batch_device(Q, T, qlen, tlen_, 5, mat, 4, 2, zdrop=100,
+                            flag=flag, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, zdrop=100, flag=flag)
+        got = [int(out[k][i]) for k in ("score", "max", "max_t", "max_q",
+                                        "mqe", "mte")]
+        assert got == [want.score, want.max, want.max_t, want.max_q,
+                       want.mqe, want.mte], i
+
+
+def test_batch_extd_odd_p():
+    from ksw2_tpu.ops.batch_pallas import extd_batch_align
+    rng = np.random.default_rng(7)
+    pairs, Q, T, qlen, tlen_ = _mk(rng, 4, 300, 3 * 128)
+    mat = simple_mat(5, 2, 4)
+    ezs = extd_batch_align(Q, T, qlen, tlen_, 5, mat, 4, 2, 13, 1,
+                           zdrop=100, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extd2(q, t, 5, mat, 4, 2, 13, 1, zdrop=100)
+        assert ezs[i].tsv_fields() == want.tsv_fields(), i
+
+
+@pytest.mark.parametrize("w,P", [(250, 3), (550, 5)])
+def test_band_extz_odd_p(w, P):
+    """Band engines at odd P: w in (128(P-1)-64, 128P-64] picks P rows."""
+    from ksw2_tpu.ops.band_batch import (_pick_p, extz_band_batch_align,
+                                         extz_band_batch_device)
+    assert _pick_p(w) == P
+    rng = np.random.default_rng(w)
+    pairs, Q, T, qlen, tlen_ = _mk(rng, 4, 700, 720)
+    mat = simple_mat(5, 2, 4)
+    wv = np.full(4, w, np.int32)
+    ezs = extz_band_batch_align(Q, T, qlen, tlen_, 5, mat, 4, 2, wv,
+                                zdrop=100, interpret=True)
+    out = extz_band_batch_device(
+        Q, T, qlen, tlen_, 5, mat, 4, 2, wv, zdrop=100,
+        flag=Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.APPROX_DROP,
+        interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, w=w, zdrop=100)
+        assert ezs[i].tsv_fields() == want.tsv_fields(), i
+        wanta, _ = diagdiff.extz2(
+            q, t, 5, mat, 4, 2, w=w, zdrop=100,
+            flag=Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.APPROX_DROP)
+        got = [int(out[k][i]) for k in ("score", "max", "max_t", "max_q")]
+        assert got == [wanta.score, wanta.max, wanta.max_t, wanta.max_q], i
+
+
+def test_band_extd_odd_p():
+    from ksw2_tpu.ops.band_batch import extd_band_batch_align
+    rng = np.random.default_rng(11)
+    pairs, Q, T, qlen, tlen_ = _mk(rng, 4, 700, 720)
+    mat = simple_mat(5, 2, 4)
+    wv = np.full(4, 250, np.int32)
+    ezs = extd_band_batch_align(Q, T, qlen, tlen_, 5, mat, 4, 2, 13, 1, wv,
+                                zdrop=100, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extd2(q, t, 5, mat, 4, 2, 13, 1, w=250, zdrop=100)
+        assert ezs[i].tsv_fields() == want.tsv_fields(), i
