@@ -175,12 +175,21 @@ def device_walk_cigars(p, R, P, n_diag, W, qlen, tlen, w, i0, j0, started,
     if Bp % 8:                      # walker state is one sublane row/pair
         Bp = -(-Bp // 8) * 8
         p = jnp.pad(p, ((0, 0), (0, Bp * P - R), (0, 0)))
-    prm = tbb.BandTbParams(n_pairs=Bp, n_diag=n_diag, w=W, p=P)
-    run, MAXR = _cached_run_band_tb(prm, interpret)
     i0p = np.full(Bp, -1, np.int32)
     j0p = np.full(Bp, -1, np.int32)
     i0p[:len(i0)] = i0
     j0p[:len(j0)] = j0
+    # every walk starts at diagonal i0+j0 and only descends, so blocks
+    # above the highest start are dead: trim them (big win for zdropped /
+    # early-max pairs).  org(r) depends only on (r, W) - the kept prefix
+    # is untouched.  Rounded to 1024 to bound compiled walker variants.
+    rmax = int(np.max(i0p + j0p, initial=-1))
+    nd2 = min(n_diag, max(128, -(-(rmax + 1) // 1024) * 1024))
+    if nd2 < n_diag:
+        p = p[:nd2]
+        n_diag = nd2
+    prm = tbb.BandTbParams(n_pairs=Bp, n_diag=n_diag, w=W, p=P)
+    run, MAXR = _cached_run_band_tb(prm, interpret)
     lens = np.zeros((3, Bp), np.int32)
     lens[0, :len(qlen)], lens[1, :len(qlen)] = qlen, tlen
     lens[2, :len(qlen)] = w

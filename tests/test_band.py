@@ -301,3 +301,30 @@ def test_band_generic_sc_matches_spec(zdrop):
                                zdrop=zdrop, flag=Flag.GENERIC_SC)
         assert e1[i].tsv_fields() == w1.tsv_fields(), i
         assert e2[i].tsv_fields() == w2.tsv_fields(), i
+
+
+def test_band_cigar_walker_trim():
+    """Zdropped pairs end their walks far below n_diag: the device walker
+    trims dead trailing diagonal blocks (band_batch.device_walk_cigars) and
+    the CIGAR must stay byte-identical."""
+    from ksw2_tpu.ops.band_batch import extz_band_batch_align
+    rng = np.random.default_rng(77)
+    t1, q1 = refcmp.random_pair(rng, 3000, divergence=0.1, indel=0.03)
+    t2, _ = refcmp.random_pair(rng, 3000, divergence=0.1, indel=0.03)
+    q = encode_dna(q1[:1500] + t2[:1500])   # divergent tail: z-drop midway
+    t = encode_dna(t1)
+    B = 2
+    Q = np.zeros((B, len(q)), np.int32)
+    T = np.zeros((B, len(t)), np.int32)
+    Q[:] = q
+    T[:] = t
+    qlen = np.full(B, len(q), np.int32)
+    tlen = np.full(B, len(t), np.int32)
+    wv = np.full(B, 200, np.int32)
+    ezs = extz_band_batch_align(Q, T, qlen, tlen, 5, MAT, 4, 2, wv,
+                                zdrop=100, interpret=True)
+    want, _ = diagdiff.extz2(q, t, 5, MAT, 4, 2, w=200, zdrop=100)
+    assert want.zdropped
+    for i in range(B):
+        assert ezs[i].tsv_fields() == want.tsv_fields(), i
+        assert ezs[i].cigar == want.cigar, i
