@@ -30,8 +30,35 @@ def read_fa(path: str) -> str:
     return "".join(cur)
 
 
+def _tpu_tunnel_alive(timeout_s: float = 90.0) -> bool:
+    """Probe the axon TPU tunnel in a subprocess.
+
+    When the tunnel is down, jax backend init blocks forever (the platform
+    plugin's sitecustomize pins the platform regardless of JAX_PLATFORMS),
+    which would hang this benchmark outright; probe in a killable child
+    instead and fall back to CPU when it is dead.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; jnp.ones(4).sum();"
+             "print(jax.default_backend())"],
+            capture_output=True, timeout=timeout_s, cwd="/root/repo")
+        return b"tpu" in r.stdout
+    except Exception:
+        return False
+
+
 def main() -> None:
+    alive = _tpu_tunnel_alive()
     import jax
+    if not alive:
+        try:  # dead tunnel: force CPU before any backend initializes
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     try:  # persistent executable cache: first compile is minutes, reuse it
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_ccache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
