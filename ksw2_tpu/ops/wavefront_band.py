@@ -30,7 +30,7 @@ so they are captured per diagonal into NON-shifting accumulator planes with
 (max H, earliest diagonal) per-lane semantics, reproducing the reference's
 strict-``>`` tie-breaks; ``max``/Z-drop use the packed-argmax butterfly of
 the t-coordinate kernel with a 13-bit tie key (positions are band-relative,
-so P*128 lanes need 5*P*128 < 8192 key values).
+so P*128 lanes need 5*P*128 + 2 <= 7682 < 8192 key values, P <= 12).
 
 Score-only; exact per-diagonal max (ksw_apply_zdrop semantics with or
 without a live Z-drop).  CIGARs for long pairs go through the single-pair
@@ -104,6 +104,7 @@ def _band_kernel_body(prm: BandParams, with_cigar, refs):
     (u, v, x, y, s, Q, T, H,
      mxp, mtp, mqp, zdp, MQ, MQR, MT, MTR, SC, pbs) = rest[:18]
     h0p, ltp = (rest[18], rest[19]) if approx else (None, None)
+    stopr = rest[-1]             # SMEM early-exit flag (appended last)
 
     qe = prm.q + prm.e
     R = prm.n_rows
@@ -164,6 +165,7 @@ def _band_kernel_body(prm: BandParams, with_cigar, refs):
         if approx:
             h0p[...] = zero
             ltp[...] = zero
+        stopr[0] = 0
 
     qlp = qlp_ref[...]
     tlp = tlp_ref[...]
@@ -382,7 +384,7 @@ def _band_kernel_body(prm: BandParams, with_cigar, refs):
 
         # per-diagonal packed argmax + ksw_apply_zdrop (max updates always;
         # the drop itself only with a live threshold).  13-bit tie key:
-        # positions are band-relative so kf < 5*P*128 + 2 <= 5122 < 8192.
+        # positions are band-relative so kf < 5*P*128 + 2 <= 7682 < 8192.
         band = scan_mask | en0m
         en1 = st0 + ((en0 - st0) & -4)
         cls = (jb - st0) & 3
@@ -408,7 +410,17 @@ def _band_kernel_body(prm: BandParams, with_cigar, refs):
         mtp[...] = jnp.where(betterz, max_t, mtp[...])
         mqp[...] = jnp.where(betterz, r - max_t, mqp[...])
 
-    jax.lax.fori_loop(0, prm.chunk, diag_body, None)
+    # the reference BREAKS out of its diagonal loop on Z-drop / natural end
+    # (ksw2_extz2_sse.c:267); the grid cannot early-exit, but whole chunks
+    # after every pair has stopped skip their work (sticky SMEM flag; all
+    # in-kernel writes below are act-masked, so outputs are unchanged)
+    @pl.when(stopr[0] == 0)
+    def _chunk():
+        jax.lax.fori_loop(0, prm.chunk, diag_body, None)
+        alive = rlim > (step + 1) * prm.chunk
+        if withz:
+            alive = alive & (zdp[...] == 0)
+        stopr[0] = 1 - jnp.any(alive).astype(I32)
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _emit():
@@ -469,6 +481,7 @@ def build_band_call(prm: BandParams, with_cigar: bool = False,
     from ..core.flags import Flag as _F
     n_scr = 18 + (2 if prm.flag & int(_F.APPROX_MAX) else 0)
     scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(n_scr)]
+    scratch.append(pltpu.SMEM((1,), jnp.int32))     # early-exit flag
     kernel = functools.partial(_band_kernel_body, prm, with_cigar)
 
     def wrap(*refs):

@@ -72,6 +72,7 @@ def _band_extd_kernel_body(prm: BandExtdParams, with_cigar, refs):
     (u, v, x, y, x2, y2, s, Q, T, H,
      mxp, mtp, mqp, zdp, MQ, MQR, MT, MTR, SC, pbs) = rest[:20]
     h0p, ltp = (rest[20], rest[21]) if approx else (None, None)
+    stopr = rest[-1]             # SMEM early-exit flag (appended last)
 
     qe, qe2 = prm.q + prm.e, prm.q2 + prm.e2
     R = prm.n_rows
@@ -127,6 +128,7 @@ def _band_extd_kernel_body(prm: BandExtdParams, with_cigar, refs):
         if approx:
             h0p[...] = jnp.zeros(shape, I32)
             ltp[...] = jnp.zeros(shape, I32)
+        stopr[0] = 0
 
     qlp = qlp_ref[...]
     tlp = tlp_ref[...]
@@ -367,7 +369,15 @@ def _band_extd_kernel_body(prm: BandExtdParams, with_cigar, refs):
         mtp[...] = jnp.where(betterz, max_t, mtp[...])
         mqp[...] = jnp.where(betterz, r - max_t, mqp[...])
 
-    jax.lax.fori_loop(0, prm.chunk, diag_body, None)
+    # chunk-level early exit once every pair has z-dropped or ended (the
+    # reference's loop break, ksw2_extd2_sse.c); all writes are act-masked
+    @pl.when(stopr[0] == 0)
+    def _chunk():
+        jax.lax.fori_loop(0, prm.chunk, diag_body, None)
+        alive = rlim > (step + 1) * prm.chunk
+        if withz:
+            alive = alive & (zdp[...] == 0)
+        stopr[0] = 1 - jnp.any(alive).astype(I32)
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _emit():
@@ -427,6 +437,7 @@ def build_band_extd_call(prm: BandExtdParams, with_cigar: bool = False,
     from ..core.flags import Flag as _F
     n_scr = 20 + (2 if prm.flag & int(_F.APPROX_MAX) else 0)
     scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(n_scr)]
+    scratch.append(pltpu.SMEM((1,), jnp.int32))     # early-exit flag
     kernel = functools.partial(_band_extd_kernel_body, prm, with_cigar)
 
     def wrap(*refs):

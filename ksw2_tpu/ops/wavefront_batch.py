@@ -113,6 +113,7 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
         mxp, mtp, mqp, zdp = rest[:4]
     else:
         mxp = mtp = mqp = zdp = None
+    stopr = refs[-1]             # SMEM early-exit flag (appended last)
 
     qe = prm.q + prm.e
     R = prm.n_rows
@@ -162,6 +163,7 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
             mtp[...] = jnp.full(shape, -1, I32)
             mqp[...] = jnp.full(shape, -1, I32)
             zdp[...] = zero
+        stopr[0] = 0
 
     qlp = qlp_ref[...]
     tlp = tlp_ref[...]
@@ -365,7 +367,15 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
             mqp[...] = jnp.where(betterz, r - max_t, mqp[...])
             zdp[...] = jnp.where(trig, 1 + r, zdp[...])   # 1 + stop diagonal
 
-    jax.lax.fori_loop(0, prm.chunk, diag_body, None)
+    # chunk-level early exit once every pair has z-dropped or ended (the
+    # reference's loop break); all in-kernel writes are act-masked
+    @pl.when(stopr[0] == 0)
+    def _chunk():
+        jax.lax.fori_loop(0, prm.chunk, diag_body, None)
+        alive = rlim > (step + 1) * prm.chunk
+        if withz:
+            alive = alive & (zdp[...] == 0)
+        stopr[0] = 1 - jnp.any(alive).astype(I32)
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _emit():
@@ -468,6 +478,7 @@ def build_batch_call(prm: BatchParams, with_cigar: bool = False,
              + (4 if prm.zdrop >= 0 or (prm.flag & int(Flag.APPROX_MAX)
                            and prm.flag & int(Flag.APPROX_DROP)) else 0))
     scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(n_scr)]
+    scratch.append(pltpu.SMEM((1,), jnp.int32))     # early-exit flag
     kernel = functools.partial(_batch_kernel_body, prm, with_cigar)
 
     def wrap(*refs):

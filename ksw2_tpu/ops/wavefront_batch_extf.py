@@ -40,7 +40,7 @@ class BatchExtfParams(NamedTuple):
 
 def _batch_extf_kernel(prm: BatchExtfParams, refs):
     (qlp_ref, tlp_ref, wp_ref, rlim_ref, target_ref, qinj_ref, res_ref,
-     u, v, s, Q, h0p, ltp, mxp, mtp, mqp, zdp, pbs) = refs
+     u, v, s, Q, h0p, ltp, mxp, mtp, mqp, zdp, pbs, stopr) = refs
 
     e = prm.e
     R = prm.n_rows
@@ -78,6 +78,7 @@ def _batch_extf_kernel(prm: BatchExtfParams, refs):
         mqp[...] = jnp.full(shape, -1, I32)
         zdp[...] = zero
         pbs[...] = zero
+        stopr[0] = 0
 
     qlp = qlp_ref[...]
     tlp = tlp_ref[...]
@@ -161,7 +162,13 @@ def _batch_extf_kernel(prm: BatchExtfParams, refs):
         mtp[...] = jnp.where(better, ltp[...], mtp[...])
         mqp[...] = jnp.where(better, r - ltp[...], mqp[...])
 
-    jax.lax.fori_loop(0, prm.chunk, diag_body, None)
+    # chunk-level early exit once every pair has X-dropped or ended (the
+    # reference's loop break, ksw2_extf2_sse.c:90-91)
+    @pl.when(stopr[0] == 0)
+    def _chunk():
+        jax.lax.fori_loop(0, prm.chunk, diag_body, None)
+        alive = (rlim > (step + 1) * prm.chunk) & (zdp[...] == 0)
+        stopr[0] = 1 - jnp.any(alive).astype(I32)
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _emit():
@@ -189,6 +196,7 @@ def build_batch_extf_call(prm: BatchExtfParams, interpret: bool = False):
     assert CHUNK % chunk == 0
     n_steps = (prm.n_diag + chunk - 1) // chunk
     scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(11)]
+    scratch.append(pltpu.SMEM((1,), jnp.int32))     # early-exit flag
     kernel = functools.partial(_batch_extf_kernel, prm)
 
     def wrap(*refs):

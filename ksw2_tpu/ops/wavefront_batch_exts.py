@@ -79,6 +79,7 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
         mxp, mtp, mqp, zdp = rest[:4]
     else:
         mxp = mtp = mqp = zdp = None
+    stopr = refs[-1]             # SMEM early-exit flag (appended last)
 
     qe = prm.q + prm.e
     R = prm.n_rows
@@ -122,6 +123,7 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
             mtp[...] = jnp.full(shape, -1, I32)
             mqp[...] = jnp.full(shape, -1, I32)
             zdp[...] = jnp.zeros(shape, I32)
+        stopr[0] = 0
 
     qlp = qlp_ref[...]
     tlp = tlp_ref[...]
@@ -322,7 +324,15 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
             mqp[...] = jnp.where(betterz, r - max_t, mqp[...])
             zdp[...] = jnp.where(trig, 1 + r, zdp[...])
 
-    jax.lax.fori_loop(0, prm.chunk, diag_body, None)
+    # chunk-level early exit once every pair has z-dropped or ended (the
+    # reference's loop break); all in-kernel writes are act-masked
+    @pl.when(stopr[0] == 0)
+    def _chunk():
+        jax.lax.fori_loop(0, prm.chunk, diag_body, None)
+        alive = rlim > (step + 1) * prm.chunk
+        if withz:
+            alive = alive & (zdp[...] == 0)
+        stopr[0] = 1 - jnp.any(alive).astype(I32)
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _emit():
@@ -418,6 +428,7 @@ def build_batch_exts_call(prm: BatchExtsParams, with_cigar: bool = False,
     n_scr = (11 + (2 if approx else 0)
              + (4 if prm.zdrop >= 0 or withad else 0))
     scratch = [pltpu.VMEM(shape, jnp.int32) for _ in range(n_scr)]
+    scratch.append(pltpu.SMEM((1,), jnp.int32))     # early-exit flag
     kernel = functools.partial(_batch_exts_kernel, prm, with_cigar)
 
     def wrap(*refs):
