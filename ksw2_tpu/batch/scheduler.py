@@ -22,13 +22,13 @@ from ..ops.batch_xla import BatchSpec, extz_batch_scores
 def _bucket_len(n: int, quantum: int = 128) -> int:
     """Round a length up to a bucket size.
 
-    Linear 128-steps through the batched-engine range (<= 1024): the
+    Linear 128-steps through the batched-engine range (<= 1536): the
     engines pack pairs at P = ceil(Lt/128) rows each, so a 384-bucket runs
     8/3x more pairs per launch than rounding up to 1024 would.  Geometric
     above that (single-pair kernels; shape count matters more than pad).
     """
     n = max(n, 1)
-    if n <= 1024:
+    if n <= 1536:
         return -(-n // quantum) * quantum
     b = 2048
     while b < n:
@@ -102,7 +102,7 @@ def align_batch_scores(
             and int(mat[0]) * int(min(qlen.max(), tlen.max())) < (1 << 17)
         )
         use_pallas = (
-            run_fn is None and engine in ("auto", "pallas") and Lt <= 1024
+            run_fn is None and engine in ("auto", "pallas") and Lt <= 1536
             and not use_band
         )
         if use_pallas:
@@ -187,7 +187,7 @@ def align_batch(
     from ..ops.extz import extz2_device
 
     for (Lq, Lt), idxs in buckets.items():
-        batchable = (Lt <= 1024
+        batchable = (Lt <= 1536
                      and not (flag & Flag.EXTZ_ONLY))
         # long banded buckets ride the band engines (scores and CIGARs,
         # exact or approx-max)
@@ -332,7 +332,7 @@ def align_batch_splice(
     from ..ops.exts import exts2_device
 
     for (Lq, Lt), idxs in buckets.items():
-        if Lt <= 1024 and not (flag & Flag.EXTZ_ONLY):
+        if Lt <= 1536 and not (flag & Flag.EXTZ_ONLY):
             B = len(idxs)
             Q = np.zeros((B, Lq), np.int32)
             T = np.zeros((B, Lt), np.int32)

@@ -29,7 +29,7 @@ from .bands import round_up
 
 
 def _pick_p(wmax: int) -> int:
-    for p in range(1, 9):
+    for p in range(1, 13):
         if wmax <= p * 128 - 64:
             return p
     raise ValueError(f"band cap {wmax} too wide for the band engine")
@@ -233,7 +233,7 @@ def extz_band_batch_device(
     mat: np.ndarray,
     q: int,
     e: int,
-    w: np.ndarray,            # (B,) band widths, 1 <= w <= 960
+    w: np.ndarray,            # (B,) band widths, 1 <= w <= 1472
     zdrop: int = -1,
     flag: Flag | int = Flag.SCORE_ONLY,
     interpret: bool = False,

@@ -95,8 +95,8 @@ def extz_batch_device(
         raise ValueError("batched engine is score-only; use extz2_device")
     B, Lq = query.shape
     Bt, Lt = target.shape
-    assert B == Bt and Lt <= 1024
-    P = (Lt + 127) // 128        # rows per pair; any P in 1..8 works
+    assert B == Bt and Lt <= 1536
+    P = (Lt + 127) // 128   # rows per pair; any P in 1..12 works
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     if w is None:
@@ -201,8 +201,8 @@ def extz_batch_align(
         raise ValueError("use extz_batch_device for score-only batches")
     B, Lq = query.shape
     Bt, Lt = target.shape
-    assert B == Bt and Lt <= 1024
-    P = (Lt + 127) // 128        # rows per pair; any P in 1..8 works
+    assert B == Bt and Lt <= 1536
+    P = (Lt + 127) // 128   # rows per pair; any P in 1..12 works
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     if w is None:
@@ -435,8 +435,8 @@ def extd_batch_device(
         raise ValueError("score-only entry; use extd_batch_align for CIGARs")
     B, Lq = query.shape
     Bt, Lt = target.shape
-    assert B == Bt and Lt <= 1024
-    P = (Lt + 127) // 128        # rows per pair; any P in 1..8 works
+    assert B == Bt and Lt <= 1536
+    P = (Lt + 127) // 128   # rows per pair; any P in 1..12 works
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     if w is None:
@@ -515,8 +515,8 @@ def extd_batch_align(
         raise ValueError("use extd_batch_device for score-only batches")
     B, Lq = query.shape
     Bt, Lt = target.shape
-    assert B == Bt and Lt <= 1024
-    P = (Lt + 127) // 128        # rows per pair; any P in 1..8 works
+    assert B == Bt and Lt <= 1536
+    P = (Lt + 127) // 128   # rows per pair; any P in 1..12 works
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     if w is None:
@@ -704,8 +704,8 @@ def exts_batch_align(
     with_cigar = not (flag & Flag.SCORE_ONLY)
     B, Lq = query.shape
     Bt, Lt = target.shape
-    assert B == Bt and Lt <= 1024
-    P = (Lt + 127) // 128        # rows per pair; any P in 1..8 works
+    assert B == Bt and Lt <= 1536
+    P = (Lt + 127) // 128   # rows per pair; any P in 1..12 works
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     RMAX = (256 if with_cigar else 384) // P // 8 * 8
@@ -865,8 +865,8 @@ def extf_batch_device(
         interpret = True
     B, Lq = query.shape
     Bt, Lt = target.shape
-    assert B == Bt and Lt <= 1024
-    P = (Lt + 127) // 128        # rows per pair; any P in 1..8 works
+    assert B == Bt and Lt <= 1536
+    P = (Lt + 127) // 128   # rows per pair; any P in 1..12 works
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     if w is None:
@@ -973,8 +973,8 @@ def gg2_batch_align(
         interpret = True
     B, Lq = query.shape
     Bt, Lt = target.shape
-    assert B == Bt and Lt <= 1024
-    P = (Lt + 127) // 128        # rows per pair; any P in 1..8 works
+    assert B == Bt and Lt <= 1536
+    P = (Lt + 127) // 128   # rows per pair; any P in 1..12 works
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     if w is None:

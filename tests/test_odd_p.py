@@ -117,3 +117,39 @@ def test_band_extd_odd_p():
     for i, (q, t) in enumerate(pairs):
         want, _ = diagdiff.extd2(q, t, 5, mat, 4, 2, 13, 1, w=250, zdrop=100)
         assert ezs[i].tsv_fields() == want.tsv_fields(), i
+
+
+@pytest.mark.parametrize("tlen,P", [(1200, 10), (1500, 12)])
+def test_batch_extz_high_p(tlen, P):
+    """P in 9..12: targets beyond 1024 ride the batched engines (the
+    13-bit argmax key holds through 5*12*128+2 = 7682 < 8192)."""
+    from ksw2_tpu.ops.batch_pallas import extz_batch_align
+    rng = np.random.default_rng(tlen)
+    pairs, Q, T, qlen, tlen_ = _mk(rng, 3, tlen, P * 128)
+    assert (T.shape[1] + 127) // 128 == P
+    mat = simple_mat(5, 2, 4)
+    ezs = extz_batch_align(Q, T, qlen, tlen_, 5, mat, 4, 2, zdrop=150,
+                           interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, zdrop=150)
+        assert ezs[i].tsv_fields() == want.tsv_fields(), i
+
+
+def test_band_extz_high_p():
+    """Band cap beyond 960: w=1000 picks P=9 (w <= 128P - 64)."""
+    from ksw2_tpu.ops.band_batch import _pick_p, extz_band_batch_device
+    assert _pick_p(1000) == 9 and _pick_p(1400) == 12
+    rng = np.random.default_rng(5)
+    pairs, Q, T, qlen, tlen_ = _mk(rng, 3, 1600, 1700)
+    mat = simple_mat(5, 2, 4)
+    wv = np.full(3, 1000, np.int32)
+    out = extz_band_batch_device(Q, T, qlen, tlen_, 5, mat, 4, 2, wv,
+                                 zdrop=150, flag=Flag.SCORE_ONLY,
+                                 interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, w=1000, zdrop=150,
+                                 flag=Flag.SCORE_ONLY)
+        got = [int(out[k][i]) for k in ("score", "max", "max_t", "max_q",
+                                        "mqe", "mte")]
+        assert got == [want.score, want.max, want.max_t, want.max_q,
+                       want.mqe, want.mte], i
