@@ -343,7 +343,8 @@ def _batch_extd_kernel(prm: BatchExtdParams, with_cigar, refs):
         alive = rlim > (step + 1) * prm.chunk
         if withz:
             alive = alive & (zdp[...] == 0)
-        stopr[0] = 1 - jnp.any(alive).astype(I32)
+        # int max-reduce (not jnp.any): the form proven to lower on Mosaic
+        stopr[0] = 1 - jnp.max(alive.astype(I32))
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _emit():

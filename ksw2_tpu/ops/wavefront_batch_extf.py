@@ -168,7 +168,8 @@ def _batch_extf_kernel(prm: BatchExtfParams, refs):
     def _chunk():
         jax.lax.fori_loop(0, prm.chunk, diag_body, None)
         alive = (rlim > (step + 1) * prm.chunk) & (zdp[...] == 0)
-        stopr[0] = 1 - jnp.any(alive).astype(I32)
+        # int max-reduce (not jnp.any): the form proven to lower on Mosaic
+        stopr[0] = 1 - jnp.max(alive.astype(I32))
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _emit():
