@@ -223,3 +223,113 @@ def pad_batch_for_mesh(arrays, n_shards: int):
 __all__ = ["init_distributed", "make_mesh", "sharded_extz_scores",
            "sharded_extz_scores_pallas", "sharded_extd_scores_pallas",
            "sharded_band_scores", "pad_batch_for_mesh"]
+
+
+def sharded_exts_scores_pallas(mesh: Mesh, query, target, qlen, tlen,
+                               m, mat, q, e, q2, noncan, zdrop=-1,
+                               junc_bonus=0, flag=None, junc=None,
+                               interpret: bool = False):
+    """Shard the spliced-extension batch engine over the mesh (score-only).
+
+    Donor/acceptor profile planes are host-precomputed for the full batch
+    (one (R,128) biased plane each, R = B * P rows) and sharded along the
+    row axis together with the sequences.
+    """
+    import numpy as np_
+    from ..core.flags import Flag
+    from ..ops import wavefront_batch as wb
+    from ..ops import wavefront_batch_exts as wbs
+    from ..ops.batch_pallas import _cached_run_exts, _exts_batch_prep
+
+    axis = mesh.axis_names[0]
+    n_shards = mesh.devices.size
+    B, Lq = query.shape
+    Lt = target.shape[1]
+    assert B % n_shards == 0, "pad the batch to the mesh size"
+    Bs = B // n_shards
+    Pp = (Lt + 127) // 128
+    assert (Bs * Pp) % 8 == 0, "pad the batch so each shard rows %% 8 == 0"
+    fl = Flag(int(Flag.SCORE_ONLY if flag is None else flag))
+    fl |= Flag.SCORE_ONLY
+    qlen_h = np_.asarray(qlen)
+    tlen_h = np_.asarray(tlen)
+    matf, long_thres, long_diff, sc_N, donb, accb = _exts_batch_prep(
+        B, np_.asarray(target), tlen_h, m, np_.asarray(mat), int(q), int(e),
+        int(q2), int(noncan), fl, junc, junc_bonus, B * Pp, Pp)
+    n_diag = int((qlen_h + tlen_h).max()) - 1
+    n_diag = max((n_diag + wb.CHUNK - 1) // wb.CHUNK * wb.CHUNK, wb.CHUNK)
+    prm = wbs.BatchExtsParams(
+        n_rows=Bs * Pp, n_diag=n_diag, m=m,
+        sc_mch=int(matf[0]), sc_mis=int(matf[1]), sc_N=sc_N,
+        q=int(q), e=int(e), q2=int(q2),
+        long_thres=int(long_thres), long_diff=int(long_diff),
+        zdrop=int(zdrop), flag=int(fl), p=Pp,
+    )
+    run = _cached_run_exts(prm, interpret, False)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(None, axis),
+        check_rep=False,
+    )
+    def _run(Q, T, dn, ac, ql, tl):
+        res = run(Q, T, dn, ac, ql, tl)
+        return res.T[:, :, None].reshape(res.shape[1], -1)
+
+    stacked = _run(jnp.asarray(np_.asarray(query, np_.int8)),
+                   jnp.asarray(np_.asarray(target, np_.int8)),
+                   jnp.asarray(donb), jnp.asarray(accb),
+                   jnp.asarray(qlen_h.astype(np_.int32)),
+                   jnp.asarray(tlen_h.astype(np_.int32)))
+    return {k: stacked[i] for i, k in enumerate(_FIELDS)}
+
+
+def sharded_extf_scores_pallas(mesh: Mesh, query, target, qlen, tlen, w,
+                               mch, mis, e, xdrop=-1,
+                               interpret: bool = False):
+    """Shard the linear-gap (extf2) batch engine over the mesh."""
+    import numpy as np_
+    from ..ops import wavefront_batch as wb
+    from ..ops import wavefront_batch_extf as wbf
+    from ..ops.batch_pallas import _cached_run_extf
+
+    axis = mesh.axis_names[0]
+    n_shards = mesh.devices.size
+    B, Lq = query.shape
+    Lt = target.shape[1]
+    assert B % n_shards == 0, "pad the batch to the mesh size"
+    Bs = B // n_shards
+    Pp = (Lt + 127) // 128
+    assert (Bs * Pp) % 8 == 0, "pad the batch so each shard rows %% 8 == 0"
+    mis = int(mis) if int(mis) < 0 else -int(mis)
+    qlen_h = np_.asarray(qlen)
+    tlen_h = np_.asarray(tlen)
+    n_diag = int((qlen_h + tlen_h).max()) - 1
+    n_diag = max((n_diag + wb.CHUNK - 1) // wb.CHUNK * wb.CHUNK, wb.CHUNK)
+    prm = wbf.BatchExtfParams(
+        n_rows=Bs * Pp, n_diag=n_diag, mch=int(mch), mis=mis, e=int(e),
+        xdrop=int(xdrop), p=Pp,
+    )
+    run = _cached_run_extf(prm, interpret)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(None, axis),
+        check_rep=False,
+    )
+    def _run(Q, T, ql, tl, wv):
+        res = run(Q, T, ql, tl, wv)
+        return res.T[:, :, None].reshape(res.shape[1], -1)
+
+    stacked = _run(jnp.asarray(np_.asarray(query, np_.int8)),
+                   jnp.asarray(np_.asarray(target, np_.int8)),
+                   jnp.asarray(qlen_h.astype(np_.int32)),
+                   jnp.asarray(tlen_h.astype(np_.int32)),
+                   jnp.asarray(np_.asarray(w, np_.int32)))
+    out = {k: stacked[i] for i, k in enumerate(_FIELDS)}
+    # extf2 is score-only without query/target-end tracking: expose the
+    # fields the reference kernel defines (ksw2_extf2_sse.c)
+    return {k: out[k] for k in ("max", "max_t", "max_q", "score",
+                                "zdropped")}

@@ -139,3 +139,72 @@ def test_sharded_band_engine_matches_spec():
                                flag=Flag.SCORE_ONLY)
         assert int(out["score"][i]) == ez.score, i
         assert int(out["max"][i]) == ez.max, i
+
+
+def test_sharded_exts_engine_matches_spec():
+    import jax.numpy as jnp
+    import refcmp
+    from ksw2_tpu.core.flags import Flag
+    from ksw2_tpu.core.matrix import encode_dna, simple_mat
+    from ksw2_tpu.parallel.mesh import make_mesh, sharded_exts_scores_pallas
+    from ksw2_tpu.spec import diagdiff
+
+    rng = np.random.default_rng(11)
+    B = 64
+    pairs = []
+    for _ in range(B):
+        tlen = int(rng.integers(8, 120))
+        t, q = refcmp.random_pair(rng, tlen, divergence=0.25, indel=0.1)
+        pairs.append((encode_dna(q), encode_dna(t)))
+    Lq = max(len(q) for q, t in pairs)
+    Q = np.zeros((B, Lq), np.int8)
+    T = np.zeros((B, 128), np.int8)
+    qlen = np.zeros(B, np.int32)
+    tlen = np.zeros(B, np.int32)
+    for i, (q, t) in enumerate(pairs):
+        Q[i, : len(q)] = q
+        T[i, : len(t)] = t
+        qlen[i], tlen[i] = len(q), len(t)
+    mat = simple_mat(5, 1, 2)
+    out = sharded_exts_scores_pallas(
+        make_mesh(8), Q, T, qlen, tlen, 5, mat, 2, 1, 32, 9, zdrop=50,
+        flag=Flag.SCORE_ONLY | Flag.SPLICE_FOR, interpret=True)
+    for i, (q, t) in enumerate(pairs[:16]):
+        ez, _ = diagdiff.exts2(q, t, 5, mat, 2, 1, 32, 9, zdrop=50,
+                               flag=Flag.SCORE_ONLY | Flag.SPLICE_FOR)
+        assert int(out["score"][i]) == ez.score, i
+        assert int(out["max"][i]) == ez.max, i
+        assert int(out["mqe"][i]) == ez.mqe, i
+
+
+def test_sharded_extf_engine_matches_spec():
+    import refcmp
+    from ksw2_tpu.core.flags import Flag
+    from ksw2_tpu.core.matrix import encode_dna
+    from ksw2_tpu.parallel.mesh import make_mesh, sharded_extf_scores_pallas
+    from ksw2_tpu.spec import diagdiff
+
+    rng = np.random.default_rng(13)
+    B = 64
+    pairs = []
+    for _ in range(B):
+        tlen = int(rng.integers(8, 120))
+        t, q = refcmp.random_pair(rng, tlen, divergence=0.25, indel=0.1)
+        pairs.append((encode_dna(q), encode_dna(t)))
+    Lq = max(len(q) for q, t in pairs)
+    Q = np.zeros((B, Lq), np.int8)
+    T = np.zeros((B, 128), np.int8)
+    qlen = np.zeros(B, np.int32)
+    tlen = np.zeros(B, np.int32)
+    for i, (q, t) in enumerate(pairs):
+        Q[i, : len(q)] = q
+        T[i, : len(t)] = t
+        qlen[i], tlen[i] = len(q), len(t)
+    w = np.maximum(qlen, tlen)
+    out = sharded_extf_scores_pallas(
+        make_mesh(8), Q, T, qlen, tlen, w, 2, 4, 2, xdrop=40,
+        interpret=True)
+    for i, (q, t) in enumerate(pairs[:16]):
+        ez = diagdiff.extf2(q, t, 2, 4, 2, xdrop=40)
+        assert int(out["score"][i]) == ez.score, i
+        assert int(out["max"][i]) == ez.max, i
