@@ -263,6 +263,90 @@ def sweep_batch(n, rng):
     return fails
 
 
+def sweep_newpaths(rng):
+    """High-P packing (P=10 batch, P=9 band), all-pairs early exit, and the
+    trimmed device walker on zdropped CIGARs -- one launch each."""
+    from ksw2_tpu.ops.band_batch import extz_band_batch_device
+    from ksw2_tpu.ops.batch_pallas import extz_batch_align, extz_batch_device
+    mat = simple_mat(5, 2, 4)
+    fails = 0
+
+    # P=10 t-coordinate batch, scores + CIGARs
+    B = 8
+    pairs = []
+    for _ in range(B):
+        t, q = refcmp.random_pair(rng, 1250, divergence=0.2, indel=0.08)
+        pairs.append((encode_dna(q)[:1280], encode_dna(t)[:1280]))
+    Lq = max(len(q) for q, t in pairs)
+    Lt = max(len(t) for q, t in pairs)
+    Q = np.zeros((B, Lq), np.int32)
+    T = np.zeros((B, Lt), np.int32)
+    qlen = np.array([len(q) for q, t in pairs], np.int32)
+    tlen = np.array([len(t) for q, t in pairs], np.int32)
+    for i, (q, t) in enumerate(pairs):
+        Q[i, : len(q)] = q
+        T[i, : len(t)] = t
+    assert (Lt + 127) // 128 > 8
+    ezs = extz_batch_align(Q, T, qlen, tlen, 5, mat, 4, 2, zdrop=150)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, zdrop=150)
+        if ezs[i].tsv_fields() != want.tsv_fields() or \
+                ezs[i].cigar != want.cigar:
+            print(f"high-P batch cigar FAIL i={i}")
+            fails += 1
+
+    # P=9 band engine (w > 960)
+    wv = np.full(B, 1000, np.int32)
+    out = extz_band_batch_device(Q, T, qlen, tlen, 5, mat, 4, 2, wv,
+                                 zdrop=150, flag=Flag.SCORE_ONLY)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, w=1000, zdrop=150,
+                                 flag=Flag.SCORE_ONLY)
+        got = [int(out[k][i]) for k in ("score", "max", "max_t", "max_q")]
+        if got != [want.score, want.max, want.max_t, want.max_q]:
+            print(f"high-P band FAIL i={i}: {got}")
+            fails += 1
+
+    # all-pairs z-drop early: chunk early-exit fires mid-grid; the device
+    # walker trims every diagonal block above the highest walk start
+    B2 = 8
+    dpairs = []
+    for s in range(B2):
+        r2 = np.random.default_rng(1000 + s)
+        t1, q1 = refcmp.random_pair(r2, 1200, divergence=0.1, indel=0.03)
+        t2, _ = refcmp.random_pair(r2, 1200, divergence=0.1, indel=0.03)
+        dpairs.append((encode_dna(q1[:550] + t2[:600]), encode_dna(t1)))
+    Lq = max(len(q) for q, t in dpairs)
+    Lt2 = max(len(t) for q, t in dpairs)
+    Q2 = np.zeros((B2, Lq), np.int32)
+    T2 = np.zeros((B2, Lt2), np.int32)
+    qlen2 = np.array([len(q) for q, t in dpairs], np.int32)
+    tlen2 = np.array([len(t) for q, t in dpairs], np.int32)
+    for i, (q, t) in enumerate(dpairs):
+        Q2[i, : len(q)] = q
+        T2[i, : len(t)] = t
+    out = extz_batch_device(Q2, T2, qlen2, tlen2, 5, mat, 4, 2, zdrop=100,
+                            flag=Flag.SCORE_ONLY)
+    ezc = extz_batch_align(Q2, T2, qlen2, tlen2, 5, mat, 4, 2, zdrop=100)
+    ndrop = 0
+    for i, (q, t) in enumerate(dpairs):
+        want, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, zdrop=100,
+                                 flag=Flag.SCORE_ONLY)
+        wantc, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, zdrop=100)
+        ndrop += int(want.zdropped)
+        got = [int(out[k][i]) for k in ("score", "max", "max_t", "max_q")]
+        if got != [want.score, want.max, want.max_t, want.max_q] or \
+                bool(out["zdropped"][i]) != want.zdropped:
+            print(f"early-exit scores FAIL i={i}: {got}")
+            fails += 1
+        if ezc[i].tsv_fields() != wantc.tsv_fields() or \
+                ezc[i].cigar != wantc.cigar:
+            print(f"early-exit cigar FAIL i={i}")
+            fails += 1
+    assert ndrop == B2, "early-exit sweep expects every pair to z-drop"
+    return fails
+
+
 def mt_anchors():
     from ksw2_tpu.ops.extz import extz2_device
     from ksw2_tpu.ops.extd import extd2_device
@@ -311,6 +395,9 @@ if __name__ == "__main__":
     fbt = sweep_batch(n, rng)
     f += fbt
     print(f"batch sweep done ({fbt} fails)")
+    fn = sweep_newpaths(rng)
+    f += fn
+    print(f"new-paths sweep done ({fn} fails)")
     f += mt_anchors()
     print("TPU VALIDATION", "FAILED" if f else "PASSED")
     sys.exit(1 if f else 0)
