@@ -243,6 +243,45 @@ def main():
          (bcells * Bc / Bb) / best_of(run_band_cigar, n=2),
          "Gcells/s", baseline=0.70)  # ref extz2_sse -w751 -z400 +cigar
 
+    # drop-heavy workload: matching 10k prefix then base-rotated tail, so
+    # every pair z-drops ~20% in.  The reference BREAKS its loop there; the
+    # batch kernel's chunk-level early exit is the TPU answer.  Cells basis
+    # is the FULL band (work avoided counts as speed), identical for both.
+    qdrop = np.asarray(q50, np.int32).copy()
+    qdrop[10000:] = (qdrop[10000:] + 1) % 4
+    Qd = np.tile(qdrop, (Bb, 1))
+
+    def run_band_drop():
+        ob = extz_band_batch_device(Qd, Tb, qlb, tlb, 5, mat, 4, 2, wvb,
+                                    zdrop=400, flag=Flag.SCORE_ONLY)
+        # ref CLI -w751 -z400 -s on (t2, rotated q2): drop at max 13716
+        assert (ob["max"] == 13716).all() and (ob["max_t"] == 10021).all() \
+            and (ob["max_q"] == 9999).all() and ob["zdropped"].all(), \
+            (int(ob["max"][0]), int(ob["max_t"][0]))
+
+    emit("band_batch_drop_64x50k_w751_gcells_per_s",
+         bcells / best_of(run_band_drop, n=3),
+         "Gcells/s", baseline=5.36)  # ref extz2_sse, same input+cell basis
+
+    # 1.5k-target bucket: rows-per-pair P=12 packing (t-coordinate batch
+    # engine beyond the old 1024 cap)
+    B15, L15 = 32, 1500
+    Q15 = np.stack([np.asarray(q50[i * L15:(i + 1) * L15], np.int32)
+                    for i in range(B15)])
+    T15 = np.stack([np.asarray(t50[i * L15:(i + 1) * L15], np.int32)
+                    for i in range(B15)])
+    l15 = np.full(B15, L15, np.int32)
+    from ksw2_tpu.ops.batch_pallas import extz_batch_device
+
+    def run_batch_p12():
+        ob = extz_batch_device(Q15, T15, l15, l15, 5, mat, 4, 2, zdrop=200,
+                               flag=Flag.SCORE_ONLY)
+        assert int(ob["max"].sum()) == 63252, int(ob["max"].sum())
+
+    emit("batch_p12_32x1500_gcells_per_s",
+         (B15 * L15 * L15 / 1e9) / best_of(run_batch_p12, n=3),
+         "Gcells/s", baseline=1.12)  # ref extz2_sse -z200 -s, same pairs
+
     if ctx is not None:
         ctx.__exit__(None, None, None)
 
