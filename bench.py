@@ -40,15 +40,18 @@ def _tpu_tunnel_alive(timeout_s: float = 90.0) -> bool:
     """
     import subprocess
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp; jnp.ones(4).sum();"
-             "print(jax.default_backend())"],
-            capture_output=True, timeout=timeout_s, cwd="/root/repo")
-        return b"tpu" in r.stdout
-    except Exception:
-        return False
+    for _ in range(2):     # the tunnel has transient failures: retry once
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; jnp.ones(4).sum();"
+                 "print(jax.default_backend())"],
+                capture_output=True, timeout=timeout_s, cwd="/root/repo")
+            if b"tpu" in r.stdout:
+                return True
+        except Exception:
+            pass
+    return False
 
 
 def main() -> None:
@@ -133,6 +136,9 @@ def main() -> None:
         "value": round(gcells, 3),
         "unit": "Gcells/s",
         "vs_baseline": round(gcells / BASELINE_GCELLS, 2),
+        # labels degraded runs honestly: "cpu" means the TPU tunnel was
+        # down and this number is NOT comparable to the TPU baseline
+        "backend": jax.default_backend(),
     }))
 
 

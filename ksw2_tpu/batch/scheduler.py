@@ -19,21 +19,38 @@ from ..core.result import ExtzResult
 from ..ops.batch_xla import BatchSpec, extz_batch_scores
 
 
-def _bucket_len(n: int, quantum: int = 128) -> int:
+def _bucket_len(n: int, quantum: int = 128, coarse: bool = False) -> int:
     """Round a length up to a bucket size.
 
     Linear 128-steps through the batched-engine range (<= 1536): the
     engines pack pairs at P = ceil(Lt/128) rows each, so a 384-bucket runs
     8/3x more pairs per launch than rounding up to 1024 would.  Geometric
-    above that (single-pair kernels; shape count matters more than pad).
+    above that, and for every dimension of buckets routed to the
+    single-pair kernels (``coarse``): there shape count costs minutes of
+    compile each and padding costs almost nothing.
     """
     n = max(n, 1)
+    if coarse:
+        b = quantum
+        while b < n:
+            b = b * 2 if b < 2048 else b + 2048
+        return b
     if n <= 1536:
         return -(-n // quantum) * quantum
     b = 2048
     while b < n:
         b += 2048
     return b
+
+
+def _bucket_key(qn: int, tn: int):
+    """(Lq, Lt) bucket: linear steps only when the target rides the batched
+    engines; otherwise both dims coarsen geometrically (single-pair route,
+    where every extra shape is a separate multi-minute kernel compile)."""
+    Lt = _bucket_len(tn)
+    if Lt > 1536:
+        return (_bucket_len(qn, coarse=True), _bucket_len(tn, coarse=True))
+    return (_bucket_len(qn), Lt)
 
 
 @dataclasses.dataclass
@@ -79,7 +96,7 @@ def align_batch_scores(
             ez.reset()
             results[i] = ez
             continue
-        key = (_bucket_len(len(job.query)), _bucket_len(len(job.target)))
+        key = _bucket_key(len(job.query), len(job.target))
         buckets.setdefault(key, []).append(i)
 
     for (Lq, Lt), idxs in buckets.items():
@@ -98,7 +115,7 @@ def align_batch_scores(
             wv[k] = job.w if job.w >= 0 else max(len(job.query), len(job.target))
         use_band = (
             run_fn is None and engine in ("auto", "band") and Lt > 512
-            and wv.min() >= 1 and wv.max() <= 960
+            and wv.min() >= 1 and wv.max() <= 1472
             and int(mat[0]) * int(min(qlen.max(), tlen.max())) < (1 << 17)
         )
         use_pallas = (
@@ -178,7 +195,7 @@ def align_batch(
             ez.reset()
             results[i] = ez
             continue
-        key = (_bucket_len(len(job.query)), _bucket_len(len(job.target)))
+        key = _bucket_key(len(job.query), len(job.target))
         buckets.setdefault(key, []).append(i)
 
     from ..ops.batch_pallas import extd_batch_align, extz_batch_align
@@ -193,7 +210,7 @@ def align_batch(
         # exact or approx-max)
         band_ok = (Lt > 512
                    and not (flag & Flag.EXTZ_ONLY)
-                   and all(1 <= jobs[i].w <= 960 for i in idxs)
+                   and all(1 <= jobs[i].w <= 1472 for i in idxs)
                    and int(mat[0]) * min(
                        max(len(jobs[i].query) for i in idxs),
                        max(len(jobs[i].target) for i in idxs)) < (1 << 17))
@@ -325,7 +342,7 @@ def align_batch_splice(
             ez.reset()
             results[i] = ez
             continue
-        key = (_bucket_len(len(job.query)), _bucket_len(len(job.target)))
+        key = _bucket_key(len(job.query), len(job.target))
         buckets.setdefault(key, []).append(i)
 
     from ..ops.batch_pallas import exts_batch_align

@@ -155,7 +155,11 @@ def _cached_run_band_tb(prm, interpret: bool):
             + (jnp.take_along_axis(opw, bposc, axis=1) & 3), 0)
         return res[:, :2], runs, cnt, ops8
 
-    return jax.jit(run), MAXR
+    # donate p: the walker's chunk-major transpose would otherwise hold
+    # two full copies of the direction planes (GBs for long pairs).  CPU
+    # interpret runs cannot use donation (warns) - only donate compiled.
+    donate = () if interpret else (0,)
+    return jax.jit(run, donate_argnums=donate), MAXR
 
 
 def device_walk_cigars(p, R, P, n_diag, W, qlen, tlen, w, i0, j0, started,
@@ -202,8 +206,8 @@ def device_walk_cigars(p, R, P, n_diag, W, qlen, tlen, w, i0, j0, started,
         # compaction overflow (degenerate alignments): fall back to the
         # full ops-by-diagonal fetch
         ops8 = np.asarray(ops8)
-        return tbb.finish_band_cigars(ops8, res2[:, 0], res2[:, 1], qlen,
-                                      tlen, rev, started)
+        return tbb.finish_band_cigars(ops8, res2[:, 0], res2[:, 1],
+                                      rev, started)
     return tbb.finish_band_cigars_runs(runs, cnt, res2[:, 0],
                                        res2[:, 1], rev, started)
 

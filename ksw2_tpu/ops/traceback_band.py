@@ -187,7 +187,6 @@ def build_band_tb_call(prm: BandTbParams, interpret: bool = False):
 
 
 def finish_band_cigars(ops8: np.ndarray, iend: np.ndarray, jend: np.ndarray,
-                       qlen: np.ndarray, tlen: np.ndarray,
                        is_rev: bool, started: np.ndarray):
     """RLE each pair's visited op subsequence + ksw_backtrack tail flush.
 

@@ -137,8 +137,9 @@ def sharded_extd_scores_pallas(mesh: Mesh, query, target, qlen, tlen, w,
     B, Lq = query.shape
     Lt = target.shape[1]
     assert B % n_shards == 0, "pad the batch to the mesh size"
+    assert Lt <= 1536, "the packed argmax key caps the engines at P = 12"
     Bs = B // n_shards
-    Pp = (Lt + 127) // 128   # rows per pair; any P in 1..8
+    Pp = (Lt + 127) // 128   # rows per pair; any P in 1..12
     assert (Bs * Pp) % 8 == 0, "pad the batch so each shard rows %% 8 == 0"
     qlen_h = np_.asarray(qlen)
     tlen_h = np_.asarray(tlen)
@@ -246,6 +247,7 @@ def sharded_exts_scores_pallas(mesh: Mesh, query, target, qlen, tlen,
     B, Lq = query.shape
     Lt = target.shape[1]
     assert B % n_shards == 0, "pad the batch to the mesh size"
+    assert Lt <= 1536, "the packed argmax key caps the engines at P = 12"
     Bs = B // n_shards
     Pp = (Lt + 127) // 128
     assert (Bs * Pp) % 8 == 0, "pad the batch so each shard rows %% 8 == 0"
@@ -299,6 +301,7 @@ def sharded_extf_scores_pallas(mesh: Mesh, query, target, qlen, tlen, w,
     B, Lq = query.shape
     Lt = target.shape[1]
     assert B % n_shards == 0, "pad the batch to the mesh size"
+    assert Lt <= 1536, "the packed argmax key caps the engines at P = 12"
     Bs = B // n_shards
     Pp = (Lt + 127) // 128
     assert (Bs * Pp) % 8 == 0, "pad the batch so each shard rows %% 8 == 0"
