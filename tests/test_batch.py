@@ -109,3 +109,21 @@ def test_align_batch_splice_matches_spec():
                                  zdrop=60, junc_bonus=0,
                                  flag=Flag.SPLICE_FOR)
         assert ez.tsv_fields() == want.tsv_fields()
+
+
+def test_bucket_len_policy():
+    """Linear 128-steps through the batched range; geometric in BOTH dims
+    once the target leaves it (single-pair shapes each cost a compile)."""
+    from ksw2_tpu.batch.scheduler import _bucket_key, _bucket_len
+
+    assert _bucket_len(1) == 128
+    assert _bucket_len(129) == 256
+    assert _bucket_len(300) == 384        # not 512: odd-P packing
+    assert _bucket_len(1536) == 1536
+    assert _bucket_len(1537) == 2048
+    assert _bucket_len(5000) == 6144      # 2048-steps above
+    assert _bucket_len(300, coarse=True) == 512
+    # short target: both dims linear
+    assert _bucket_key(300, 400) == (384, 512)
+    # long target: both dims coarsen geometrically
+    assert _bucket_key(300, 5000) == (512, 6144)
