@@ -511,3 +511,50 @@ def test_approx_cigar_batches_match_spec():
                                flag=FAD)
         assert e1[i].tsv_fields() == w1.tsv_fields(), i
         assert e2[i].tsv_fields() == w2.tsv_fields(), i
+
+
+def test_end_bonus_extz_only_paths():
+    """EXTZ_ONLY + end_bonus picks the query-end traceback start and sets
+    reach_end (ksw2_extz2_sse.c:296-298); pinned across spec, single-pair,
+    and batched engines (the reference CLI cannot drive end_bonus, so this
+    is spec-anchored)."""
+    import refcmp
+    from ksw2_tpu.core.flags import Flag
+    from ksw2_tpu.core.matrix import encode_dna, simple_mat
+    from ksw2_tpu.ops.batch_pallas import extz_batch_align
+    from ksw2_tpu.ops.extz import extz2_device
+    from ksw2_tpu.spec import diagdiff
+
+    rng = np.random.default_rng(21)
+    mat = simple_mat(5, 2, 4)
+    B = 6
+    pairs = []
+    for _ in range(B):
+        # short query vs longer target: mqe + bonus can beat max
+        t, q = refcmp.random_pair(rng, 220, divergence=0.15, indel=0.05)
+        pairs.append((encode_dna(q)[:180], encode_dna(t)[:220]))
+    Lq = max(len(q) for q, t in pairs)
+    Lt = max(len(t) for q, t in pairs)
+    Q = np.zeros((B, Lq), np.int32)
+    T = np.zeros((B, Lt), np.int32)
+    qlen = np.array([len(q) for q, t in pairs], np.int32)
+    tlen = np.array([len(t) for q, t in pairs], np.int32)
+    for i, (q, t) in enumerate(pairs):
+        Q[i, : len(q)] = q
+        T[i, : len(t)] = t
+    flag = Flag.EXTZ_ONLY
+    bonus = 50
+    ezb = extz_batch_align(Q, T, qlen, tlen, 5, mat, 4, 2, zdrop=100,
+                           end_bonus=bonus, flag=flag, interpret=True)
+    n_reach = 0
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, zdrop=100,
+                                 end_bonus=bonus, flag=flag)
+        got, _ = extz2_device(q, t, 5, mat, 4, 2, zdrop=100,
+                              end_bonus=bonus, flag=flag, interpret=True)
+        n_reach += int(want.reach_end)
+        for ez in (got, ezb[i]):
+            assert ez.tsv_fields() == want.tsv_fields(), i
+            assert ez.cigar == want.cigar, i
+            assert ez.reach_end == want.reach_end, i
+    assert n_reach, "cases should exercise the reach_end branch"
