@@ -558,3 +558,55 @@ def test_end_bonus_extz_only_paths():
             assert ez.cigar == want.cigar, i
             assert ez.reach_end == want.reach_end, i
     assert n_reach, "cases should exercise the reach_end branch"
+
+
+def test_rev_cigar_paths():
+    """KSW_EZ_REV_CIGAR leaves the CIGAR in walk order (ksw2.h:157-159);
+    library-only flag (no CLI switch), pinned across spec, single-pair,
+    batched t-coordinate, and band engines."""
+    import refcmp
+    from ksw2_tpu.core.flags import Flag
+    from ksw2_tpu.core.matrix import encode_dna, simple_mat
+    from ksw2_tpu.ops.band_batch import extz_band_batch_align
+    from ksw2_tpu.ops.batch_pallas import extz_batch_align
+    from ksw2_tpu.ops.extz import extz2_device
+    from ksw2_tpu.spec import diagdiff
+
+    rng = np.random.default_rng(31)
+    mat = simple_mat(5, 2, 4)
+    B = 4
+    pairs = []
+    for _ in range(B):
+        t, q = refcmp.random_pair(rng, 300, divergence=0.2, indel=0.08)
+        pairs.append((encode_dna(q), encode_dna(t)))
+    Lq = max(len(q) for q, t in pairs)
+    Lt = max(len(t) for q, t in pairs)
+    Q = np.zeros((B, Lq), np.int32)
+    T = np.zeros((B, Lt), np.int32)
+    qlen = np.array([len(q) for q, t in pairs], np.int32)
+    tlen = np.array([len(t) for q, t in pairs], np.int32)
+    for i, (q, t) in enumerate(pairs):
+        Q[i, : len(q)] = q
+        T[i, : len(t)] = t
+    wv = np.full(B, 90, np.int32)
+    fwd = extz_batch_align(Q, T, qlen, tlen, 5, mat, 4, 2, zdrop=100,
+                           interpret=True)
+    rev = extz_batch_align(Q, T, qlen, tlen, 5, mat, 4, 2, zdrop=100,
+                           flag=Flag.REV_CIGAR, interpret=True)
+    bfwd = extz_band_batch_align(Q, T, qlen, tlen, 5, mat, 4, 2, wv,
+                                 zdrop=100, interpret=True)
+    brev = extz_band_batch_align(Q, T, qlen, tlen, 5, mat, 4, 2, wv,
+                                 zdrop=100, flag=Flag.REV_CIGAR,
+                                 interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, zdrop=100,
+                                 flag=Flag.REV_CIGAR)
+        gotd, _ = extz2_device(q, t, 5, mat, 4, 2, zdrop=100,
+                               flag=Flag.REV_CIGAR, interpret=True)
+        assert want.cigar == fwd[i].cigar[::-1] and want.cigar, i
+        assert rev[i].cigar == want.cigar, i
+        assert gotd.cigar == want.cigar, i
+        wantb, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, w=90, zdrop=100,
+                                  flag=Flag.REV_CIGAR)
+        assert brev[i].cigar == wantb.cigar, i
+        assert bfwd[i].cigar == wantb.cigar[::-1], i
