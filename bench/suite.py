@@ -282,6 +282,34 @@ def main():
          (B15 * L15 * L15 / 1e9) / best_of(run_batch_p12, n=3),
          "Gcells/s", baseline=1.12)  # ref extz2_sse -z200 -s, same pairs
 
+    # mixed-length production workload through the scheduler (the
+    # reference's serial CLI pair loop is the baseline): 512 pairs,
+    # 150..3000 bases, bucketed + routed to the batched engines
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests"))
+    import refcmp
+    from ksw2_tpu.batch.scheduler import AlignJob, align_batch_scores
+
+    rngm = np.random.default_rng(777)
+    lensm = rngm.choice([150, 250, 400, 700, 1100, 1500, 3000], 512,
+                        p=[.3, .25, .15, .12, .08, .06, .04])
+    jobs = []
+    mcells = 0
+    for L in lensm:
+        t, q = refcmp.random_pair(rngm, int(L), divergence=0.15, indel=0.06)
+        jobs.append(AlignJob(query=encode_dna(q), target=encode_dna(t)))
+        mcells += len(t) * len(q)
+
+    def run_mixed():
+        ezs = align_batch_scores(jobs, 5, mat, 4, 2, zdrop=100,
+                                 flag=Flag.SCORE_ONLY)
+        tot = sum(ez.max for ez in ezs)
+        assert tot == 165978, tot      # spec == reference binary checksum
+
+    emit("align_batch_mixed_512_gcells_per_s",
+         (mcells / 1e9) / best_of(run_mixed, n=3),
+         "Gcells/s", baseline=0.95)  # ref extz2_sse -z100 -s serial loop
+
     if ctx is not None:
         ctx.__exit__(None, None, None)
 
