@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.flags import NEG_INF
 from .group_reduce import make_group_ops
-from .wavefront_batch import CHUNK, NFIELDS
+from .wavefront_batch import CHUNK, NFIELDS, chunk_early_exit
 from .wavefront_batch import (F_MAX, F_MAXT, F_MAXQ, F_MQE, F_MQET, F_MTE,
                               F_MTEQ, F_SCORE, F_ZDROP)
 
@@ -410,18 +410,9 @@ def _band_kernel_body(prm: BandParams, with_cigar, refs):
         mtp[...] = jnp.where(betterz, max_t, mtp[...])
         mqp[...] = jnp.where(betterz, r - max_t, mqp[...])
 
-    # the reference BREAKS out of its diagonal loop on Z-drop / natural end
-    # (ksw2_extz2_sse.c:267); the grid cannot early-exit, but whole chunks
-    # after every pair has stopped skip their work (sticky SMEM flag; all
-    # in-kernel writes below are act-masked, so outputs are unchanged)
-    @pl.when(stopr[0] == 0)
-    def _chunk():
-        jax.lax.fori_loop(0, prm.chunk, diag_body, None)
-        alive = rlim > (step + 1) * prm.chunk
-        if withz:
-            alive = alive & (zdp[...] == 0)
-        # int max-reduce (not jnp.any): the form proven to lower on Mosaic
-        stopr[0] = 1 - jnp.max(alive.astype(I32))
+    chunk_early_exit(stopr, step, prm.chunk, rlim,
+                     zdp if withz else None,
+                     lambda: jax.lax.fori_loop(0, prm.chunk, diag_body, None))
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _emit():

@@ -9,7 +9,8 @@ switch, H recurrences without the -qe offset, the reference's pre-swap q+e
 H seed, and Z-drop gap compensation with e2.
 
 This is minimap2's production kernel on its production long-read shape
-(10-100 kb pairs, w about 750).  Score-only, exact per-diagonal max.
+(10-100 kb pairs, w about 750).  Scores, approx-max (h0p/ltp walk), and
+CIGAR mode (direction planes for the batched on-device traceback).
 """
 from __future__ import annotations
 
@@ -23,7 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.flags import NEG_INF
 from .group_reduce import make_group_ops
-from .wavefront_batch import CHUNK
+from .wavefront_batch import CHUNK, chunk_early_exit
 from .wavefront_batch import (F_MAX, F_MAXT, F_MAXQ, F_MQE, F_MQET, F_MTE,
                               F_MTEQ, F_SCORE, F_ZDROP)
 from .wavefront_band import _org_of
@@ -369,16 +370,9 @@ def _band_extd_kernel_body(prm: BandExtdParams, with_cigar, refs):
         mtp[...] = jnp.where(betterz, max_t, mtp[...])
         mqp[...] = jnp.where(betterz, r - max_t, mqp[...])
 
-    # chunk-level early exit once every pair has z-dropped or ended (the
-    # reference's loop break, ksw2_extd2_sse.c); all writes are act-masked
-    @pl.when(stopr[0] == 0)
-    def _chunk():
-        jax.lax.fori_loop(0, prm.chunk, diag_body, None)
-        alive = rlim > (step + 1) * prm.chunk
-        if withz:
-            alive = alive & (zdp[...] == 0)
-        # int max-reduce (not jnp.any): the form proven to lower on Mosaic
-        stopr[0] = 1 - jnp.max(alive.astype(I32))
+    chunk_early_exit(stopr, step, prm.chunk, rlim,
+                     zdp if withz else None,
+                     lambda: jax.lax.fori_loop(0, prm.chunk, diag_body, None))
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _emit():

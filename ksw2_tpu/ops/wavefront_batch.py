@@ -86,6 +86,25 @@ def _bsum(arr):
     return arr
 
 
+def chunk_early_exit(stopr, step, chunk, rlim, zdp, run_chunk):
+    """Run one grid step's diagonal loop under the sticky SMEM stop flag.
+
+    The reference breaks out of its diagonal loop on Z-drop/X-drop or
+    natural end; the grid cannot early-exit, so once no pair can be active
+    past the next chunk boundary (``rlim`` passed, and ``zdp`` set when
+    given) later steps skip their whole body.  Every in-kernel write is
+    act-masked, so outputs are unchanged.  Uses an int max-reduce (the
+    form proven to lower on Mosaic, not ``jnp.any``).
+    """
+    @pl.when(stopr[0] == 0)
+    def _chunk():
+        run_chunk()
+        alive = rlim > (step + 1) * chunk
+        if zdp is not None:
+            alive = alive & (zdp[...] == 0)
+        stopr[0] = 1 - jnp.max(alive.astype(I32))
+
+
 def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
     approx = bool(prm.flag & int(Flag.APPROX_MAX))
     withz = prm.zdrop >= 0
@@ -370,16 +389,8 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
             mqp[...] = jnp.where(betterz, r - max_t, mqp[...])
             zdp[...] = jnp.where(trig, 1 + r, zdp[...])   # 1 + stop diagonal
 
-    # chunk-level early exit once every pair has z-dropped or ended (the
-    # reference's loop break); all in-kernel writes are act-masked
-    @pl.when(stopr[0] == 0)
-    def _chunk():
-        jax.lax.fori_loop(0, prm.chunk, diag_body, None)
-        alive = rlim > (step + 1) * prm.chunk
-        if withz:
-            alive = alive & (zdp[...] == 0)
-        # int max-reduce (not jnp.any): the form proven to lower on Mosaic
-        stopr[0] = 1 - jnp.max(alive.astype(I32))
+    chunk_early_exit(stopr, step, prm.chunk, rlim, zdp if withz else None,
+                     lambda: jax.lax.fori_loop(0, prm.chunk, diag_body, None))
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _emit():

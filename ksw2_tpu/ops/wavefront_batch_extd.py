@@ -22,7 +22,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.flags import NEG_INF, Flag
 from .group_reduce import make_group_ops
-from .wavefront_batch import CHUNK, NFIELDS
+from .wavefront_batch import CHUNK, chunk_early_exit, NFIELDS
 from .wavefront_batch import (F_MAX, F_MAXT, F_MAXQ, F_MQE, F_MQET, F_MTE,
                               F_MTEQ, F_SCORE, F_ZDROP)
 from .wavefront_extd import BIAS, _b
@@ -338,16 +338,9 @@ def _batch_extd_kernel(prm: BatchExtdParams, with_cigar, refs):
             mqp[...] = jnp.where(betterz, r - max_t, mqp[...])
             zdp[...] = jnp.where(trig, 1 + r, zdp[...])
 
-    # chunk-level early exit once every pair has z-dropped or ended (the
-    # reference's loop break); all in-kernel writes are act-masked
-    @pl.when(stopr[0] == 0)
-    def _chunk():
-        jax.lax.fori_loop(0, prm.chunk, diag_body, None)
-        alive = rlim > (step + 1) * prm.chunk
-        if withz:
-            alive = alive & (zdp[...] == 0)
-        # int max-reduce (not jnp.any): the form proven to lower on Mosaic
-        stopr[0] = 1 - jnp.max(alive.astype(I32))
+    chunk_early_exit(stopr, step, prm.chunk, rlim,
+                     zdp if withz else None,
+                     lambda: jax.lax.fori_loop(0, prm.chunk, diag_body, None))
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _emit():

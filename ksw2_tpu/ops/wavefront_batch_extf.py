@@ -19,6 +19,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.flags import NEG_INF
 from .group_reduce import make_group_ops
+from .wavefront_batch import chunk_early_exit
 from .wavefront_batch import CHUNK
 from .wavefront_batch import (F_MAX, F_MAXT, F_MAXQ, F_MQE, F_MQET, F_MTE,
                               F_MTEQ, F_SCORE, F_ZDROP)
@@ -162,14 +163,9 @@ def _batch_extf_kernel(prm: BatchExtfParams, refs):
         mtp[...] = jnp.where(better, ltp[...], mtp[...])
         mqp[...] = jnp.where(better, r - ltp[...], mqp[...])
 
-    # chunk-level early exit once every pair has X-dropped or ended (the
-    # reference's loop break, ksw2_extf2_sse.c:90-91)
-    @pl.when(stopr[0] == 0)
-    def _chunk():
-        jax.lax.fori_loop(0, prm.chunk, diag_body, None)
-        alive = (rlim > (step + 1) * prm.chunk) & (zdp[...] == 0)
-        # int max-reduce (not jnp.any): the form proven to lower on Mosaic
-        stopr[0] = 1 - jnp.max(alive.astype(I32))
+    # X-drop always participates here (ksw2_extf2_sse.c:90-91)
+    chunk_early_exit(stopr, step, prm.chunk, rlim, zdp,
+                     lambda: jax.lax.fori_loop(0, prm.chunk, diag_body, None))
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _emit():

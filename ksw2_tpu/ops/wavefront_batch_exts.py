@@ -24,7 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.flags import NEG_INF, Flag
 from .group_reduce import make_group_ops
-from .wavefront_batch import CHUNK
+from .wavefront_batch import CHUNK, chunk_early_exit
 from .wavefront_batch import (F_MAX, F_MAXT, F_MAXQ, F_MQE, F_MQET, F_MTE,
                               F_MTEQ, F_SCORE, F_ZDROP)
 from .wavefront_extd import BIAS, _b
@@ -159,7 +159,6 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
         # exts has no band; the rounded start only leaves [0,16) when the
         # query is exhausted and never jumps, so the boundary values are
         # only injected at st == 0 (mirrors ksw2_exts2_sse.c:191-196)
-        need_ov = stb == 0
         ucol_r = _ucol(r)
         ov_v = jnp.where(stb == 0, ucol_r, _b(-qe))
 
@@ -188,13 +187,13 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
         sn = jnp.where(smask, sval, s[...])
         s[...] = sn
 
-        ovn = (lane == stb) & need_ov
+        # no ovn override needed here: exts has no band, so the stale-edge
+        # lane (lane == stb, stb == 0) is exactly lane0, which the selects
+        # below already fill with the same init bytes (cf. the phased
+        # single-pair exts kernel, wavefront_exts.py)
         xs = jnp.where(lane0, _b(-qe), _shift1(x[...]))
-        xs = jnp.where(ovn, _b(-qe), xs)
         x2s = jnp.where(lane0, _b(-prm.q2), _shift1(x2[...]))
-        x2s = jnp.where(ovn, _b(-prm.q2), x2s)
         vs = jnp.where(lane0, ov_v, _shift1(v[...]))
-        vs = jnp.where(ovn, ov_v, vs)
         a = (xs + vs - BIAS) & 255
         b = (yt + ut - BIAS) & 255
         a2 = (x2s + vs - BIAS) & 255
@@ -317,8 +316,8 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
                                         kstar - 1 - 4 * TV))
             max_t = jnp.where(is0, 0, max_t)
             betterz = act & (M > mxp[...])
-            l = jnp.abs((max_t - mtp[...]) - ((r - max_t) - mqp[...]))
-            del l
+            # exts applies Z-drop with ZERO gap compensation (the
+            # reference passes e=0 to ksw_apply_zdrop, ksw2_exts2_sse.c)
             trig = (act & jnp.logical_not(M > mxp[...]) & (max_t >= mtp[...])
                     & (r - max_t >= mqp[...])
                     & (mxp[...] - M > prm.zdrop))
@@ -327,16 +326,9 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
             mqp[...] = jnp.where(betterz, r - max_t, mqp[...])
             zdp[...] = jnp.where(trig, 1 + r, zdp[...])
 
-    # chunk-level early exit once every pair has z-dropped or ended (the
-    # reference's loop break); all in-kernel writes are act-masked
-    @pl.when(stopr[0] == 0)
-    def _chunk():
-        jax.lax.fori_loop(0, prm.chunk, diag_body, None)
-        alive = rlim > (step + 1) * prm.chunk
-        if withz:
-            alive = alive & (zdp[...] == 0)
-        # int max-reduce (not jnp.any): the form proven to lower on Mosaic
-        stopr[0] = 1 - jnp.max(alive.astype(I32))
+    chunk_early_exit(stopr, step, prm.chunk, rlim,
+                     zdp if withz else None,
+                     lambda: jax.lax.fori_loop(0, prm.chunk, diag_body, None))
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _emit():

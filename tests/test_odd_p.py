@@ -153,3 +153,27 @@ def test_band_extz_high_p():
                                         "mqe", "mte")]
         assert got == [want.score, want.max, want.max_t, want.max_q,
                        want.mqe, want.mte], i
+
+
+@pytest.mark.parametrize("flag", [
+    Flag.SCORE_ONLY,
+    Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.APPROX_DROP,
+    Flag.NONE,                                  # CIGAR mode
+])
+def test_batch_exts_odd_p(flag):
+    """Spliced engine at P=5: the any-P group reductions (incl. the approx
+    walk's packed psum) and the splice profiles at odd packing."""
+    from ksw2_tpu.ops.batch_pallas import exts_batch_align
+    rng = np.random.default_rng(55)
+    pairs, Q, T, qlen, tlen_ = _mk(rng, 4, 580, 5 * 128)
+    assert (T.shape[1] + 127) // 128 == 5
+    mat = simple_mat(5, 1, 2)
+    ezs = exts_batch_align(Q, T, qlen, tlen_, 5, mat, 2, 1, 32, 9,
+                           zdrop=100, flag=flag | Flag.SPLICE_FOR,
+                           interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.exts2(q, t, 5, mat, 2, 1, 32, 9, zdrop=100,
+                                 flag=flag | Flag.SPLICE_FOR)
+        assert ezs[i].tsv_fields() == want.tsv_fields(), i
+        if not (flag & Flag.SCORE_ONLY):
+            assert ezs[i].cigar == want.cigar, i
