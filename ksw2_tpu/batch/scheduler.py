@@ -11,6 +11,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -22,7 +23,7 @@ from ..ops.batch_xla import BatchSpec, extz_batch_scores
 def _bucket_len(n: int, quantum: int = 128, coarse: bool = False) -> int:
     """Round a length up to a bucket size.
 
-    Linear 128-steps through the batched-engine range (<= 1536): the
+    Linear 128-steps through the batched-engine range (<= 3072): the
     engines pack pairs at P = ceil(Lt/128) rows each, so a 384-bucket runs
     8/3x more pairs per launch than rounding up to 1024 would.  Geometric
     above that, and for every dimension of buckets routed to the
@@ -35,9 +36,9 @@ def _bucket_len(n: int, quantum: int = 128, coarse: bool = False) -> int:
         while b < n:
             b = b * 2 if b < 2048 else b + 2048
         return b
-    if n <= 1536:
+    if n <= 3072:
         return -(-n // quantum) * quantum
-    b = 2048
+    b = 4096
     while b < n:
         b += 2048
     return b
@@ -48,7 +49,7 @@ def _bucket_key(qn: int, tn: int):
     engines; otherwise both dims coarsen geometrically (single-pair route,
     where every extra shape is a separate multi-minute kernel compile)."""
     Lt = _bucket_len(tn)
-    if Lt > 1536:
+    if Lt > 3072:
         return (_bucket_len(qn, coarse=True), _bucket_len(tn, coarse=True))
     return (_bucket_len(qn), Lt)
 
@@ -99,6 +100,14 @@ def align_batch_scores(
         key = _bucket_key(len(job.query), len(job.target))
         buckets.setdefault(key, []).append(i)
 
+    # Phase 1 — dispatch every bucket WITHOUT waiting: each engine returns
+    # device record arrays (B_i, NFIELDS) and JAX queues the launches
+    # asynchronously.  Phase 2 concatenates all records on device and
+    # fetches ONCE — over this environment's device tunnel a sync costs
+    # ~25 ms, so one round-trip for the whole workload instead of one per
+    # bucket is the difference between losing to and beating the
+    # reference's serial loop on mixed-length batches.
+    pending: List[Tuple[List[int], list]] = []   # (job idxs, record pieces)
     for (Lq, Lt), idxs in buckets.items():
         B = len(idxs)
         Q = np.zeros((B, Lq), np.int32)
@@ -119,38 +128,75 @@ def align_batch_scores(
             and int(mat[0]) * int(min(qlen.max(), tlen.max())) < (1 << 17)
         )
         use_pallas = (
-            run_fn is None and engine in ("auto", "pallas") and Lt <= 1536
-            and not use_band
+            run_fn is None and engine in ("auto", "pallas") and Lt <= 3072
+            and not use_band and _pallas_zdrop_ok(Lt, mat, qlen, tlen,
+                                                  zdrop, flag)
         )
         if use_pallas:
-            from ..ops.batch_pallas import extz_batch_device
-            out = extz_batch_device(Q, T, qlen, tlen, m, mat, q, e, wv,
-                                    zdrop=zdrop, flag=flag)
+            from ..ops.batch_pallas import extz_batch_records
+            pieces = extz_batch_records(Q, T, qlen, tlen, m, mat, q, e, wv,
+                                        zdrop=zdrop, flag=flag)
         elif use_band:
-            from ..ops.band_batch import extz_band_batch_device
-            out = extz_band_batch_device(Q, T, qlen, tlen, m, mat, q, e, wv,
-                                         zdrop=zdrop, flag=flag)
+            from ..ops.band_batch import extz_band_batch_records
+            pieces = extz_band_batch_records(Q, T, qlen, tlen, m, mat, q, e,
+                                             wv, zdrop=zdrop, flag=flag)
         else:
             spec = BatchSpec(Lq=Lq, Lt=Lt, m=m, sc_mch=int(mat[0]),
                              sc_mis=int(mat[1]), sc_N=sc_N, q=int(q),
                              e=int(e), zdrop=int(zdrop), flag=int(flag))
             out = run(spec, jnp.asarray(Q), jnp.asarray(T), jnp.asarray(qlen),
                       jnp.asarray(tlen), jnp.asarray(wv))
-            out = {k: np.asarray(v) for k, v in out.items()}
+            pieces = [_stack_records(out)]
+        pending.append((idxs, pieces))
+
+    # Phase 2 — one on-device concat, one fetch, then host-side unpack
+    all_pieces = [p for _, ps in pending for p in ps]
+    if all_pieces:
+        res = np.asarray(_concat_records(*all_pieces)
+                         if len(all_pieces) > 1 else all_pieces[0])
+    off = 0
+    guard = -min_sc > 2 * (q + e)
+    for idxs, ps in pending:
         for k, i in enumerate(idxs):
+            rec = res[off + k]
             ez = ExtzResult()
             ez.reset()
-            ez.max = int(out["max"][k])
-            ez.max_t = int(out["max_t"][k])
-            ez.max_q = int(out["max_q"][k])
-            ez.mqe = int(out["mqe"][k])
-            ez.mqe_t = int(out["mqe_t"][k])
-            ez.mte = int(out["mte"][k])
-            ez.mte_q = int(out["mte_q"][k])
-            ez.score = int(out["score"][k])
-            ez.zdropped = bool(out["zdropped"][k])
+            if not guard:
+                ez.max = int(rec[0])
+                ez.max_t = int(rec[1])
+                ez.max_q = int(rec[2])
+                ez.mqe = int(rec[3])
+                ez.mqe_t = int(rec[4])
+                ez.mte = int(rec[5])
+                ez.mte_q = int(rec[6])
+                ez.score = int(rec[7])
+                ez.zdropped = bool(rec[8])
             results[i] = ez
+        off += len(idxs)
     return results  # type: ignore[return-value]
+
+
+def _pallas_zdrop_ok(Lt, mat, qlen, tlen, zdrop, flag) -> bool:
+    """Exact-Z-drop launches pack (H, key) into int32; check the range."""
+    if zdrop < 0 or (flag & Flag.APPROX_MAX):
+        return True
+    P = (Lt + 127) // 128
+    KB = 1 << (5 * P * 128 + 2).bit_length()
+    hmax = int(np.asarray(mat).max()) * min(int(qlen.max()), int(tlen.max()))
+    return (hmax + 1) * KB + KB < (1 << 31)
+
+
+@jax.jit
+def _concat_records(*pieces):
+    return jnp.concatenate(pieces, axis=0)
+
+
+@jax.jit
+def _stack_records(out):
+    """Result dict from the XLA scan engine -> (B, NFIELDS) records."""
+    keys = ("max", "max_t", "max_q", "mqe", "mqe_t", "mte", "mte_q",
+            "score", "zdropped")
+    return jnp.stack([out[k].astype(jnp.int32) for k in keys], axis=1)
 
 
 

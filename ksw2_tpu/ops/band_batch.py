@@ -228,7 +228,7 @@ def _cached_run_band_extd(prm, interpret: bool, with_cigar: bool = False):
         prm, with_cigar)
 
 
-def extz_band_batch_device(
+def extz_band_batch_records(
     query: np.ndarray,        # (B, Lq) int encoded, zero-padded
     target: np.ndarray,       # (B, Lt) int encoded
     qlen: np.ndarray,
@@ -241,8 +241,12 @@ def extz_band_batch_device(
     zdrop: int = -1,
     flag: Flag | int = Flag.SCORE_ONLY,
     interpret: bool = False,
-) -> Dict[str, np.ndarray]:
-    """Batched banded one-piece extension for long pairs, score-only."""
+) -> list:
+    """Banded batched one-piece extension, score-only — async records form.
+
+    Like :func:`ksw2_tpu.ops.batch_pallas.extz_batch_records`: returns a
+    list of device (B_i, NFIELDS) int32 record arrays without fetching.
+    """
     flag = Flag(int(flag))
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
@@ -255,9 +259,7 @@ def extz_band_batch_device(
     tlen = np.asarray(tlen, np.int32)
     w = np.asarray(w, np.int32)
     if B == 0:
-        return {k: np.zeros(0, np.int32) for k in
-                ("max", "max_t", "max_q", "mqe", "mqe_t", "mte", "mte_q",
-                 "score", "zdropped")}
+        return []
     if w.min() < 1:
         raise ValueError("band engine needs per-pair w >= 1")
     W = int(w.max())
@@ -270,17 +272,15 @@ def extz_band_batch_device(
 
     RMAX = 512 // P // 8 * 8
     if B > RMAX:
-        outs = [
-            extz_band_batch_device(query[i:i + RMAX], target[i:i + RMAX],
-                                   qlen[i:i + RMAX], tlen[i:i + RMAX], m,
-                                   mat, q, e, w[i:i + RMAX], zdrop, flag,
-                                   interpret)
-            for i in range(0, B, RMAX)
-        ]
-        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+        pieces = []
+        for i in range(0, B, RMAX):
+            pieces.extend(extz_band_batch_records(
+                query[i:i + RMAX], target[i:i + RMAX], qlen[i:i + RMAX],
+                tlen[i:i + RMAX], m, mat, q, e, w[i:i + RMAX], zdrop, flag,
+                interpret))
+        return pieces
 
     sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
-    min_sc = int(mat[1:].min())
 
     Bp = max(B, 1)
     while (Bp * P) % 8:
@@ -305,29 +305,40 @@ def extz_band_batch_device(
     lens[0, :B], lens[1, :B], lens[2, :B] = qlen, tlen, w
     lens[2, B:] = 1        # padded rows need a legal band
 
-    res = np.asarray(run(jnp.asarray(qpad), jnp.asarray(tpad),
-                         jnp.asarray(lens[0]), jnp.asarray(lens[1]),
-                         jnp.asarray(lens[2])))[:B]
+    return [run(jnp.asarray(qpad), jnp.asarray(tpad),
+                jnp.asarray(lens[0]), jnp.asarray(lens[1]),
+                jnp.asarray(lens[2]))[:B]]
 
-    out = {
-        "max": res[:, wb.F_MAX].copy(),
-        "max_t": res[:, wb.F_MAXT].copy(),
-        "max_q": res[:, wb.F_MAXQ].copy(),
-        "mqe": res[:, wb.F_MQE].copy(),
-        "mqe_t": res[:, wb.F_MQET].copy(),
-        "mte": res[:, wb.F_MTE].copy(),
-        "mte_q": res[:, wb.F_MTEQ].copy(),
-        "score": res[:, wb.F_SCORE].copy(),
-        "zdropped": res[:, wb.F_ZDROP].copy(),
-    }
-    if -min_sc > 2 * (q + e):
-        # reference guard (ksw2_extz2_sse.c:78-82)
-        for k in out:
-            out[k][:] = 0 if k in ("max", "zdropped") else (
-                -1 if k.endswith(("_t", "_q")) else NEG_INF)
-        out["max_t"][:] = -1
-        out["max_q"][:] = -1
-    return out
+
+def extz_band_batch_device(
+    query: np.ndarray,
+    target: np.ndarray,
+    qlen: np.ndarray,
+    tlen: np.ndarray,
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    w: np.ndarray,
+    zdrop: int = -1,
+    flag: Flag | int = Flag.SCORE_ONLY,
+    interpret: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Batched banded one-piece extension for long pairs, score-only.
+
+    Synchronous wrapper over :func:`extz_band_batch_records`.
+    """
+    from .batch_pallas import unpack_records
+
+    pieces = extz_band_batch_records(query, target, qlen, tlen, m, mat,
+                                     q, e, w, zdrop, flag, interpret)
+    if not pieces:
+        return {k: np.zeros(0, np.int32) for k in
+                ("max", "max_t", "max_q", "mqe", "mqe_t", "mte", "mte_q",
+                 "score", "zdropped")}
+    res = np.concatenate([np.asarray(p) for p in pieces], axis=0)
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    return unpack_records(res, int(mat[1:].min()), int(q), int(e))
 
 
 def extz_band_batch_align(
@@ -521,9 +532,7 @@ def extd_band_batch_device(
     tlen = np.asarray(tlen, np.int32)
     w = np.asarray(w, np.int32)
     if B == 0:
-        return {k: np.zeros(0, np.int32) for k in
-                ("max", "max_t", "max_q", "mqe", "mqe_t", "mte", "mte_q",
-                 "score", "zdropped")}
+        return []
     if w.min() < 1:
         raise ValueError("band engine needs per-pair w >= 1")
     W = int(w.max())

@@ -73,9 +73,31 @@ def _cached_run(prm: wb.BatchParams, interpret: bool, with_cigar: bool = False):
     return jax.jit(run)
 
 
-def extz_batch_device(
+# column order of the (B, NFIELDS) score records (== wb.F_* lane order)
+FIELD_ORDER = ("max", "max_t", "max_q", "mqe", "mqe_t", "mte", "mte_q",
+               "score", "zdropped")
+
+
+def unpack_records(res: np.ndarray, min_sc: int, q: int, e: int
+                   ) -> Dict[str, np.ndarray]:
+    """(B, NFIELDS) int32 records -> per-pair ez field dict.
+
+    Applies the reference guard (ksw2_extz2_sse.c:78-82): when mismatches
+    are invisible in the delta range every pair gets a reset ez.
+    """
+    out = {k: res[:, i].copy() for i, k in enumerate(FIELD_ORDER)}
+    if -min_sc > 2 * (q + e):
+        for k in out:
+            out[k][:] = 0 if k in ("max", "zdropped") else (
+                -1 if k.endswith(("_t", "_q")) else NEG_INF)
+        out["max_t"][:] = -1
+        out["max_q"][:] = -1
+    return out
+
+
+def extz_batch_records(
     query: np.ndarray,        # (B, Lq) int encoded, zero-padded
-    target: np.ndarray,       # (B, Lt) int encoded, Lt <= 128
+    target: np.ndarray,       # (B, Lt) int encoded, Lt <= P*128
     qlen: np.ndarray,         # (B,)
     tlen: np.ndarray,         # (B,)
     m: int,
@@ -86,8 +108,17 @@ def extz_batch_device(
     zdrop: int = -1,
     flag: Flag | int = Flag.SCORE_ONLY,
     interpret: bool = False,
-) -> Dict[str, np.ndarray]:
-    """Batched one-piece extension, score-only; returns per-pair ez fields."""
+) -> list:
+    """Batched one-piece extension, score-only — async records form.
+
+    Dispatches the kernel launches and returns a list of *device* arrays
+    (one per <=512-row launch slice), each (B_i, NFIELDS) int32 in
+    ``FIELD_ORDER`` column order, without forcing a device->host fetch.
+    The scheduler concatenates the records of many buckets on device and
+    fetches once — a single round-trip instead of one per bucket (the
+    device tunnel costs ~25 ms per sync).  Use :func:`unpack_records` (and
+    the ``min_sc`` guard) to turn fetched records into ez fields.
+    """
     flag = Flag(int(flag))
     if not interpret and jax.default_backend() != "tpu":
         interpret = True          # Pallas TPU kernels interpret on CPU
@@ -95,27 +126,35 @@ def extz_batch_device(
         raise ValueError("batched engine is score-only; use extz2_device")
     B, Lq = query.shape
     Bt, Lt = target.shape
-    assert B == Bt and Lt <= 1536
-    P = (Lt + 127) // 128   # rows per pair; any P in 1..12 works
+    assert B == Bt and Lt <= 3072
+    P = (Lt + 127) // 128   # rows per pair; any P in 1..24 works
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     if w is None:
         w = np.maximum(qlen, tlen)
     w = np.asarray(w, np.int32)
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    if zdrop >= 0 and not (flag & Flag.APPROX_MAX):
+        # the exact-Z-drop kernel packs (H, tie-key) into one int32; the
+        # key needs 5*P*128+2 values, so the positive H range shrinks as P
+        # grows (the deep-negative side is clamped in-kernel)
+        KB = 1 << (5 * P * 128 + 2).bit_length()
+        hmax = int(mat.max()) * min(int(qlen.max()), int(tlen.max()))
+        if (hmax + 1) * KB + KB >= (1 << 31):
+            raise ValueError(
+                f"scores too large for the packed Z-drop argmax at P={P}")
 
     # VMEM bounds one launch at ~512 rows; larger batches run as slices
     RMAX = 512 // P // 8 * 8
     if B > RMAX:
-        outs = [
-            extz_batch_device(query[i:i + RMAX], target[i:i + RMAX],
-                              qlen[i:i + RMAX], tlen[i:i + RMAX], m, mat,
-                              q, e, w[i:i + RMAX], zdrop, flag, interpret)
-            for i in range(0, B, RMAX)
-        ]
-        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
-    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+        pieces = []
+        for i in range(0, B, RMAX):
+            pieces.extend(extz_batch_records(
+                query[i:i + RMAX], target[i:i + RMAX], qlen[i:i + RMAX],
+                tlen[i:i + RMAX], m, mat, q, e, w[i:i + RMAX], zdrop, flag,
+                interpret))
+        return pieces
     sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
-    min_sc = int(mat[1:].min())
 
     Bp = max(B, 1)
     while (Bp * P) % 8:
@@ -139,30 +178,34 @@ def extz_batch_device(
     lens = np.zeros((3, Bp), np.int32)
     lens[0, :B], lens[1, :B], lens[2, :B] = qlen, tlen, w
 
-    res = np.asarray(run(jnp.asarray(qpad), jnp.asarray(tpad),
-                         jnp.asarray(lens[0]), jnp.asarray(lens[1]),
-                         jnp.asarray(lens[2])))[:B]
+    return [run(jnp.asarray(qpad), jnp.asarray(tpad),
+                jnp.asarray(lens[0]), jnp.asarray(lens[1]),
+                jnp.asarray(lens[2]))[:B]]
 
-    out = {
-        "max": res[:, wb.F_MAX].copy(),
-        "max_t": res[:, wb.F_MAXT].copy(),
-        "max_q": res[:, wb.F_MAXQ].copy(),
-        "mqe": res[:, wb.F_MQE].copy(),
-        "mqe_t": res[:, wb.F_MQET].copy(),
-        "mte": res[:, wb.F_MTE].copy(),
-        "mte_q": res[:, wb.F_MTEQ].copy(),
-        "score": res[:, wb.F_SCORE].copy(),
-        "zdropped": res[:, wb.F_ZDROP].copy(),
-    }
-    if -min_sc > 2 * (q + e):
-        # reference guard: mismatches invisible in the delta range -> no
-        # result for every pair (ksw2_extz2_sse.c:78-82)
-        for k in out:
-            out[k][:] = 0 if k in ("max", "zdropped") else (
-                -1 if k.endswith(("_t", "_q")) else NEG_INF)
-        out["max_t"][:] = -1
-        out["max_q"][:] = -1
-    return out
+
+def extz_batch_device(
+    query: np.ndarray,
+    target: np.ndarray,
+    qlen: np.ndarray,
+    tlen: np.ndarray,
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    w: Optional[np.ndarray] = None,
+    zdrop: int = -1,
+    flag: Flag | int = Flag.SCORE_ONLY,
+    interpret: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Batched one-piece extension, score-only; returns per-pair ez fields.
+
+    Synchronous wrapper over :func:`extz_batch_records`.
+    """
+    pieces = extz_batch_records(query, target, qlen, tlen, m, mat, q, e,
+                                w, zdrop, flag, interpret)
+    res = np.concatenate([np.asarray(p) for p in pieces], axis=0)
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    return unpack_records(res, int(mat[1:].min()), int(q), int(e))
 
 
 __all__ = ["extz_batch_device", "extz_batch_align",

@@ -313,13 +313,13 @@ def _batch_extd_kernel(prm: BatchExtdParams, with_cigar, refs):
             band = scan_mask | en0m
             en1 = st0 + ((en0 - st0) & -4)
             cls = (lane - st0) & 3
-            # 5*TV + 2 key values; packed |H|*KB + KB < 2^31 needs
-            # max-score*KB < 2^31: holds through P = 12 (KB = 8192,
-            # |H| <= 127*1536 < 2^18); P > 12 needs a wider guard
+            # 5*TV + 2 key values; packed H*KB + key must stay in int32
+            # (positive range guarded by the host wrapper; the
+            # deep-negative clamp is beyond any zdrop margin)
             KB = 1 << (5 * TV + 1).bit_length()
             kf = jnp.where(lane < en1, cls * TV + lanep1, lane4)
             kf = jnp.where(en0m, 0, kf)        # boundary cell wins ties
-            hcl = jnp.maximum(Hn, -(1 << 17))
+            hcl = jnp.maximum(Hn, -((1 << 31) - 2 * KB) // KB)
             packedv = jnp.where(band, hcl * KB + (KB - 1 - kf), _INT_MIN)
             Cbest = _pmax(packedv)
             M = Cbest // KB

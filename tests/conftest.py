@@ -1,6 +1,23 @@
 import os
 import sys
 
+# XLA's CPU backend occasionally segfaults *inside compilation* (LLVM pass
+# recursion) when the whole suite's compiles run on the default 8 MB main
+# stack.  The main thread's stack VMA grows on page fault up to
+# RLIMIT_STACK, so raising the soft limit at runtime is enough — no re-exec
+# (which would also lose pytest's captured stdout fds).
+try:
+    import resource
+
+    _want = 256 << 20
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    if _soft != resource.RLIM_INFINITY and _soft < _want:
+        resource.setrlimit(resource.RLIMIT_STACK, (
+            _want if _hard == resource.RLIM_INFINITY else min(_want, _hard),
+            _hard))
+except Exception:
+    pass  # best-effort; the suite still runs on the default stack
+
 # Run the test suite on an 8-device virtual CPU mesh.  This environment's
 # terminal pins JAX_PLATFORMS=axon via config (env alone is overridden), so
 # force the platform through jax.config before any backend initializes.

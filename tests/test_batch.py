@@ -120,7 +120,9 @@ def test_bucket_len_policy():
     assert _bucket_len(129) == 256
     assert _bucket_len(300) == 384        # not 512: odd-P packing
     assert _bucket_len(1536) == 1536
-    assert _bucket_len(1537) == 2048
+    assert _bucket_len(1537) == 1664      # still linear: batched to 3072
+    assert _bucket_len(3072) == 3072
+    assert _bucket_len(3073) == 4096
     assert _bucket_len(5000) == 6144      # 2048-steps above
     assert _bucket_len(300, coarse=True) == 512
     # short target: both dims linear

@@ -177,3 +177,36 @@ def test_batch_exts_odd_p(flag):
         assert ezs[i].tsv_fields() == want.tsv_fields(), i
         if not (flag & Flag.SCORE_ONLY):
             assert ezs[i].cigar == want.cigar, i
+
+
+@pytest.mark.parametrize("tlen,P", [(1600, 13), (2980, 24)])
+def test_batch_extz_scores_p_beyond_12(tlen, P):
+    """P in 13..24 (targets to 3072): the packed Z-drop key scales KB with
+    P and clamps deep-negative H to the widest representable value, so the
+    score range check moves to the host wrapper."""
+    from ksw2_tpu.ops.batch_pallas import extz_batch_device
+    rng = np.random.default_rng(tlen)
+    pairs, Q, T, qlen, tlen_ = _mk(rng, 2, tlen, P * 128)
+    assert (T.shape[1] + 127) // 128 == P
+    mat = simple_mat(5, 2, 4)
+    out = extz_batch_device(Q, T, qlen, tlen_, 5, mat, 4, 2, zdrop=150,
+                            flag=Flag.SCORE_ONLY, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, zdrop=150,
+                                 flag=Flag.SCORE_ONLY)
+        got = [int(out[k][i]) for k in ("score", "max", "max_t", "max_q",
+                                        "mqe", "mte", "zdropped")]
+        assert got == [want.score, want.max, want.max_t, want.max_q,
+                       want.mqe, want.mte, int(want.zdropped)], i
+
+
+def test_batch_extz_p_beyond_12_range_guard():
+    """Scores too large for the packed argmax at high P raise cleanly."""
+    from ksw2_tpu.ops.batch_pallas import extz_batch_records
+    mat = simple_mat(5, 120, 4)      # mat_max * tlen ~ 350k >> 2^31/KB
+    Q = np.zeros((2, 3000), np.int32)
+    T = np.zeros((2, 3000), np.int32)
+    L = np.full(2, 3000, np.int32)
+    with pytest.raises(ValueError):
+        extz_batch_records(Q, T, L, L, 5, mat, 4, 2, zdrop=100,
+                           flag=Flag.SCORE_ONLY, interpret=True)
