@@ -199,6 +199,111 @@ def _stack_records(out):
     return jnp.stack([out[k].astype(jnp.int32) for k in keys], axis=1)
 
 
+def align_batch_scores2(
+    jobs: Sequence[AlignJob],
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    q2: int,
+    e2: int,
+    zdrop: int = -1,
+    flag: Flag | int = Flag.SCORE_ONLY,
+) -> List[ExtzResult]:
+    """Score a batch of two-piece (extd2) extension jobs, bucketed by shape.
+
+    Same async single-fetch pipeline as :func:`align_batch_scores`:
+    banded long buckets ride the band-relative extd engine, targets to
+    3072 ride the batched extd engine, anything larger falls back to the
+    single-pair kernel.
+    """
+    from ..ops.batch_pallas import extd_batch_records
+
+    flag = Flag(int(flag)) | Flag.SCORE_ONLY
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    results: List[Optional[ExtzResult]] = [None] * len(jobs)
+    min_sc = int(mat[1:].min())
+
+    buckets: Dict[Tuple[int, int], List[int]] = {}
+    for i, job in enumerate(jobs):
+        if len(job.query) == 0 or len(job.target) == 0 or \
+                -min_sc > 2 * (q + e):
+            ez = ExtzResult()
+            ez.reset()
+            results[i] = ez
+            continue
+        key = _bucket_key(len(job.query), len(job.target))
+        buckets.setdefault(key, []).append(i)
+
+    pending: List[Tuple[List[int], list]] = []
+    for (Lq, Lt), idxs in buckets.items():
+        B = len(idxs)
+        Q = np.zeros((B, Lq), np.int32)
+        T = np.zeros((B, Lt), np.int32)
+        qlen = np.zeros(B, np.int32)
+        tlen = np.zeros(B, np.int32)
+        wv = np.zeros(B, np.int32)
+        for k, i in enumerate(idxs):
+            job = jobs[i]
+            Q[k, : len(job.query)] = job.query
+            T[k, : len(job.target)] = job.target
+            qlen[k] = len(job.query)
+            tlen[k] = len(job.target)
+            wv[k] = job.w if job.w >= 0 else max(len(job.query),
+                                                 len(job.target))
+        use_band = (
+            Lt > 512 and wv.min() >= 1 and wv.max() <= 1472
+            and int(mat[0]) * int(min(qlen.max(), tlen.max())) < (1 << 17)
+        )
+        use_pallas = (
+            Lt <= 3072 and not use_band
+            and _pallas_zdrop_ok(Lt, mat, qlen, tlen, zdrop, flag)
+        )
+        if use_band:
+            from ..ops.band_batch import extd_band_batch_records
+            pieces = extd_band_batch_records(Q, T, qlen, tlen, m, mat, q, e,
+                                             q2, e2, wv, zdrop=zdrop,
+                                             flag=flag)
+            pending.append((idxs, pieces))
+        elif use_pallas:
+            pieces = extd_batch_records(Q, T, qlen, tlen, m, mat, q, e,
+                                        q2, e2, wv, zdrop=zdrop, flag=flag)
+            pending.append((idxs, pieces))
+        else:
+            from ..ops.extd import extd2_device
+            for i in idxs:
+                job = jobs[i]
+                ez, _ = extd2_device(job.query, job.target, m, mat, q, e,
+                                     q2, e2, w=job.w, zdrop=zdrop, flag=flag)
+                results[i] = ez
+
+    all_pieces = [p for _, ps in pending for p in ps]
+    if all_pieces:
+        res = np.asarray(_concat_records(*all_pieces)
+                         if len(all_pieces) > 1 else all_pieces[0])
+    off = 0
+    qc, ec = (q, e) if q + e <= q2 + e2 else (q2, e2)
+    guard = -min_sc > 2 * (qc + ec)
+    for idxs, ps in pending:
+        for k, i in enumerate(idxs):
+            rec = res[off + k]
+            ez = ExtzResult()
+            ez.reset()
+            if not guard:
+                ez.max = int(rec[0])
+                ez.max_t = int(rec[1])
+                ez.max_q = int(rec[2])
+                ez.mqe = int(rec[3])
+                ez.mqe_t = int(rec[4])
+                ez.mte = int(rec[5])
+                ez.mte_q = int(rec[6])
+                ez.score = int(rec[7])
+                ez.zdropped = bool(rec[8])
+            results[i] = ez
+        off += len(idxs)
+    return results  # type: ignore[return-value]
+
+
 
 
 def align_batch(
@@ -232,6 +337,9 @@ def align_batch(
     score_only = bool(flag & Flag.SCORE_ONLY)
     if score_only and not two_piece:
         return align_batch_scores(jobs, m, mat, q, e, zdrop=zdrop, flag=flag)
+    if score_only and end_bonus == 0 and not (flag & Flag.EXTZ_ONLY):
+        return align_batch_scores2(jobs, m, mat, q, e, q2, e2, zdrop=zdrop,
+                                   flag=flag)
 
     buckets: Dict[Tuple[int, int], List[int]] = {}
     for i, job in enumerate(jobs):

@@ -500,7 +500,7 @@ def extz_band_batch_align(
     return out
 
 
-def extd_band_batch_device(
+def extd_band_batch_records(
     query: np.ndarray,
     target: np.ndarray,
     qlen: np.ndarray,
@@ -515,8 +515,12 @@ def extd_band_batch_device(
     zdrop: int = -1,
     flag: Flag | int = Flag.SCORE_ONLY,
     interpret: bool = False,
-) -> Dict[str, np.ndarray]:
-    """Batched banded two-piece extension for long pairs, score-only."""
+) -> list:
+    """Banded batched two-piece extension, score-only — async records form.
+
+    See :func:`ksw2_tpu.ops.batch_pallas.extz_batch_records` for the
+    records contract.
+    """
     from ..spec.common import c_div
     from . import wavefront_band_extd as wbe
 
@@ -544,14 +548,13 @@ def extd_band_batch_device(
 
     RMAX = 512 // P // 8 * 8
     if B > RMAX:
-        outs = [
-            extd_band_batch_device(query[i:i + RMAX], target[i:i + RMAX],
-                                   qlen[i:i + RMAX], tlen[i:i + RMAX], m,
-                                   mat, q, e, q2, e2, w[i:i + RMAX], zdrop,
-                                   flag, interpret)
-            for i in range(0, B, RMAX)
-        ]
-        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+        pieces = []
+        for i in range(0, B, RMAX):
+            pieces.extend(extd_band_batch_records(
+                query[i:i + RMAX], target[i:i + RMAX], qlen[i:i + RMAX],
+                tlen[i:i + RMAX], m, mat, q, e, q2, e2, w[i:i + RMAX],
+                zdrop, flag, interpret))
+        return pieces
 
     q, e, q2, e2 = int(q), int(e), int(q2), int(e2)
     qe_pre_swap = q + e
@@ -563,7 +566,6 @@ def extd_band_batch_device(
         long_thres += 1
     long_diff = long_thres * (e - e2) - (q2 - q) - e2
     sc_N = -e2 if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
-    min_sc = int(mat[1:].min())
 
     Bp = max(B, 1)
     while (Bp * P) % 8:
@@ -590,29 +592,43 @@ def extd_band_batch_device(
     lens[0, :B], lens[1, :B], lens[2, :B] = qlen, tlen, w
     lens[2, B:] = 1
 
-    res = np.asarray(run(jnp.asarray(qpad), jnp.asarray(tpad),
-                         jnp.asarray(lens[0]), jnp.asarray(lens[1]),
-                         jnp.asarray(lens[2])))[:B]
+    return [run(jnp.asarray(qpad), jnp.asarray(tpad),
+                jnp.asarray(lens[0]), jnp.asarray(lens[1]),
+                jnp.asarray(lens[2]))[:B]]
 
-    out = {
-        "max": res[:, wb.F_MAX].copy(),
-        "max_t": res[:, wb.F_MAXT].copy(),
-        "max_q": res[:, wb.F_MAXQ].copy(),
-        "mqe": res[:, wb.F_MQE].copy(),
-        "mqe_t": res[:, wb.F_MQET].copy(),
-        "mte": res[:, wb.F_MTE].copy(),
-        "mte_q": res[:, wb.F_MTEQ].copy(),
-        "score": res[:, wb.F_SCORE].copy(),
-        "zdropped": res[:, wb.F_ZDROP].copy(),
-    }
-    if -min_sc > 2 * (q + e):
-        # reference guard (ksw2_extd2_sse.c:78-82)
-        for k in out:
-            out[k][:] = 0 if k in ("max", "zdropped") else (
-                -1 if k.endswith(("_t", "_q")) else NEG_INF)
-        out["max_t"][:] = -1
-        out["max_q"][:] = -1
-    return out
+
+def extd_band_batch_device(
+    query: np.ndarray,
+    target: np.ndarray,
+    qlen: np.ndarray,
+    tlen: np.ndarray,
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    q2: int,
+    e2: int,
+    w: np.ndarray,
+    zdrop: int = -1,
+    flag: Flag | int = Flag.SCORE_ONLY,
+    interpret: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Batched banded two-piece extension for long pairs, score-only.
+
+    Synchronous wrapper over :func:`extd_band_batch_records`.
+    """
+    from .batch_pallas import unpack_records
+
+    pieces = extd_band_batch_records(query, target, qlen, tlen, m, mat,
+                                     q, e, q2, e2, w, zdrop, flag, interpret)
+    if not pieces:
+        return {k: np.zeros(0, np.int32) for k in
+                ("max", "max_t", "max_q", "mqe", "mqe_t", "mte", "mte_q",
+                 "score", "zdropped")}
+    res = np.concatenate([np.asarray(p) for p in pieces], axis=0)
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    qc, ec = (q, e) if q + e <= q2 + e2 else (q2, e2)
+    return unpack_records(res, int(mat[1:].min()), int(qc), int(ec))
 
 
 def extd_band_batch_align(

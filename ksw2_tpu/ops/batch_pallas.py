@@ -470,7 +470,39 @@ def extd_batch_device(
     flag: Flag | int = Flag.SCORE_ONLY,
     interpret: bool = False,
 ) -> Dict[str, np.ndarray]:
-    """Batched two-piece extension, score-only (extd2 semantics)."""
+    """Batched two-piece extension, score-only (extd2 semantics).
+
+    Synchronous wrapper over :func:`extd_batch_records`.
+    """
+    pieces = extd_batch_records(query, target, qlen, tlen, m, mat, q, e,
+                                q2, e2, w, zdrop, flag, interpret)
+    res = np.concatenate([np.asarray(p) for p in pieces], axis=0)
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    # the reference guard consults the canonical (post-swap) gap cost
+    qc, ec = (q, e) if q + e <= q2 + e2 else (q2, e2)
+    return unpack_records(res, int(mat[1:].min()), int(qc), int(ec))
+
+
+def extd_batch_records(
+    query: np.ndarray,
+    target: np.ndarray,
+    qlen: np.ndarray,
+    tlen: np.ndarray,
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    q2: int,
+    e2: int,
+    w: Optional[np.ndarray] = None,
+    zdrop: int = -1,
+    flag: Flag | int = Flag.SCORE_ONLY,
+    interpret: bool = False,
+) -> list:
+    """Batched two-piece extension, score-only — async records form.
+
+    See :func:`extz_batch_records` for the records contract.
+    """
     flag = Flag(int(flag))
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
@@ -478,25 +510,31 @@ def extd_batch_device(
         raise ValueError("score-only entry; use extd_batch_align for CIGARs")
     B, Lq = query.shape
     Bt, Lt = target.shape
-    assert B == Bt and Lt <= 1536
-    P = (Lt + 127) // 128   # rows per pair; any P in 1..12 works
+    assert B == Bt and Lt <= 3072
+    P = (Lt + 127) // 128   # rows per pair; any P in 1..24 works
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     if w is None:
         w = np.maximum(qlen, tlen)
     w = np.asarray(w, np.int32)
+    if zdrop >= 0 and not (flag & Flag.APPROX_MAX):
+        KB = 1 << (5 * P * 128 + 2).bit_length()
+        hmax = (int(np.asarray(mat).max())
+                * min(int(qlen.max()), int(tlen.max())))
+        if (hmax + 1) * KB + KB >= (1 << 31):
+            raise ValueError(
+                f"scores too large for the packed Z-drop argmax at P={P}")
     RMAX = 384 // P // 8 * 8
     if B > RMAX:
-        outs = [
-            extd_batch_device(query[i:i + RMAX], target[i:i + RMAX],
-                              qlen[i:i + RMAX], tlen[i:i + RMAX], m, mat,
-                              q, e, q2, e2, w[i:i + RMAX], zdrop, flag,
-                              interpret)
-            for i in range(0, B, RMAX)
-        ]
-        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+        pieces = []
+        for i in range(0, B, RMAX):
+            pieces.extend(extd_batch_records(
+                query[i:i + RMAX], target[i:i + RMAX], qlen[i:i + RMAX],
+                tlen[i:i + RMAX], m, mat, q, e, q2, e2, w[i:i + RMAX],
+                zdrop, flag, interpret))
+        return pieces
 
-    prm, min_sc, (qc, ec) = _extd_batch_params(
+    prm, _min_sc, _qe = _extd_batch_params(
         B, Lq, qlen, tlen, m, mat, q, e, q2, e2, zdrop, flag, wb.CHUNK, P)
     run = _cached_run_extd(prm, interpret)
     Bp = prm.n_rows // P
@@ -506,27 +544,9 @@ def extd_batch_device(
     tpad[:B] = np.asarray(target, np.int8)
     lens = np.zeros((3, Bp), np.int32)
     lens[0, :B], lens[1, :B], lens[2, :B] = qlen, tlen, w
-    res = np.asarray(run(jnp.asarray(qpad), jnp.asarray(tpad),
-                         jnp.asarray(lens[0]), jnp.asarray(lens[1]),
-                         jnp.asarray(lens[2])))[:B]
-    out = {
-        "max": res[:, wb.F_MAX].copy(),
-        "max_t": res[:, wb.F_MAXT].copy(),
-        "max_q": res[:, wb.F_MAXQ].copy(),
-        "mqe": res[:, wb.F_MQE].copy(),
-        "mqe_t": res[:, wb.F_MQET].copy(),
-        "mte": res[:, wb.F_MTE].copy(),
-        "mte_q": res[:, wb.F_MTEQ].copy(),
-        "score": res[:, wb.F_SCORE].copy(),
-        "zdropped": res[:, wb.F_ZDROP].copy(),
-    }
-    if -min_sc > 2 * (qc + ec):
-        for k in out:
-            out[k][:] = 0 if k in ("max", "zdropped") else (
-                -1 if k.endswith(("_t", "_q")) else NEG_INF)
-        out["max_t"][:] = -1
-        out["max_q"][:] = -1
-    return out
+    return [run(jnp.asarray(qpad), jnp.asarray(tpad),
+                jnp.asarray(lens[0]), jnp.asarray(lens[1]),
+                jnp.asarray(lens[2]))[:B]]
 
 
 def extd_batch_align(

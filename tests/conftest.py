@@ -45,3 +45,24 @@ except Exception:  # jax missing or backends already initialized
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jax_executables_between_modules():
+    """Free compiled XLA executables after each test module.
+
+    The suite compiles hundreds of distinct programs; XLA:CPU's JIT has
+    crashed (segfault inside LLVM during a *later* compile) once enough
+    executables accumulate in one process.  Dropping the jit caches
+    between modules keeps the resident JIT state small; modules recompile
+    what they share, which is cheap next to the kernels' own compiles.
+    """
+    yield
+    try:
+        import jax
+
+        jax.clear_caches()
+    except Exception:
+        pass

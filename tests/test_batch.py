@@ -129,3 +129,26 @@ def test_bucket_len_policy():
     assert _bucket_key(300, 400) == (384, 512)
     # long target: both dims coarsen geometrically
     assert _bucket_key(300, 5000) == (512, 6144)
+
+
+def test_align_batch_scores2_matches_spec():
+    """Two-piece score-only jobs ride the async records pipeline."""
+    import refcmp
+    from ksw2_tpu.batch.scheduler import AlignJob, align_batch
+    from ksw2_tpu.core.matrix import encode_dna
+    from ksw2_tpu.spec import diagdiff
+
+    rng = np.random.default_rng(11)
+    mat = simple_mat(5, 2, 4)
+    jobs, cases = [], []
+    for L in (90, 200, 430, 700, 1200):
+        t, q = refcmp.random_pair(rng, L, divergence=0.2, indel=0.08)
+        cases.append((encode_dna(q), encode_dna(t)))
+        jobs.append(AlignJob(query=cases[-1][0], target=cases[-1][1]))
+    ezs = align_batch(jobs, 5, mat, 4, 2, q2=13, e2=1, zdrop=100,
+                      flag=Flag.SCORE_ONLY)
+    for (qs, ts), ez in zip(cases, ezs):
+        want, _ = diagdiff.extd2(qs, ts, 5, mat, 4, 2, 13, 1, zdrop=100,
+                                 flag=Flag.SCORE_ONLY)
+        assert (ez.score, ez.max, ez.max_t, ez.max_q, ez.zdropped) == \
+            (want.score, want.max, want.max_t, want.max_q, want.zdropped)

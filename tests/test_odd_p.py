@@ -210,3 +210,21 @@ def test_batch_extz_p_beyond_12_range_guard():
     with pytest.raises(ValueError):
         extz_batch_records(Q, T, L, L, 5, mat, 4, 2, zdrop=100,
                            flag=Flag.SCORE_ONLY, interpret=True)
+
+
+def test_batch_extd_scores_p_beyond_12():
+    """Two-piece engine at P=14 (targets past 1536)."""
+    from ksw2_tpu.ops.batch_pallas import extd_batch_device
+    rng = np.random.default_rng(77)
+    pairs, Q, T, qlen, tlen_ = _mk(rng, 2, 1750, 14 * 128)
+    assert (T.shape[1] + 127) // 128 == 14
+    mat = simple_mat(5, 2, 4)
+    out = extd_batch_device(Q, T, qlen, tlen_, 5, mat, 4, 2, 13, 1,
+                            zdrop=150, flag=Flag.SCORE_ONLY, interpret=True)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extd2(q, t, 5, mat, 4, 2, 13, 1, zdrop=150,
+                                 flag=Flag.SCORE_ONLY)
+        got = [int(out[k][i]) for k in ("score", "max", "max_t", "max_q",
+                                        "mqe", "mte", "zdropped")]
+        assert got == [want.score, want.max, want.max_t, want.max_q,
+                       want.mqe, want.mte, int(want.zdropped)], i
