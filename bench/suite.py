@@ -310,6 +310,23 @@ def main():
          (mcells / 1e9) / best_of(run_mixed, n=3),
          "Gcells/s", baseline=0.95)  # ref extz2_sse -z100 -s serial loop
 
+    # same mixed workload WITH CIGARs (targets <= 1536 ride the async
+    # dispatch-everything-fetch-once CIGAR pipeline)
+    from ksw2_tpu.batch.scheduler import align_batch
+
+    jobs_c = [j for j in jobs if len(j.target) <= 1536]
+    ccells = sum(len(j.query) * len(j.target) for j in jobs_c)
+
+    def run_mixed_cigar():
+        ezs = align_batch(jobs_c, 5, mat, 4, 2, zdrop=100, flag=Flag.NONE)
+        tot = sum(ez.max for ez in ezs)
+        ctot = sum(len(ez.cigar) for ez in ezs)
+        assert (tot, ctot) == (133018, 23643), (tot, ctot)
+
+    emit("align_batch_mixed_cigar_gcells_per_s",
+         (ccells / 1e9) / best_of(run_mixed_cigar, n=3),
+         "Gcells/s", baseline=0.60)  # ref extz2_sse -z100 serial loop
+
     if ctx is not None:
         ctx.__exit__(None, None, None)
 

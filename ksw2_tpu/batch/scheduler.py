@@ -352,11 +352,11 @@ def align_batch(
         key = _bucket_key(len(job.query), len(job.target))
         buckets.setdefault(key, []).append(i)
 
-    from ..ops.batch_pallas import extd_batch_align, extz_batch_align
     from ..ops.batch_pallas import extd_batch_device
     from ..ops.extd import extd2_device
     from ..ops.extz import extz2_device
 
+    cigar_pending: List[Tuple[List[int], list, bool]] = []
     for (Lq, Lt), idxs in buckets.items():
         batchable = (Lt <= 1536
                      and not (flag & Flag.EXTZ_ONLY))
@@ -436,17 +436,17 @@ def align_batch(
                     ez.zdropped = bool(out["zdropped"][k])
                     results[i] = ez
             elif two_piece:
-                ezs = extd_batch_align(Q, T, qlen, tlen, m, mat, q, e,
-                                       q2, e2, wv, zdrop=zdrop,
-                                       end_bonus=end_bonus, flag=flag)
-                for k, i in enumerate(idxs):
-                    results[i] = ezs[k]
+                from ..ops.batch_pallas import extd_batch_align_dispatch
+                slices = extd_batch_align_dispatch(
+                    Q, T, qlen, tlen, m, mat, q, e, q2, e2, wv, zdrop=zdrop,
+                    end_bonus=end_bonus, flag=flag)
+                cigar_pending.append((idxs, slices, True))
             else:
-                ezs = extz_batch_align(Q, T, qlen, tlen, m, mat, q, e, wv,
-                                       zdrop=zdrop, end_bonus=end_bonus,
-                                       flag=flag)
-                for k, i in enumerate(idxs):
-                    results[i] = ezs[k]
+                from ..ops.batch_pallas import extz_batch_align_dispatch
+                slices = extz_batch_align_dispatch(
+                    Q, T, qlen, tlen, m, mat, q, e, wv, zdrop=zdrop,
+                    end_bonus=end_bonus, flag=flag)
+                cigar_pending.append((idxs, slices, False))
         else:
             for i in idxs:
                 job = jobs[i]
@@ -459,7 +459,74 @@ def align_batch(
                                          w=job.w, zdrop=zdrop,
                                          end_bonus=end_bonus, flag=flag)
                 results[i] = ez
+
+    # Phase 2 — one fetch for every batchable CIGAR bucket (forward
+    # kernels, device start-cell selection, device walkers, and RLE
+    # compaction were all dispatched without a single sync above)
+    _finish_cigar_pending(cigar_pending, results, m, mat, q, e, q2, e2,
+                          zdrop, end_bonus, flag)
     return results  # type: ignore[return-value]
+
+
+def _finish_cigar_pending(cigar_pending, results, m, mat, q, e, q2, e2,
+                          zdrop, end_bonus, flag):
+    """Fetch all pending CIGAR slices in one transfer and assemble.
+
+    Each slice's packed slab is (B, NFIELDS+3+MAXR); widths differ per
+    bucket, so the concat jit pads every slab to the widest before the
+    single device->host copy.  A slice whose device RLE compaction
+    overflowed (cnt > MAXR, degenerate alignments) re-runs through the
+    synchronous engine, which has the full-fetch fallback.
+    """
+    from ..ops.batch_pallas import (_cigar_batch_finish, extd_batch_align,
+                                    extz_batch_align)
+
+    slabs = []
+    for _, slices, _ in cigar_pending:
+        for s in slices:
+            if "packed" in s:
+                s["width"] = s["packed"].shape[1]
+                slabs.append(s["packed"])
+    if slabs:
+        fetched = np.asarray(_concat_pad_records(*slabs)
+                             if len(slabs) > 1 else slabs[0])
+    off = 0
+    for idxs, slices, twop in cigar_pending:
+        pos = 0                                # job offset inside bucket
+        for s in slices:
+            B = s["B"]
+            sub = [idxs[pos + k] for k in range(B)]
+            pos += B
+            if s.get("guard"):
+                for i in sub:
+                    ez = ExtzResult()
+                    ez.reset()
+                    results[i] = ez
+                continue
+            slab = fetched[off:off + B, :s["width"]]
+            off += B
+            Qs, Ts, qls, tls, ws = s["args"]
+            out = _cigar_batch_finish(slab, s["MAXR"], B, Qs, Ts, qls, tls,
+                                      flag, end_bonus)
+            if out is None:          # RLE overflow: sync re-run, full fetch
+                if twop:
+                    out = extd_batch_align(Qs, Ts, qls, tls, m, mat, q, e,
+                                           q2, e2, ws, zdrop=zdrop,
+                                           end_bonus=end_bonus, flag=flag)
+                else:
+                    out = extz_batch_align(Qs, Ts, qls, tls, m, mat, q, e,
+                                           ws, zdrop=zdrop,
+                                           end_bonus=end_bonus, flag=flag)
+            for k, i in enumerate(sub):
+                results[i] = out[k]
+
+
+@jax.jit
+def _concat_pad_records(*slabs):
+    wmax = max(s.shape[1] for s in slabs)
+    return jnp.concatenate(
+        [jnp.pad(s, ((0, 0), (0, wmax - s.shape[1]))) for s in slabs],
+        axis=0)
 
 
 

@@ -162,6 +162,48 @@ def _cached_run_band_tb(prm, interpret: bool):
     return jax.jit(run, donate_argnums=donate), MAXR
 
 
+def device_walk_runs(p, R, P, n_diag, W, qlen, tlen, w, i0_dev, j0_dev,
+                     rmax_bound, interpret):
+    """Async walker dispatch: start cells live on device, nothing fetched.
+
+    ``i0_dev``/``j0_dev`` are (B,) device arrays (-1 = not started) as
+    produced by the device-side traceback-start selection; ``rmax_bound``
+    is a host upper bound on i0+j0 (e.g. max(qlen+tlen-2) over the batch)
+    used for the static dead-block trim.  Returns
+    ``(ends, runs, cnt, MAXR, n_kept)`` where the first three are device
+    arrays — the caller fetches them (typically concatenated with other
+    buckets' records in ONE transfer) and assembles CIGARs with
+    :func:`ksw2_tpu.ops.traceback_band.finish_band_cigars_runs`.
+    """
+    from . import traceback_band as tbb
+
+    Bp = R // P
+    if Bp % 8:                      # walker state is one sublane row/pair
+        Bp2 = -(-Bp // 8) * 8
+        p = jnp.pad(p, ((0, 0), (0, Bp2 * P - R), (0, 0)))
+        i0_dev = jnp.pad(i0_dev, (0, Bp2 - Bp), constant_values=-1)
+        j0_dev = jnp.pad(j0_dev, (0, Bp2 - Bp), constant_values=-1)
+        qlen = np.pad(qlen, (0, Bp2 - Bp))
+        tlen = np.pad(tlen, (0, Bp2 - Bp))
+        w = np.pad(w, (0, Bp2 - Bp), constant_values=1)
+        Bp = Bp2
+    nd2 = min(n_diag, max(128, -(-(int(rmax_bound) + 1) // 1024) * 1024))
+    if nd2 < n_diag:
+        p = p[:nd2]
+        n_diag = nd2
+    prm = tbb.BandTbParams(n_pairs=Bp, n_diag=n_diag, w=W, p=P)
+    run, MAXR = _cached_run_band_tb(prm, interpret)
+    lens = np.zeros((3, Bp), np.int32)
+    lens[0, :len(qlen)], lens[1, :len(qlen)] = qlen, tlen
+    lens[2, :len(qlen)] = np.maximum(w, 1)
+    lens[2, len(qlen):] = 1
+    ends, runs, cnt, _ops8 = run(
+        p, jnp.asarray(lens[0]), jnp.asarray(lens[1]),
+        jnp.asarray(lens[2]), i0_dev, j0_dev)
+    del _ops8   # only the overflow fallback needs it; drop the HBM ref
+    return ends, runs, cnt, MAXR, Bp
+
+
 def device_walk_cigars(p, R, P, n_diag, W, qlen, tlen, w, i0, j0, started,
                        rev, interpret):
     """Walk all pairs' tracebacks on device; only compact RLE runs + walk

@@ -208,6 +208,247 @@ def extz_batch_device(
     return unpack_records(res, int(mat[1:].min()), int(q), int(e))
 
 
+@functools.lru_cache(maxsize=32)
+def _cached_tb_starts(flag_int: int, end_bonus: int):
+    """Jitted traceback-start selection (ksw2_extz2_sse.c:292-301) —
+    computed on device so the CIGAR pipeline needs no mid-bucket fetch."""
+    extz_only = bool(flag_int & int(Flag.EXTZ_ONLY))
+
+    def starts(res, qlv, tlv):
+        ok = (qlv > 0) & (tlv > 0)
+        zd = res[:, wb.F_ZDROP] > 0
+        if not extz_only:
+            c1 = ok & jnp.logical_not(zd)
+            i1, j1 = tlv - 1, qlv - 1
+        else:
+            c1 = (ok & jnp.logical_not(zd)
+                  & (res[:, wb.F_MQE] + end_bonus > res[:, wb.F_MAX]))
+            i1, j1 = res[:, wb.F_MQET], qlv - 1
+        c2 = ok & (res[:, wb.F_MAXT] >= 0) & (res[:, wb.F_MAXQ] >= 0)
+        i0 = jnp.where(c1, i1, jnp.where(c2, res[:, wb.F_MAXT], -1))
+        j0 = jnp.where(c1, j1, jnp.where(c2, res[:, wb.F_MAXQ], -1))
+        return i0.astype(jnp.int32), j0.astype(jnp.int32)
+
+    return jax.jit(starts)
+
+
+@jax.jit
+def _pack_cigar_slice(res, ends, cnt, runs):
+    """One (B, NFIELDS+2+1+MAXR) record per pair: fetch everything at once."""
+    return jnp.concatenate(
+        [res, ends, cnt[:, None].astype(jnp.int32), runs], axis=1)
+
+
+def _cigar_batch_dispatch(run, qpad, tpad, lens, B, P, R, n_diag,
+                          flag, end_bonus, interpret):
+    """Forward kernel -> device start cells -> device walker, NO fetch.
+
+    Returns ``(packed_device_records, MAXR)``; the records carry
+    [res | walk-end i,j | run count | RLE runs] per pair.  Used by the
+    scheduler to overlap every bucket's CIGAR pipeline and fetch once.
+    """
+    from .band_batch import device_walk_runs
+    from .bands import round_up as _ru
+
+    qj, tj = jnp.asarray(qpad), jnp.asarray(tpad)
+    l0, l1, l2 = (jnp.asarray(lens[i]) for i in range(3))
+    res, p = run(qj, tj, l0, l1, l2)
+    i0, j0 = _cached_tb_starts(int(flag), int(end_bonus))(res, l0, l1)
+    nd128 = _ru(n_diag, 128)
+    if nd128 != n_diag:
+        p = jnp.pad(p, ((0, nd128 - n_diag), (0, 0), (0, 0)))
+    rmax_bound = max(int((lens[0] + lens[1]).max()) - 2, 0)
+    ends, runs, cnt, MAXR, _ = device_walk_runs(
+        p, R, P, nd128, nd128, lens[0], lens[1], np.maximum(lens[2], 1),
+        i0, j0, rmax_bound, interpret)
+    packed = _pack_cigar_slice(res[:B], ends[:B], cnt[:B], runs[:B])
+    return packed, MAXR
+
+
+def _cigar_batch_finish(fetched, MAXR, B, query, target, qlen, tlen,
+                        flag, end_bonus):
+    """Host side of the async CIGAR pipeline.
+
+    ``fetched`` is the (B, NFIELDS+3+MAXR) numpy slab for one slice.
+    Returns the list of ExtzResult with CIGARs attached, or ``None`` when
+    any pair overflowed the device RLE compaction (caller re-runs that
+    slice through the synchronous path, which has the full-fetch
+    fallback).
+    """
+    from ..core.result import ExtzResult
+    from .traceback_band import finish_band_cigars_runs
+
+    flag = Flag(int(flag))
+    res = fetched[:, :NFIELDS_REC]
+    ends = fetched[:, NFIELDS_REC:NFIELDS_REC + 2]
+    cnt = fetched[:, NFIELDS_REC + 2]
+    runs = fetched[:, NFIELDS_REC + 3:]
+    out = []
+    started = np.zeros(B, bool)
+    for b in range(B):
+        ez = ExtzResult()
+        ez.reset()
+        ez.max = int(res[b, wb.F_MAX])
+        ez.max_t = int(res[b, wb.F_MAXT])
+        ez.max_q = int(res[b, wb.F_MAXQ])
+        ez.mqe = int(res[b, wb.F_MQE])
+        ez.mqe_t = int(res[b, wb.F_MQET])
+        ez.mte = int(res[b, wb.F_MTE])
+        ez.mte_q = int(res[b, wb.F_MTEQ])
+        ez.score = int(res[b, wb.F_SCORE])
+        ez.zdropped = bool(res[b, wb.F_ZDROP])
+        out.append(ez)
+        qln, tln = int(qlen[b]), int(tlen[b])
+        if qln <= 0 or tln <= 0:
+            continue
+        if not ez.zdropped and not (flag & Flag.EXTZ_ONLY):
+            started[b] = True
+        elif (not ez.zdropped and (flag & Flag.EXTZ_ONLY)
+              and ez.mqe + end_bonus > ez.max):
+            ez.reach_end = True
+            started[b] = True
+        elif ez.max_t >= 0 and ez.max_q >= 0:
+            started[b] = True
+    if (cnt[started] > MAXR).any():
+        return None          # degenerate: re-run this slice synchronously
+    rev = bool(flag & Flag.REV_CIGAR)
+    cigs = finish_band_cigars_runs(runs, cnt.astype(np.int64), ends[:, 0],
+                                   ends[:, 1], rev, started)
+    for b in range(B):
+        out[b].cigar = cigs[b]
+    if flag & Flag.EQX:
+        from ..core import cigar as cigarmod
+        for b in range(B):
+            if out[b].cigar:
+                out[b].cigar = cigarmod.to_eqx(
+                    out[b].cigar, query[b][:int(qlen[b])],
+                    target[b][:int(tlen[b])])
+    return out
+
+
+NFIELDS_REC = wb.NFIELDS   # record width of the packed CIGAR slabs
+
+
+def extz_batch_align_dispatch(
+    query, target, qlen, tlen, m, mat, q, e, w=None, zdrop=-1,
+    end_bonus=0, flag=Flag.NONE, interpret=False,
+):
+    """Async CIGAR batch (extz): dispatch all device work, fetch nothing.
+
+    Returns a list of slice dicts for :func:`extz_batch_align_finish` /
+    the scheduler's single-fetch pipeline.  Mirrors
+    :func:`extz_batch_align`'s routing (same RMAX slices, same params).
+    """
+    flag = Flag(int(flag))
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    if flag & Flag.SCORE_ONLY:
+        raise ValueError("use extz_batch_records for score-only batches")
+    B, Lq = query.shape
+    Bt, Lt = target.shape
+    assert B == Bt and Lt <= 1536
+    P = (Lt + 127) // 128
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    if w is None:
+        w = np.maximum(qlen, tlen)
+    w = np.asarray(w, np.int32)
+    # the async pipeline never holds two slices' direction planes at once
+    # (the walker donates them), so it can run wider launches than the
+    # synchronous path
+    RMAX = 384 // P // 8 * 8
+    if B > RMAX:
+        slices = []
+        for i in range(0, B, RMAX):
+            slices.extend(extz_batch_align_dispatch(
+                query[i:i + RMAX], target[i:i + RMAX], qlen[i:i + RMAX],
+                tlen[i:i + RMAX], m, mat, q, e, w[i:i + RMAX], zdrop,
+                end_bonus, flag, interpret))
+        return slices
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+    min_sc = int(mat[1:].min())
+    if -min_sc > 2 * (q + e):
+        return [{"guard": True, "B": B, "args": None}]
+
+    Bp = max(B, 1)
+    while (Bp * P) % 8:
+        Bp += 1
+    R = Bp * P
+    n_diag = int((qlen + tlen).max()) - 1 if B else 1
+    n_diag = max(round_up(n_diag, 32), 32)
+    prm = wb.BatchParams(
+        n_rows=R, n_diag=n_diag, m=m,
+        sc_mch=int(mat[0]), sc_mis=int(mat[1]), sc_N=sc_N,
+        q=int(q), e=int(e), zdrop=int(zdrop), flag=int(flag), chunk=32,
+        p=P,
+        matt=tuple(int(v) for v in mat) if flag & Flag.GENERIC_SC else (),
+    )
+    run = _cached_run(prm, interpret, True)
+    qpad = np.zeros((Bp, Lq), np.int8)
+    qpad[:B] = np.asarray(query, np.int8)
+    tpad = np.zeros((Bp, Lt), np.int8)
+    tpad[:B] = np.asarray(target, np.int8)
+    lens = np.zeros((3, Bp), np.int32)
+    lens[0, :B], lens[1, :B], lens[2, :B] = qlen, tlen, w
+    packed, MAXR = _cigar_batch_dispatch(
+        run, qpad, tpad, lens, B, P, R, n_diag, flag, end_bonus, interpret)
+    return [{"packed": packed, "MAXR": MAXR, "B": B,
+             "args": (query, target, qlen, tlen, w)}]
+
+
+def extd_batch_align_dispatch(
+    query, target, qlen, tlen, m, mat, q, e, q2, e2, w=None, zdrop=-1,
+    end_bonus=0, flag=Flag.NONE, interpret=False,
+):
+    """Async CIGAR batch (extd, two-piece): see extz_batch_align_dispatch."""
+    flag = Flag(int(flag))
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    if flag & Flag.SCORE_ONLY:
+        raise ValueError("use extd_batch_records for score-only batches")
+    B, Lq = query.shape
+    Bt, Lt = target.shape
+    assert B == Bt and Lt <= 1536
+    P = (Lt + 127) // 128
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    if w is None:
+        w = np.maximum(qlen, tlen)
+    w = np.asarray(w, np.int32)
+    RMAX = 384 // P // 8 * 8
+    if B > RMAX:
+        slices = []
+        for i in range(0, B, RMAX):
+            slices.extend(extd_batch_align_dispatch(
+                query[i:i + RMAX], target[i:i + RMAX], qlen[i:i + RMAX],
+                tlen[i:i + RMAX], m, mat, q, e, q2, e2, w[i:i + RMAX],
+                zdrop, end_bonus, flag, interpret))
+        return slices
+    matf = np.asarray(mat, dtype=np.int8).reshape(-1)
+    min_sc = int(matf[1:].min())
+    qc, ec = (q, e) if q + e <= q2 + e2 else (q2, e2)
+    if -min_sc > 2 * (qc + ec):
+        return [{"guard": True, "B": B, "args": None}]
+
+    prm, _ms, _qe = _extd_batch_params(
+        B, Lq, qlen, tlen, m, matf, q, e, q2, e2, zdrop, flag, 32, P)
+    run = _cached_run_extd(prm, interpret, True)
+    Bp = prm.n_rows // P
+    R = prm.n_rows
+    n_diag = prm.n_diag
+    qpad = np.zeros((Bp, Lq), np.int8)
+    qpad[:B] = np.asarray(query, np.int8)
+    tpad = np.zeros((Bp, Lt), np.int8)
+    tpad[:B] = np.asarray(target, np.int8)
+    lens = np.zeros((3, Bp), np.int32)
+    lens[0, :B], lens[1, :B], lens[2, :B] = qlen, tlen, w
+    packed, MAXR = _cigar_batch_dispatch(
+        run, qpad, tpad, lens, B, P, R, n_diag, flag, end_bonus, interpret)
+    return [{"packed": packed, "MAXR": MAXR, "B": B,
+             "args": (query, target, qlen, tlen, w)}]
+
+
 __all__ = ["extz_batch_device", "extz_batch_align",
            "extd_batch_device", "extd_batch_align",
            "exts_batch_align", "extf_batch_device", "gg2_batch_align"]
