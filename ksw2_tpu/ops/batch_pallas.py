@@ -239,29 +239,69 @@ def _pack_cigar_slice(res, ends, cnt, runs):
         [res, ends, cnt[:, None].astype(jnp.int32), runs], axis=1)
 
 
-def _cigar_batch_dispatch(run, qpad, tpad, lens, B, P, R, n_diag,
-                          flag, end_bonus, interpret):
+@functools.lru_cache(maxsize=64)
+def _cached_cigar_pipeline(prm: wb.BatchParams, B: int, flag_int: int,
+                           end_bonus: int, rmax_round: int, interpret: bool):
+    """ONE jitted program for a whole CIGAR slice: forward wavefront ->
+    start-cell selection -> traceback walker -> RLE pack.
+
+    Composing the already-cached jitted pieces inside a single jit keeps
+    the per-slice cost to one dispatch (the tunnel charges per call) and
+    lets XLA alias the direction planes between the forward kernel and
+    the walker instead of round-tripping them.
+    """
+    from . import traceback_band as tbb
+    from .band_batch import _cached_run_band_tb
+
+    P, R, n_diag = prm.p, prm.n_rows, prm.n_diag
+    Bp = R // P
+    nd128 = round_up(n_diag, 128)
+    nd2 = min(nd128, max(128, rmax_round))
+    Bpw = -(-Bp // 8) * 8
+    tprm = tbb.BandTbParams(n_pairs=Bpw, n_diag=nd2, w=nd2, p=P)
+    fwd = (_cached_run(prm, interpret, True)
+           if isinstance(prm, wb.BatchParams)
+           else _cached_run_extd(prm, interpret, True))
+    tb, MAXR = _cached_run_band_tb(tprm, interpret)
+    starts = _cached_tb_starts(flag_int, end_bonus)
+
+    def pipe(qpad, tpad, l0, l1, l2):
+        res, p = fwd(qpad, tpad, l0, l1, l2)
+        i0, j0 = starts(res, l0, l1)
+        if nd2 > n_diag:
+            p = jnp.pad(p, ((0, nd2 - n_diag), (0, 0), (0, 0)))
+        elif nd2 < n_diag:
+            p = p[:nd2]
+        if Bpw != Bp:
+            p = jnp.pad(p, ((0, 0), (0, (Bpw - Bp) * P), (0, 0)))
+            i0 = jnp.pad(i0, (0, Bpw - Bp), constant_values=-1)
+            j0 = jnp.pad(j0, (0, Bpw - Bp), constant_values=-1)
+            l0 = jnp.pad(l0, (0, Bpw - Bp))
+            l1 = jnp.pad(l1, (0, Bpw - Bp))
+            l2 = jnp.pad(l2, (0, Bpw - Bp))
+        ends, runs, cnt, _ops8 = tb(p, l0, l1, jnp.maximum(l2, 1), i0, j0)
+        return jnp.concatenate(
+            [res[:B], ends[:B], cnt[:B, None].astype(jnp.int32),
+             runs[:B]], axis=1)
+
+    return jax.jit(pipe), MAXR
+
+
+def _cigar_batch_dispatch(prm, qpad, tpad, lens, B, flag, end_bonus,
+                          interpret):
     """Forward kernel -> device start cells -> device walker, NO fetch.
 
     Returns ``(packed_device_records, MAXR)``; the records carry
     [res | walk-end i,j | run count | RLE runs] per pair.  Used by the
     scheduler to overlap every bucket's CIGAR pipeline and fetch once.
     """
-    from .band_batch import device_walk_runs
-    from .bands import round_up as _ru
-
-    qj, tj = jnp.asarray(qpad), jnp.asarray(tpad)
-    l0, l1, l2 = (jnp.asarray(lens[i]) for i in range(3))
-    res, p = run(qj, tj, l0, l1, l2)
-    i0, j0 = _cached_tb_starts(int(flag), int(end_bonus))(res, l0, l1)
-    nd128 = _ru(n_diag, 128)
-    if nd128 != n_diag:
-        p = jnp.pad(p, ((0, nd128 - n_diag), (0, 0), (0, 0)))
-    rmax_bound = max(int((lens[0] + lens[1]).max()) - 2, 0)
-    ends, runs, cnt, MAXR, _ = device_walk_runs(
-        p, R, P, nd128, nd128, lens[0], lens[1], np.maximum(lens[2], 1),
-        i0, j0, rmax_bound, interpret)
-    packed = _pack_cigar_slice(res[:B], ends[:B], cnt[:B], runs[:B])
+    rmax = max(int((lens[0] + lens[1]).max()) - 2, 0)
+    rmax_round = -(-(rmax + 1) // 1024) * 1024   # bound compiled variants
+    pipe, MAXR = _cached_cigar_pipeline(prm, B, int(flag), int(end_bonus),
+                                        rmax_round, interpret)
+    packed = pipe(jnp.asarray(qpad), jnp.asarray(tpad),
+                  jnp.asarray(lens[0]), jnp.asarray(lens[1]),
+                  jnp.asarray(lens[2]))
     return packed, MAXR
 
 
@@ -384,7 +424,6 @@ def extz_batch_align_dispatch(
         p=P,
         matt=tuple(int(v) for v in mat) if flag & Flag.GENERIC_SC else (),
     )
-    run = _cached_run(prm, interpret, True)
     qpad = np.zeros((Bp, Lq), np.int8)
     qpad[:B] = np.asarray(query, np.int8)
     tpad = np.zeros((Bp, Lt), np.int8)
@@ -392,7 +431,7 @@ def extz_batch_align_dispatch(
     lens = np.zeros((3, Bp), np.int32)
     lens[0, :B], lens[1, :B], lens[2, :B] = qlen, tlen, w
     packed, MAXR = _cigar_batch_dispatch(
-        run, qpad, tpad, lens, B, P, R, n_diag, flag, end_bonus, interpret)
+        prm, qpad, tpad, lens, B, flag, end_bonus, interpret)
     return [{"packed": packed, "MAXR": MAXR, "B": B,
              "args": (query, target, qlen, tlen, w)}]
 
@@ -433,10 +472,7 @@ def extd_batch_align_dispatch(
 
     prm, _ms, _qe = _extd_batch_params(
         B, Lq, qlen, tlen, m, matf, q, e, q2, e2, zdrop, flag, 32, P)
-    run = _cached_run_extd(prm, interpret, True)
     Bp = prm.n_rows // P
-    R = prm.n_rows
-    n_diag = prm.n_diag
     qpad = np.zeros((Bp, Lq), np.int8)
     qpad[:B] = np.asarray(query, np.int8)
     tpad = np.zeros((Bp, Lt), np.int8)
@@ -444,7 +480,7 @@ def extd_batch_align_dispatch(
     lens = np.zeros((3, Bp), np.int32)
     lens[0, :B], lens[1, :B], lens[2, :B] = qlen, tlen, w
     packed, MAXR = _cigar_batch_dispatch(
-        run, qpad, tpad, lens, B, P, R, n_diag, flag, end_bonus, interpret)
+        prm, qpad, tpad, lens, B, flag, end_bonus, interpret)
     return [{"packed": packed, "MAXR": MAXR, "B": B,
              "args": (query, target, qlen, tlen, w)}]
 
