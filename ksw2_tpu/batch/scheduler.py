@@ -566,9 +566,12 @@ def align_batch_splice(
         key = _bucket_key(len(job.query), len(job.target))
         buckets.setdefault(key, []).append(i)
 
-    from ..ops.batch_pallas import exts_batch_align
+    from ..ops.batch_pallas import (exts_batch_align,
+                                    exts_batch_align_dispatch)
     from ..ops.exts import exts2_device
 
+    with_cigar = not (flag & Flag.SCORE_ONLY)
+    splice_pending: List[Tuple[List[int], list]] = []
     for (Lq, Lt), idxs in buckets.items():
         if Lt <= 1536 and not (flag & Flag.EXTZ_ONLY):
             B = len(idxs)
@@ -588,12 +591,20 @@ def align_batch_splice(
                 T[k, : len(job.target)] = job.target
                 qlen[k] = len(job.query)
                 tlen[k] = len(job.target)
-            ezs = exts_batch_align(Q, T, qlen, tlen, m, mat, q, e, q2,
-                                   noncan, zdrop=zdrop,
-                                   junc_bonus=junc_bonus, flag=flag,
-                                   junc=jb)
-            for k, i in enumerate(idxs):
-                results[i] = ezs[k]
+            if with_cigar:
+                # async: dispatch every bucket's forward kernel + device
+                # walker now, fetch ALL packed records once at the end
+                slices = exts_batch_align_dispatch(
+                    Q, T, qlen, tlen, m, mat, q, e, q2, noncan,
+                    zdrop=zdrop, junc_bonus=junc_bonus, flag=flag, junc=jb)
+                splice_pending.append((idxs, slices))
+            else:
+                ezs = exts_batch_align(Q, T, qlen, tlen, m, mat, q, e, q2,
+                                       noncan, zdrop=zdrop,
+                                       junc_bonus=junc_bonus, flag=flag,
+                                       junc=jb)
+                for k, i in enumerate(idxs):
+                    results[i] = ezs[k]
         else:
             for i in idxs:
                 job = jobs[i]
@@ -602,7 +613,53 @@ def align_batch_splice(
                     zdrop=zdrop, junc_bonus=junc_bonus, flag=flag,
                     junc=None if juncs is None else juncs[i])
                 results[i] = ez
+    _finish_splice_pending(splice_pending, results, m, mat, q, e, q2,
+                           noncan, zdrop, junc_bonus, flag)
     return results  # type: ignore[return-value]
+
+
+def _finish_splice_pending(splice_pending, results, m, mat, q, e, q2,
+                           noncan, zdrop, junc_bonus, flag):
+    """Fetch all pending splice CIGAR slices in one transfer and assemble.
+
+    Mirrors :func:`_finish_cigar_pending`; an RLE-overflow slice re-runs
+    through the full-fetch host backtrack."""
+    from ..ops.batch_pallas import (_cigar_batch_finish_exts,
+                                    _exts_batch_align_fullfetch)
+
+    slabs = []
+    for _, slices in splice_pending:
+        for s in slices:
+            if "packed" in s:
+                s["width"] = s["packed"].shape[1]
+                slabs.append(s["packed"])
+    if slabs:
+        fetched = np.asarray(_concat_pad_records(*slabs)
+                             if len(slabs) > 1 else slabs[0])
+    off = 0
+    for idxs, slices in splice_pending:
+        pos = 0                                # job offset inside bucket
+        for s in slices:
+            B = s["B"]
+            sub = [idxs[pos + k] for k in range(B)]
+            pos += B
+            if s.get("guard"):
+                for i in sub:
+                    ez = ExtzResult()
+                    ez.reset()
+                    results[i] = ez
+                continue
+            slab = fetched[off:off + B, :s["width"]]
+            off += B
+            Qs, Ts, qls, tls, jn = s["args"]
+            out = _cigar_batch_finish_exts(slab, s["MAXR"], B, qls, tls,
+                                           flag, s["min_intron"])
+            if out is None:       # RLE overflow: sync re-run, full fetch
+                out = _exts_batch_align_fullfetch(
+                    Qs, Ts, qls, tls, m, mat, q, e, q2, noncan,
+                    zdrop=zdrop, junc_bonus=junc_bonus, flag=flag, junc=jn)
+            for k, i in enumerate(sub):
+                results[i] = out[k]
 
 
 __all__ = ["AlignJob", "align_batch_scores", "align_batch",

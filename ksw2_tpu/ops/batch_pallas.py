@@ -1016,7 +1016,7 @@ def _exts_batch_prep(B, target, tlen, m, mat, q, e, q2, noncan, flag, junc,
     return mat, long_thres, long_diff, sc_N, donb, accb
 
 
-def exts_batch_align(
+def _exts_batch_align_fullfetch(
     query: np.ndarray,
     target: np.ndarray,
     qlen: np.ndarray,
@@ -1033,7 +1033,12 @@ def exts_batch_align(
     junc: Optional[np.ndarray] = None,
     interpret: bool = False,
 ):
-    """Batched spliced extension; CIGARs unless SCORE_ONLY is set."""
+    """Splice batch with full direction-plane fetch + host backtrack.
+
+    Score-only batches and RLE-overflow fallbacks from the device-walker
+    pipeline come through here; regular CIGAR batches ride
+    :func:`exts_batch_align`.
+    """
     from ..core.result import ExtzResult
     from ..native.bindings import backtrack
     from . import wavefront_batch_exts as wbs
@@ -1052,7 +1057,7 @@ def exts_batch_align(
     if B > RMAX:
         out = []
         for i in range(0, B, RMAX):
-            out.extend(exts_batch_align(
+            out.extend(_exts_batch_align_fullfetch(
                 query[i:i + RMAX], target[i:i + RMAX], qlen[i:i + RMAX],
                 tlen[i:i + RMAX], m, mat, q, e, q2, noncan, zdrop,
                 junc_bonus, flag,
@@ -1147,6 +1152,246 @@ def exts_batch_align(
             is_rot=True, is_rev=rev, store_off=zero_off[:nd],
             min_intron_len=long_thres)
         out.append(ez)
+    return out
+
+
+def _cached_tb_starts_exts(flag_int: int):
+    """Jitted traceback-start selection for exts (ksw2_exts2_sse.c:407-410):
+    corner unless zdropped/EXTZ_ONLY, else the max cell (no end_bonus)."""
+    extz_only = bool(flag_int & int(Flag.EXTZ_ONLY))
+
+    def starts(res, qlv, tlv):
+        ok = (qlv > 0) & (tlv > 0)
+        zd = res[:, wb.F_ZDROP] > 0
+        c1 = (jnp.zeros_like(ok) if extz_only
+              else ok & jnp.logical_not(zd))
+        c2 = ok & (res[:, wb.F_MAXT] >= 0) & (res[:, wb.F_MAXQ] >= 0)
+        i0 = jnp.where(c1, tlv - 1, jnp.where(c2, res[:, wb.F_MAXT], -1))
+        j0 = jnp.where(c1, qlv - 1, jnp.where(c2, res[:, wb.F_MAXQ], -1))
+        return i0.astype(jnp.int32), j0.astype(jnp.int32)
+
+    return jax.jit(starts)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_cigar_pipeline_exts(prm, B: int, rmax_round: int,
+                                interpret: bool):
+    """ONE jitted program per splice CIGAR slice: exts forward wavefront ->
+    start-cell selection -> N-op-aware device walker -> RLE pack.
+
+    The direction planes never leave the chip; only the packed
+    [res | walk ends | run count | RLE runs] records cross the tunnel."""
+    from . import traceback_band as tbb
+    from .band_batch import _cached_run_band_tb
+
+    P, R, n_diag = prm.p, prm.n_rows, prm.n_diag
+    Bp = R // P
+    nd128 = round_up(n_diag, 128)
+    nd2 = min(nd128, max(128, rmax_round))
+    Bpw = -(-Bp // 8) * 8
+    tprm = tbb.BandTbParams(n_pairs=Bpw, n_diag=nd2, w=nd2, p=P,
+                            min_intron=prm.long_thres)
+    fwd = _cached_run_exts(prm, interpret, True)
+    tb, MAXR = _cached_run_band_tb(tprm, interpret)
+    starts = _cached_tb_starts_exts(prm.flag)
+
+    def pipe(qpad, tpad, donb, accb, l0, l1):
+        res, p = fwd(qpad, tpad, donb, accb, l0, l1)
+        i0, j0 = starts(res, l0, l1)
+        if nd2 > n_diag:
+            p = jnp.pad(p, ((0, nd2 - n_diag), (0, 0), (0, 0)))
+        elif nd2 < n_diag:
+            p = p[:nd2]
+        if Bpw != Bp:
+            p = jnp.pad(p, ((0, 0), (0, (Bpw - Bp) * P), (0, 0)))
+            i0 = jnp.pad(i0, (0, Bpw - Bp), constant_values=-1)
+            j0 = jnp.pad(j0, (0, Bpw - Bp), constant_values=-1)
+            l0 = jnp.pad(l0, (0, Bpw - Bp))
+            l1 = jnp.pad(l1, (0, Bpw - Bp))
+        wv = jnp.maximum(l0 + l1, 1)       # exts has no band: w covers all r
+        ends, runs, cnt, _ops8 = tb(p, l0, l1, wv, i0, j0)
+        return jnp.concatenate(
+            [res[:B], ends[:B], cnt[:B, None].astype(jnp.int32),
+             runs[:B]], axis=1)
+
+    return jax.jit(pipe), MAXR
+
+
+def exts_batch_align_dispatch(
+    query, target, qlen, tlen, m, mat, q, e, q2, noncan, zdrop=-1,
+    junc_bonus=0, flag=Flag.NONE, junc=None, interpret=False,
+):
+    """Async splice CIGAR batch: dispatch all device work, fetch nothing.
+
+    Returns slice dicts for :func:`_cigar_batch_finish_exts` / the
+    scheduler's single-fetch pipeline (same routing as
+    :func:`exts_batch_align`)."""
+    from . import wavefront_batch_exts as wbs
+
+    flag = Flag(int(flag))
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    if flag & Flag.SCORE_ONLY:
+        raise ValueError("score-only splice batches have no CIGAR dispatch")
+    B, Lq = query.shape
+    Bt, Lt = target.shape
+    assert B == Bt and Lt <= 1536
+    P = (Lt + 127) // 128
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    # the async pipeline never holds two slices' direction planes at once
+    # (the walker donates them), so it can run wider than the full-fetch path
+    RMAX = 384 // P // 8 * 8
+    if B > RMAX:
+        slices = []
+        for i in range(0, B, RMAX):
+            slices.extend(exts_batch_align_dispatch(
+                query[i:i + RMAX], target[i:i + RMAX], qlen[i:i + RMAX],
+                tlen[i:i + RMAX], m, mat, q, e, q2, noncan, zdrop,
+                junc_bonus, flag,
+                None if junc is None else junc[i:i + RMAX], interpret))
+        return slices
+
+    q, e, q2, noncan = int(q), int(e), int(q2), int(noncan)
+    Bp = max(B, 1)
+    while (Bp * P) % 8:
+        Bp += 1
+    R = Bp * P
+    matf, long_thres, long_diff, sc_N, donb, accb = _exts_batch_prep(
+        B, target, tlen, m, mat, q, e, q2, noncan, flag, junc, junc_bonus,
+        R, P)
+    min_sc = int(matf[1:].min())
+    if m <= 1 or q2 <= q + e or -min_sc > 2 * (q + e):
+        return [{"guard": True, "B": B, "args": None}]
+
+    chunk = 32
+    n_diag = int((qlen + tlen).max()) - 1 if B else 1
+    n_diag = max(round_up(n_diag, chunk), chunk)
+    prm = wbs.BatchExtsParams(
+        n_rows=R, n_diag=n_diag, m=m,
+        sc_mch=int(matf[0]), sc_mis=int(matf[1]), sc_N=sc_N,
+        q=q, e=e, q2=q2,
+        long_thres=int(long_thres), long_diff=int(long_diff),
+        zdrop=int(zdrop), flag=int(flag), chunk=chunk, p=P,
+        matt=tuple(int(v) for v in matf) if flag & Flag.GENERIC_SC else (),
+    )
+    rmax = max(int((qlen + tlen).max()) - 2, 0)
+    rmax_round = -(-(rmax + 1) // 1024) * 1024   # bound compiled variants
+    pipe, MAXR = _cached_cigar_pipeline_exts(prm, B, rmax_round, interpret)
+    qpad = np.zeros((Bp, Lq), np.int8)
+    qpad[:B] = np.asarray(query, np.int8)
+    tpad = np.zeros((Bp, Lt), np.int8)
+    tpad[:B] = np.asarray(target, np.int8)
+    lens = np.zeros((2, Bp), np.int32)
+    lens[0, :B], lens[1, :B] = qlen, tlen
+    packed = pipe(jnp.asarray(qpad), jnp.asarray(tpad), jnp.asarray(donb),
+                  jnp.asarray(accb), jnp.asarray(lens[0]),
+                  jnp.asarray(lens[1]))
+    return [{"packed": packed, "MAXR": MAXR, "B": B,
+             "min_intron": int(long_thres),
+             "args": (query, target, qlen, tlen, junc)}]
+
+
+def _cigar_batch_finish_exts(fetched, MAXR, B, qlen, tlen, flag,
+                             min_intron):
+    """Host side of the async splice pipeline.
+
+    Returns the ExtzResult list with CIGARs (N ops for introns), or
+    ``None`` when a pair overflowed the device RLE compaction (caller
+    re-runs that slice through the full-fetch path)."""
+    from ..core.result import ExtzResult
+    from .traceback_band import finish_band_cigars_runs
+
+    flag = Flag(int(flag))
+    res = fetched[:, :NFIELDS_REC]
+    ends = fetched[:, NFIELDS_REC:NFIELDS_REC + 2]
+    cnt = fetched[:, NFIELDS_REC + 2]
+    runs = fetched[:, NFIELDS_REC + 3:]
+    out = []
+    started = np.zeros(B, bool)
+    for b in range(B):
+        ez = ExtzResult()
+        ez.reset()
+        ez.max = int(res[b, wb.F_MAX])
+        ez.max_t = int(res[b, wb.F_MAXT])
+        ez.max_q = int(res[b, wb.F_MAXQ])
+        ez.mqe = int(res[b, wb.F_MQE])
+        ez.mqe_t = int(res[b, wb.F_MQET])
+        ez.mte = int(res[b, wb.F_MTE])
+        ez.mte_q = int(res[b, wb.F_MTEQ])
+        ez.score = int(res[b, wb.F_SCORE])
+        ez.zdropped = bool(res[b, wb.F_ZDROP])
+        out.append(ez)
+        qln, tln = int(qlen[b]), int(tlen[b])
+        if qln <= 0 or tln <= 0:
+            continue
+        if not ez.zdropped and not (flag & Flag.EXTZ_ONLY):
+            started[b] = True
+        elif ez.max_t >= 0 and ez.max_q >= 0:
+            started[b] = True
+    if (cnt[started] > MAXR).any():
+        return None          # degenerate: re-run this slice synchronously
+    rev = bool(flag & Flag.REV_CIGAR)
+    cigs = finish_band_cigars_runs(runs, cnt.astype(np.int64), ends[:, 0],
+                                   ends[:, 1], rev, started,
+                                   min_intron=min_intron)
+    for b in range(B):
+        out[b].cigar = cigs[b]
+    return out
+
+
+def exts_batch_align(
+    query: np.ndarray,
+    target: np.ndarray,
+    qlen: np.ndarray,
+    tlen: np.ndarray,
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    q2: int,
+    noncan: int,
+    zdrop: int = -1,
+    junc_bonus: int = 0,
+    flag: Flag | int = Flag.NONE,
+    junc: Optional[np.ndarray] = None,
+    interpret: bool = False,
+):
+    """Batched spliced extension; CIGARs unless SCORE_ONLY is set.
+
+    CIGAR batches ride the device-walker pipeline (direction planes stay
+    on the chip; only packed RLE records are fetched); a slice whose RLE
+    compaction overflows falls back to the full-fetch host backtrack."""
+    from ..core.result import ExtzResult
+
+    flag = Flag(int(flag))
+    if flag & Flag.SCORE_ONLY:
+        return _exts_batch_align_fullfetch(
+            query, target, qlen, tlen, m, mat, q, e, q2, noncan, zdrop,
+            junc_bonus, flag, junc, interpret)
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    slices = exts_batch_align_dispatch(
+        query, target, qlen, tlen, m, mat, q, e, q2, noncan, zdrop,
+        junc_bonus, flag, junc, interpret)
+    out = []
+    for s in slices:
+        B = s["B"]
+        if s.get("guard"):
+            for _ in range(B):
+                ez = ExtzResult()
+                ez.reset()
+                out.append(ez)
+            continue
+        Qs, Ts, qls, tls, jn = s["args"]
+        fetched = np.asarray(s["packed"])
+        res = _cigar_batch_finish_exts(fetched, s["MAXR"], B, qls, tls,
+                                       flag, s["min_intron"])
+        if res is None:       # RLE overflow: sync re-run with full fetch
+            res = _exts_batch_align_fullfetch(
+                Qs, Ts, qls, tls, m, mat, q, e, q2, noncan, zdrop,
+                junc_bonus, flag, jn, interpret)
+        out.extend(res)
     return out
 
 

@@ -43,6 +43,7 @@ class BandTbParams(NamedTuple):
     n_diag: int      # padded to 128
     w: int           # shared band cap (org schedule)
     p: int = 1       # 128-lane band chunks per pair
+    min_intron: int = 0   # >0: state 3 emits N ops (splice, ksw2.h:150-153)
 
 
 def _bor(arr):
@@ -122,8 +123,10 @@ def _band_tb_kernel(prm: BandTbParams, refs):
         s1 = jnp.where(s1 == 0, tmp & 7, s1)
         s1 = jnp.where(force >= 0, force, s1)
         is_m = s1 == 0
-        is_d = (s1 == 1) | (s1 == 3)          # min_intron <= 0 here
+        is_d = (s1 == 1) | (s1 == 3)          # state 3 moves like a deletion
         op = jnp.where(is_m, 0, jnp.where(is_d, 2, 1))
+        if prm.min_intron > 0:                # splice: Ẽ emits N, not D
+            op = jnp.where(s1 == 3, 3, op)
 
         acc[...] = jnp.where(active & (lanes == r % 128), op, acc[...])
         st[...] = jnp.where(active, s1, state)
@@ -211,7 +214,8 @@ def finish_band_cigars(ops8: np.ndarray, iend: np.ndarray, jend: np.ndarray,
 
 def finish_band_cigars_runs(runs: np.ndarray, cnt: np.ndarray,
                             iend: np.ndarray, jend: np.ndarray,
-                            is_rev: bool, started: np.ndarray):
+                            is_rev: bool, started: np.ndarray,
+                            min_intron: int = 0):
     """Build CIGARs from device-packed runs (``len<<2 | op``) in walk order.
 
     Adjacent runs never share an op (the device boundary mask fires only on
@@ -230,7 +234,11 @@ def finish_band_cigars_runs(runs: np.ndarray, cnt: np.ndarray,
         rr = runs[b, :int(cnt[b])].astype(np.int64)
         cigar = (((rr >> 2) << 4) | (rr & 3)).tolist()
         if int(iend[b]) >= 0:
-            push(cigar, CigarOp.DEL, int(iend[b]) + 1)
+            push(cigar,
+                 CigarOp.N_SKIP if (min_intron > 0
+                                    and int(iend[b]) >= min_intron)
+                 else CigarOp.DEL,
+                 int(iend[b]) + 1)
         if int(jend[b]) >= 0:
             push(cigar, CigarOp.INS, int(jend[b]) + 1)
         if not is_rev:
