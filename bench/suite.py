@@ -327,6 +327,59 @@ def main():
          (ccells / 1e9) / best_of(run_mixed_cigar, n=3),
          "Gcells/s", baseline=0.60)  # ref extz2_sse -z100 serial loop
 
+    # spliced (mRNA-to-genome) batch: 256 two-exon reads vs 512 bp genomic
+    # windows with a canonical GT..AG intron, full CIGARs (N ops for the
+    # intron).  Parity anchor = spec exts2 checksum (spec itself is
+    # byte-validated against the compiled reference).
+    from ksw2_tpu.batch.scheduler import align_batch_splice
+
+    mat_s = simple_mat(5, 1, 2)
+    rngs = np.random.default_rng(1234)
+    jobs_s = []
+    scells = 0
+    for _ in range(256):
+        tt = rngs.integers(0, 4, 512).astype(np.int32)
+        tt[200:202] = (2, 3)                 # GT donor
+        tt[348:350] = (0, 2)                 # AG acceptor
+        qq = np.concatenate([tt[40:200], tt[350:480]])
+        mut = rngs.random(qq.shape) < 0.05
+        qq = np.where(mut, (qq + rngs.integers(1, 4, qq.shape)) % 4,
+                      qq).astype(np.int32)
+        jobs_s.append(AlignJob(query=qq, target=tt))
+        scells += len(qq) * len(tt)
+
+    def run_splice():
+        ezs = align_batch_splice(jobs_s, 5, mat_s, 2, 1, 32, 9, zdrop=200,
+                                 flag=Flag.NONE)
+        tot = sum(ez.max for ez in ezs)
+        ctot = sum(len(ez.cigar) for ez in ezs)
+        assert (tot, ctot) == (47099, 1394), (tot, ctot)
+
+    emit("splice_batch_256x512_cigar_gcells_per_s",
+         (scells / 1e9) / best_of(run_splice, n=3), "Gcells/s")
+
+    # batched Smith-Waterman local alignment (declared-but-absent upstream;
+    # implemented here): 512 pairs of 128 bp, score + end cell.  Anchor =
+    # spec/local.py oracle checksum.
+    from ksw2_tpu.ops.batch_local import local_batch_device
+
+    rngl = np.random.default_rng(99)
+    Ql = np.zeros((512, 128), np.int32)
+    Tl = np.zeros((512, 128), np.int32)
+    for i in range(512):
+        Ql[i] = rngl.integers(0, 4, 128)
+        Tl[i] = np.where(rngl.random(128) < 0.12,
+                         rngl.integers(0, 4, 128), Ql[i])
+    ll = np.full(512, 128, np.int32)
+
+    def run_local():
+        ol = local_batch_device(Ql, Tl, ll, ll, 5, mat, 4, 2)
+        chk = (int(ol["score"].sum()), int(ol["te"].sum() + ol["qe"].sum()))
+        assert chk == (97230, 129138), chk
+
+    emit("local_batch_512x128_pairs_per_s",
+         512 / best_of(run_local, n=3), "pairs/s")
+
     if ctx is not None:
         ctx.__exit__(None, None, None)
 
