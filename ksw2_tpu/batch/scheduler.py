@@ -566,8 +566,8 @@ def align_batch_splice(
         key = _bucket_key(len(job.query), len(job.target))
         buckets.setdefault(key, []).append(i)
 
-    from ..ops.batch_pallas import (exts_batch_align,
-                                    exts_batch_align_dispatch)
+    from ..ops.batch_pallas import (exts_batch_align_dispatch,
+                                    exts_batch_records)
     from ..ops.exts import exts2_device
 
     with_cigar = not (flag & Flag.SCORE_ONLY)
@@ -591,20 +591,17 @@ def align_batch_splice(
                 T[k, : len(job.target)] = job.target
                 qlen[k] = len(job.query)
                 tlen[k] = len(job.target)
+            # async either way: dispatch every bucket's device work now,
+            # fetch ALL records once at the end
             if with_cigar:
-                # async: dispatch every bucket's forward kernel + device
-                # walker now, fetch ALL packed records once at the end
                 slices = exts_batch_align_dispatch(
                     Q, T, qlen, tlen, m, mat, q, e, q2, noncan,
                     zdrop=zdrop, junc_bonus=junc_bonus, flag=flag, junc=jb)
-                splice_pending.append((idxs, slices))
             else:
-                ezs = exts_batch_align(Q, T, qlen, tlen, m, mat, q, e, q2,
-                                       noncan, zdrop=zdrop,
-                                       junc_bonus=junc_bonus, flag=flag,
-                                       junc=jb)
-                for k, i in enumerate(idxs):
-                    results[i] = ezs[k]
+                slices = exts_batch_records(
+                    Q, T, qlen, tlen, m, mat, q, e, q2, noncan,
+                    zdrop=zdrop, junc_bonus=junc_bonus, flag=flag, junc=jb)
+            splice_pending.append((idxs, slices))
         else:
             for i in idxs:
                 job = jobs[i]
@@ -627,12 +624,15 @@ def _finish_splice_pending(splice_pending, results, m, mat, q, e, q2,
     from ..ops.batch_pallas import (_cigar_batch_finish_exts,
                                     _exts_batch_align_fullfetch)
 
+    from ..ops import wavefront_batch as wb
+
     slabs = []
     for _, slices in splice_pending:
         for s in slices:
-            if "packed" in s:
-                s["width"] = s["packed"].shape[1]
-                slabs.append(s["packed"])
+            arr = s.get("packed", s.get("res"))
+            if arr is not None:
+                s["width"] = arr.shape[1]
+                slabs.append(arr)
     if slabs:
         fetched = np.asarray(_concat_pad_records(*slabs)
                              if len(slabs) > 1 else slabs[0])
@@ -651,6 +651,21 @@ def _finish_splice_pending(splice_pending, results, m, mat, q, e, q2,
                 continue
             slab = fetched[off:off + B, :s["width"]]
             off += B
+            if "res" in s:                     # score-only records
+                for k, i in enumerate(sub):
+                    ez = ExtzResult()
+                    ez.reset()
+                    ez.max = int(slab[k, wb.F_MAX])
+                    ez.max_t = int(slab[k, wb.F_MAXT])
+                    ez.max_q = int(slab[k, wb.F_MAXQ])
+                    ez.mqe = int(slab[k, wb.F_MQE])
+                    ez.mqe_t = int(slab[k, wb.F_MQET])
+                    ez.mte = int(slab[k, wb.F_MTE])
+                    ez.mte_q = int(slab[k, wb.F_MTEQ])
+                    ez.score = int(slab[k, wb.F_SCORE])
+                    ez.zdropped = bool(slab[k, wb.F_ZDROP])
+                    results[i] = ez
+                continue
             Qs, Ts, qls, tls, jn = s["args"]
             out = _cigar_batch_finish_exts(slab, s["MAXR"], B, qls, tls,
                                            flag, s["min_intron"])

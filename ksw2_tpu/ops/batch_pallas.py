@@ -1292,6 +1292,72 @@ def exts_batch_align_dispatch(
              "args": (query, target, qlen, tlen, junc)}]
 
 
+def exts_batch_records(
+    query, target, qlen, tlen, m, mat, q, e, q2, noncan, zdrop=-1,
+    junc_bonus=0, flag=Flag.NONE, junc=None, interpret=False,
+):
+    """Score-only splice batch, async: dispatch only, nothing fetched.
+
+    Returns slice dicts ``{"res": device (B, NFIELDS) records, "B": n}``
+    (or ``{"guard": True}``); the caller concatenates every bucket's
+    records and fetches once."""
+    from . import wavefront_batch_exts as wbs
+
+    flag = Flag(int(flag))
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    assert flag & Flag.SCORE_ONLY
+    B, Lq = query.shape
+    Bt, Lt = target.shape
+    assert B == Bt and Lt <= 1536
+    P = (Lt + 127) // 128
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    RMAX = 384 // P // 8 * 8
+    if B > RMAX:
+        slices = []
+        for i in range(0, B, RMAX):
+            slices.extend(exts_batch_records(
+                query[i:i + RMAX], target[i:i + RMAX], qlen[i:i + RMAX],
+                tlen[i:i + RMAX], m, mat, q, e, q2, noncan, zdrop,
+                junc_bonus, flag,
+                None if junc is None else junc[i:i + RMAX], interpret))
+        return slices
+
+    q, e, q2, noncan = int(q), int(e), int(q2), int(noncan)
+    Bp = max(B, 1)
+    while (Bp * P) % 8:
+        Bp += 1
+    R = Bp * P
+    matf, long_thres, long_diff, sc_N, donb, accb = _exts_batch_prep(
+        B, target, tlen, m, mat, q, e, q2, noncan, flag, junc, junc_bonus,
+        R, P)
+    min_sc = int(matf[1:].min())
+    if m <= 1 or q2 <= q + e or -min_sc > 2 * (q + e):
+        return [{"guard": True, "B": B}]
+    n_diag = int((qlen + tlen).max()) - 1 if B else 1
+    n_diag = max(round_up(n_diag, wb.CHUNK), wb.CHUNK)
+    prm = wbs.BatchExtsParams(
+        n_rows=R, n_diag=n_diag, m=m,
+        sc_mch=int(matf[0]), sc_mis=int(matf[1]), sc_N=sc_N,
+        q=q, e=e, q2=q2,
+        long_thres=int(long_thres), long_diff=int(long_diff),
+        zdrop=int(zdrop), flag=int(flag), chunk=wb.CHUNK, p=P,
+        matt=tuple(int(v) for v in matf) if flag & Flag.GENERIC_SC else (),
+    )
+    run = _cached_run_exts(prm, interpret, False)
+    qpad = np.zeros((Bp, Lq), np.int8)
+    qpad[:B] = np.asarray(query, np.int8)
+    tpad = np.zeros((Bp, Lt), np.int8)
+    tpad[:B] = np.asarray(target, np.int8)
+    lens = np.zeros((2, Bp), np.int32)
+    lens[0, :B], lens[1, :B] = qlen, tlen
+    res = run(jnp.asarray(qpad), jnp.asarray(tpad), jnp.asarray(donb),
+              jnp.asarray(accb), jnp.asarray(lens[0]),
+              jnp.asarray(lens[1]))
+    return [{"res": res[:B], "B": B}]
+
+
 def _cigar_batch_finish_exts(fetched, MAXR, B, qlen, tlen, flag,
                              min_intron):
     """Host side of the async splice pipeline.
