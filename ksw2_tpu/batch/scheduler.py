@@ -45,13 +45,18 @@ def _bucket_len(n: int, quantum: int = 128, coarse: bool = False) -> int:
 
 
 def _bucket_key(qn: int, tn: int):
-    """(Lq, Lt) bucket: linear steps only when the target rides the batched
-    engines; otherwise both dims coarsen geometrically (single-pair route,
-    where every extra shape is a separate multi-minute kernel compile)."""
+    """(Lq, Lt) bucket: Lt steps linearly when the target rides the batched
+    engines (P = ceil(Lt/128) rows per pair, so every 128 matters); Lq is
+    ALWAYS coarse — the batched kernels never loop over Lq (query symbols
+    inject per-diagonal via a gather whose cost scales with qlen+tlen, not
+    the padded width), so a fine Lq quantum would only split one launch
+    into several and multiply dispatches and compiled variants.  On the
+    single-pair route both dims coarsen (every extra shape is a separate
+    multi-minute kernel compile)."""
     Lt = _bucket_len(tn)
     if Lt > 3072:
         return (_bucket_len(qn, coarse=True), _bucket_len(tn, coarse=True))
-    return (_bucket_len(qn), Lt)
+    return (_bucket_len(qn, coarse=True), Lt)
 
 
 @dataclasses.dataclass

@@ -25,7 +25,7 @@ import numpy as np
 from ..core.flags import NEG_INF, Flag
 from . import wavefront_band as wband
 from . import wavefront_batch as wb
-from .bands import round_up
+from .bands import pad_rows, round_up
 
 
 def _pick_p(wmax: int) -> int:
@@ -324,9 +324,7 @@ def extz_band_batch_records(
 
     sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
 
-    Bp = max(B, 1)
-    while (Bp * P) % 8:
-        Bp += 1
+    Bp = pad_rows(B, P)
     R = Bp * P
     n_diag = int((qlen + tlen).max()) - 1 if B else 1
     n_diag = max(round_up(n_diag, wb.CHUNK), wb.CHUNK)
@@ -448,9 +446,7 @@ def extz_band_batch_align(
             out.append(ez)
         return out
 
-    Bp = max(B, 1)
-    while (Bp * P) % 8:
-        Bp += 1
+    Bp = pad_rows(B, P)
     R = Bp * P
     n_diag = int((qlen + tlen).max()) - 1 if B else 1
     n_diag = max(round_up(n_diag, wb.CHUNK), wb.CHUNK)
@@ -609,9 +605,7 @@ def extd_band_batch_records(
     long_diff = long_thres * (e - e2) - (q2 - q) - e2
     sc_N = -e2 if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
 
-    Bp = max(B, 1)
-    while (Bp * P) % 8:
-        Bp += 1
+    Bp = pad_rows(B, P)
     R = Bp * P
     n_diag = int((qlen + tlen).max()) - 1 if B else 1
     n_diag = max(round_up(n_diag, wb.CHUNK), wb.CHUNK)
@@ -748,9 +742,7 @@ def extd_band_batch_align(
             out.append(ez)
         return out
 
-    Bp = max(B, 1)
-    while (Bp * P) % 8:
-        Bp += 1
+    Bp = pad_rows(B, P)
     R = Bp * P
     n_diag = int((qlen + tlen).max()) - 1 if B else 1
     n_diag = max(round_up(n_diag, wb.CHUNK), wb.CHUNK)

@@ -48,10 +48,30 @@ def round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def pad_rows(B: int, P: int) -> int:
+    """Pairs per batched launch, padded for tiling AND compile reuse.
+
+    The row count R = Bp*P must be a multiple of 8 (sublane tiling).  Bp
+    is first lifted to a ~25%-granularity ladder (multiples of the next
+    power of two over 4) so that *varying* batch sizes land on a handful
+    of compiled program shapes instead of one per exact size — the
+    compile-cache equivalent of the reference arena's no-per-call-setup
+    contract (kalloc.c:41-62).  Padding rows carry zero-length pairs that
+    the kernels mask out everywhere.
+    """
+    Bp = max(B, 1)
+    step = max(1, (1 << (Bp - 1).bit_length()) // 4)
+    Bp = -(-Bp // step) * step
+    while (Bp * P) % 8:
+        Bp += 1
+    return Bp
+
+
 __all__ = [
     "band_bounds",
     "band_bounds_rounded",
     "storage_offsets",
     "n_col_bytes",
     "round_up",
+    "pad_rows",
 ]

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..core.flags import NEG_INF, Flag
 from . import wavefront_batch as wb
-from .bands import round_up
+from .bands import pad_rows, round_up
 
 
 @functools.lru_cache(maxsize=128)
@@ -156,9 +156,7 @@ def extz_batch_records(
         return pieces
     sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
 
-    Bp = max(B, 1)
-    while (Bp * P) % 8:
-        Bp += 1
+    Bp = pad_rows(B, P)
     R = Bp * P
     n_diag = int((qlen + tlen).max()) - 1 if B else 1
     n_diag = max(round_up(n_diag, wb.CHUNK), wb.CHUNK)
@@ -411,9 +409,7 @@ def extz_batch_align_dispatch(
     if -min_sc > 2 * (q + e):
         return [{"guard": True, "B": B, "args": None}]
 
-    Bp = max(B, 1)
-    while (Bp * P) % 8:
-        Bp += 1
+    Bp = pad_rows(B, P)
     R = Bp * P
     n_diag = int((qlen + tlen).max()) - 1 if B else 1
     n_diag = max(round_up(n_diag, 32), 32)
@@ -549,9 +545,7 @@ def extz_batch_align(
             out.append(ez)
         return out
 
-    Bp = max(B, 1)
-    while (Bp * P) % 8:
-        Bp += 1
+    Bp = pad_rows(B, P)
     R = Bp * P
     n_diag = int((qlen + tlen).max()) - 1 if B else 1
     n_diag = max(round_up(n_diag, 32), 32)
@@ -715,9 +709,7 @@ def _extd_batch_params(B, Lq, qlen, tlen, m, mat, q, e, q2, e2, zdrop, flag,
         long_thres += 1
     long_diff = long_thres * (e - e2) - (q2 - q) - e2
     sc_N = -e2 if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
-    Bp = max(B, 1)
-    while (Bp * P) % 8:
-        Bp += 1
+    Bp = pad_rows(B, P)
     R = Bp * P
     n_diag = int((qlen + tlen).max()) - 1 if B else 1
     n_diag = max(round_up(n_diag, chunk), chunk)
@@ -1065,9 +1057,7 @@ def _exts_batch_align_fullfetch(
         return out
 
     q, e, q2, noncan = int(q), int(e), int(q2), int(noncan)
-    Bp = max(B, 1)
-    while (Bp * P) % 8:
-        Bp += 1
+    Bp = pad_rows(B, P)
     R = Bp * P
     matf, long_thres, long_diff, sc_N, donb, accb = _exts_batch_prep(
         B, target, tlen, m, mat, q, e, q2, noncan, flag, junc, junc_bonus,
@@ -1253,9 +1243,7 @@ def exts_batch_align_dispatch(
         return slices
 
     q, e, q2, noncan = int(q), int(e), int(q2), int(noncan)
-    Bp = max(B, 1)
-    while (Bp * P) % 8:
-        Bp += 1
+    Bp = pad_rows(B, P)
     R = Bp * P
     matf, long_thres, long_diff, sc_N, donb, accb = _exts_batch_prep(
         B, target, tlen, m, mat, q, e, q2, noncan, flag, junc, junc_bonus,
@@ -1325,9 +1313,7 @@ def exts_batch_records(
         return slices
 
     q, e, q2, noncan = int(q), int(e), int(q2), int(noncan)
-    Bp = max(B, 1)
-    while (Bp * P) % 8:
-        Bp += 1
+    Bp = pad_rows(B, P)
     R = Bp * P
     matf, long_thres, long_diff, sc_N, donb, accb = _exts_batch_prep(
         B, target, tlen, m, mat, q, e, q2, noncan, flag, junc, junc_bonus,
@@ -1533,9 +1519,7 @@ def extf_batch_device(
         ]
         return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
     mis = int(mis) if int(mis) < 0 else -int(mis)
-    Bp = max(B, 1)
-    while (Bp * P) % 8:
-        Bp += 1
+    Bp = pad_rows(B, P)
     R = Bp * P
     n_diag = int((qlen + tlen).max()) - 1 if B else 1
     n_diag = max(round_up(n_diag, wb.CHUNK), wb.CHUNK)
@@ -1644,9 +1628,7 @@ def gg2_batch_align(
         return out
     from . import wavefront_batch_gg2 as wbg
     mat = np.asarray(mat, dtype=np.int8).reshape(-1)
-    Bp = max(B, 1)
-    while (Bp * P) % 8:
-        Bp += 1
+    Bp = pad_rows(B, P)
     R = Bp * P
     n_diag = int((qlen + tlen).max()) - 1 if B else 1
     chunk = 32 if with_cigar else wb.CHUNK

@@ -125,8 +125,11 @@ def test_bucket_len_policy():
     assert _bucket_len(3073) == 4096
     assert _bucket_len(5000) == 6144      # 2048-steps above
     assert _bucket_len(300, coarse=True) == 512
-    # short target: both dims linear
-    assert _bucket_key(300, 400) == (384, 512)
+    # short target: Lt linear (sets P), Lq coarse (the batched kernels
+    # never loop over the padded query width, so fine Lq steps would only
+    # split launches)
+    assert _bucket_key(300, 400) == (512, 512)
+    assert _bucket_key(100, 400) == (128, 512)
     # long target: both dims coarsen geometrically
     assert _bucket_key(300, 5000) == (512, 6144)
 
