@@ -111,6 +111,26 @@ def test_align_batch_splice_matches_spec():
         assert ez.tsv_fields() == want.tsv_fields()
 
 
+def test_pad_rows_ladder():
+    """Launch row counts quantize (~25% ladder, sublane-aligned) so varying
+    batch sizes reuse compiled programs -- the kalloc no-per-call-setup
+    analogue."""
+    from ksw2_tpu.ops.bands import pad_rows
+
+    for P in (1, 2, 3, 4, 8, 12):
+        seen = set()
+        for B in range(1, 513):
+            Bp = pad_rows(B, P)
+            assert Bp >= B and (Bp * P) % 8 == 0
+            # bounded padding waste (small B: sublane alignment forces
+            # R up to lcm(P, 8))
+            assert Bp * P <= max(8 * P, 3 * B * P)
+            seen.add(Bp)
+        # the ladder keeps distinct compiled shapes logarithmic-ish in B
+        assert len(seen) <= 40, (P, len(seen))
+    assert pad_rows(0, 1) == 8                    # empty batch still tiles
+
+
 def test_bucket_len_policy():
     """Linear 128-steps through the batched range; geometric in BOTH dims
     once the target leaves it (single-pair shapes each cost a compile)."""
