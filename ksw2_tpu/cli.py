@@ -224,9 +224,33 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("-a", dest="all_vs_all", action="store_true", help="all vs all")
     ap.add_argument("--backend", default="spec", choices=("spec", "tpu", "batch"),
                     help="engine backend [spec]")
+    ap.add_argument("--stats", action="store_true",
+                    help="print the km_stat-style engine report to stderr")
     ap.add_argument("target", help="target FASTA/FASTQ (or literal sequence)")
     ap.add_argument("query", help="query FASTA/FASTQ (or literal sequence)")
     args = ap.parse_args(argv)
+
+    if args.backend in ("tpu", "batch"):
+        # persistent executable cache: kernel compiles cost 20-40 s each,
+        # so CLI invocations (one process per run, like the reference
+        # binary) reuse them across processes
+        try:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir",
+                              os.environ.get("KSW2_TPU_CCACHE",
+                                             "/tmp/jax_ccache"))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        except Exception:
+            pass
+
+    if args.stats:
+        # like km_stat's end-of-run stderr report (kalloc.c:191-214), on
+        # every exit path
+        import atexit
+
+        from .utils.stats import print_stats
+        atexit.register(print_stats)
 
     def _two(sv, d2):
         parts = str(sv).split(",")
