@@ -222,13 +222,26 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("-O", dest="gapo", default="4,13", help="gap open [4,13]")
     ap.add_argument("-E", dest="gape", default="2,1", help="gap ext [2,1]")
     ap.add_argument("-a", dest="all_vs_all", action="store_true", help="all vs all")
-    ap.add_argument("--backend", default="spec", choices=("spec", "tpu", "batch"),
-                    help="engine backend [spec]")
+    ap.add_argument("--backend", default=None,
+                    choices=("spec", "tpu", "batch"),
+                    help="engine backend [tpu when a TPU is attached, "
+                         "else spec]")
     ap.add_argument("--stats", action="store_true",
                     help="print the km_stat-style engine report to stderr")
     ap.add_argument("target", help="target FASTA/FASTQ (or literal sequence)")
     ap.add_argument("query", help="query FASTA/FASTQ (or literal sequence)")
     args = ap.parse_args(argv)
+
+    if args.backend is None:
+        # default to the TPU engines when a TPU is attached (the analogue
+        # of the reference's runtime CPU dispatch picking the widest SIMD)
+        try:
+            import jax
+
+            args.backend = ("tpu" if jax.default_backend() == "tpu"
+                            else "spec")
+        except Exception:
+            args.backend = "spec"
 
     if args.backend in ("tpu", "batch"):
         # persistent executable cache: kernel compiles cost 20-40 s each,
@@ -237,9 +250,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         try:
             import jax
 
-            jax.config.update("jax_compilation_cache_dir",
-                              os.environ.get("KSW2_TPU_CCACHE",
-                                             "/tmp/jax_ccache"))
+            cache = os.environ.get("KSW2_TPU_CCACHE")
+            if cache is None:
+                # per-user default: a world-shared /tmp path could be
+                # pre-created by another user (poisoning / permission
+                # collisions on multi-user hosts)
+                cache = os.path.join(
+                    os.path.expanduser("~"), ".cache", "ksw2_tpu",
+                    "jax_ccache")
+            jax.config.update("jax_compilation_cache_dir", cache)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
         except Exception:
             pass

@@ -8,6 +8,13 @@
 // file and the test suite cross-checks the two.
 //
 // Plain C ABI (ctypes-consumed); all buffers caller-owned, no allocation.
+//
+// Attribution: k2t_backtrack and push_cigar are semantics-mandated state
+// machines whose bit layout is fixed by the parity contract with lh3/ksw2
+// (MIT license, Copyright (c) 2018 Dana-Farber Cancer Institute); their
+// control flow follows ksw_backtrack/ksw_push_cigar (ksw2.h:113-161) with
+// extensions (store_off, bounds checks).  Everything else in this file is
+// original.
 
 #include <cstdint>
 #include <cstring>

@@ -145,7 +145,9 @@ def extd2_device(
             ez.cigar = device_backtrack(
                 p, p.shape[0] // chunk, chunk, p_rows, qlen, tlen, w,
                 i0, j0, 0, rev, interpret)
-        elif i0 is not None:
+            if ez.cigar is None:
+                device_tb = False   # escaped: replay on the host
+        if i0 is not None and not device_tb:
             st0, en0, st, en = band_bounds_rounded(n_diag, qlen, tlen, w)
             store_off = st // 128 * 128
             pmat = np.asarray(p).reshape(p.shape[0], -1)[:n_diag]

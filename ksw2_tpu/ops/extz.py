@@ -176,7 +176,11 @@ def extz2_device(
             ez.cigar = device_backtrack(
                 p, n_steps, chunk, p_rows, qlen, tlen, w, i0, j0,
                 0, rev, interpret)
-        elif i0 is not None:
+            if ez.cigar is None:
+                # the walk escaped the stored rows: replay on the host
+                # over the fetched direction matrix (exact same bytes)
+                device_tb = False
+        if i0 is not None and not device_tb:
             st0, en0, st, en = band_bounds_rounded(n_diag, qlen, tlen, w)
             store_off = st // 128 * 128
             pmat = np.asarray(p).reshape(p.shape[0], -1)[:n_diag]

@@ -32,9 +32,11 @@ strict-``>`` tie-breaks; ``max``/Z-drop use the packed-argmax butterfly of
 the t-coordinate kernel with a 13-bit tie key (positions are band-relative,
 so P*128 lanes need 5*P*128 + 2 <= 7682 < 8192 key values, P <= 12).
 
-Score-only; exact per-diagonal max (ksw_apply_zdrop semantics with or
-without a live Z-drop).  CIGARs for long pairs go through the single-pair
-kernels with on-device traceback.
+This module is score-only; exact per-diagonal max (ksw_apply_zdrop
+semantics with or without a live Z-drop).  Banded batch CIGARs use the
+sibling direction-byte engine (:mod:`ksw2_tpu.ops.band_batch`) with the
+batched on-device traceback (:mod:`ksw2_tpu.ops.traceback_band`); pairs
+too long for the band engines go through the single-pair kernels.
 """
 from __future__ import annotations
 

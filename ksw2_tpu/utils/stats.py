@@ -13,7 +13,6 @@ stderr-style report like ``km_stat`` does.
 """
 from __future__ import annotations
 
-import functools
 import sys
 from typing import Dict
 
@@ -28,13 +27,16 @@ def _iter_caches():
         "ksw2_tpu.ops.band_batch", "ksw2_tpu.ops.batch_local",
         "ksw2_tpu.parallel.halo",
     ]
+    seen = set()                 # dedupe re-exported builders on identity
     for name in mods:
         if name not in sys.modules:
             continue                      # never imported: nothing compiled
         mod = importlib.import_module(name)
         for attr in dir(mod):
             fn = getattr(mod, attr)
-            if callable(fn) and hasattr(fn, "cache_info"):
+            if callable(fn) and hasattr(fn, "cache_info") \
+                    and id(fn) not in seen:
+                seen.add(id(fn))
                 yield f"{name.rsplit('.', 1)[1]}.{attr}", fn
 
 

@@ -23,8 +23,6 @@ def _free_port():
     return port
 
 
-@pytest.mark.skipif(os.environ.get("KSW2_SKIP_MULTIHOST") == "1",
-                    reason="multi-process test skipped by env")
 def _spawn_workers():
     coord = f"127.0.0.1:{_free_port()}"
     env = {k: v for k, v in os.environ.items()
@@ -56,6 +54,8 @@ def _spawn_workers():
     return outs
 
 
+@pytest.mark.skipif(os.environ.get("KSW2_SKIP_MULTIHOST") == "1",
+                    reason="multi-process test skipped by env")
 def test_two_process_distributed():
     # the coordination-service startup is sensitive to host load; one
     # retry on a fresh port keeps the test honest without flaking
