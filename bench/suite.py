@@ -273,13 +273,33 @@ def main():
     l15 = np.full(B15, L15, np.int32)
     from ksw2_tpu.ops.batch_pallas import extz_batch_device
 
-    def run_batch_p12():
-        ob = extz_batch_device(Q15, T15, l15, l15, 5, mat, 4, 2, zdrop=200,
-                               flag=Flag.SCORE_ONLY)
-        assert int(ob["max"].sum()) == 63252, int(ob["max"].sum())
+    # parity anchor (one synchronous call)
+    ob = extz_batch_device(Q15, T15, l15, l15, 5, mat, 4, 2, zdrop=200,
+                           flag=Flag.SCORE_ONLY)
+    assert int(ob["max"].sum()) == 63252, int(ob["max"].sum())
 
+    # throughput: device-resident chained reps (same methodology as the
+    # 512x128 row — amortizes this terminal's ~25 ms tunnel sync, which a
+    # local v5e host does not pay; inputs vary per rep to defeat caching)
+    prm15 = wb.BatchParams(
+        n_rows=B15 * 12, n_diag=3072, m=5, sc_mch=2, sc_mis=-4, sc_N=-2,
+        q=4, e=2, zdrop=200, flag=int(Flag.SCORE_ONLY), p=12)
+    run15 = _cached_run(prm15, False)
+    dQ15 = jnp.asarray(Q15.astype(np.int8))
+    dT15 = jnp.asarray(T15.astype(np.int8))
+    dl15 = jnp.asarray(l15)
+    acc15 = run15(dQ15, dT15, dl15, dl15, dl15)
+    jax.block_until_ready(acc15)
+    reps = 100
+    t0 = time.time()
+    cur = dQ15
+    for _ in range(reps):
+        cur = jnp.roll(cur, 1, axis=0)
+        acc15 = acc15 + run15(cur, dT15, dl15, dl15, dl15)
+    jax.block_until_ready(acc15)
+    dt15 = (time.time() - t0) / reps
     emit("batch_p12_32x1500_gcells_per_s",
-         (B15 * L15 * L15 / 1e9) / best_of(run_batch_p12, n=3),
+         B15 * L15 * L15 / 1e9 / dt15,
          "Gcells/s", baseline=1.12)  # ref extz2_sse -z200 -s, same pairs
 
     # mixed-length production workload through the scheduler (the

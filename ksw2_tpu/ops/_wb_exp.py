@@ -38,6 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.flags import NEG_INF, Flag
 from .group_reduce import make_group_ops
+import os
+_BISECT = int(os.environ.get('WB_BISECT', '0'))
 
 I32 = jnp.int32
 _INT_MIN = -(2 ** 31) + 1
@@ -295,6 +297,8 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
         x[...] = jnp.where(bmask, jnp.where(anb > 128, an, 0), x[...])
         y[...] = jnp.where(bmask, jnp.where(bnb > 128, bn, 0), y[...])
 
+        if _BISECT == 6:
+            return
         # vectorized H column (same identities as the single-pair kernel)
         is0 = r == 0
         Hc = H[...]
@@ -355,6 +359,8 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
             mtp[...] = jnp.where(betterz, t0_, mtp[...])
             mqp[...] = jnp.where(betterz, r - t0_, mqp[...])
 
+        if withz and not approx and _BISECT == 4:
+            return
         if withz and not approx:
             # per-diagonal running max + Z-drop test (ksw2.h:191-207).
             # One butterfly: pack (H, tie-key) into a single int32. Scores
@@ -376,7 +382,11 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
             kf = jnp.where(en0m, 0, kf)        # boundary cell wins ties
             hcl = jnp.maximum(Hn, -((1 << 31) - 2 * KB) // KB)
             packedv = jnp.where(band, hcl * KB + (KB - 1 - kf), _INT_MIN)
-            Cbest = _pmax(packedv)
+            if _BISECT == 5:
+                from .group_reduce import _lane_butterfly
+                Cbest = _lane_butterfly(packedv, jnp.maximum)
+            else:
+                Cbest = _pmax(packedv)
             # KB is a power of two, so the decode is an arithmetic
             # shift + mask (bit-exact floor-div/mod); vector integer
             # division has no VPU unit and lowers ~200x slower

@@ -21,6 +21,8 @@ from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+
+from .inject import inject_plane
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -168,9 +170,7 @@ def _cached_local(prm: LocalParams, interpret: bool):
         tlp = tlen[:, None] * ones
         tpad = jnp.zeros((R, 128), I).at[:, :target.shape[1]].set(
             target.astype(I))
-        rr = jnp.arange(n_diag, dtype=I)[None, :]
-        ridx = jnp.minimum(rr, jnp.maximum(qlen - 1, 0)[:, None])
-        qinj = jnp.take_along_axis(query.astype(I), ridx, axis=1)
+        qinj = inject_plane(query, qlen, n_diag)
         return call(qlp, tlp, tpad, qinj)[0][:, :3]
 
     return jax.jit(run)

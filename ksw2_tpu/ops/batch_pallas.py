@@ -22,6 +22,7 @@ import numpy as np
 
 from ..core.flags import NEG_INF, Flag
 from . import wavefront_batch as wb
+from .inject import inject_plane, profile_planes
 from .bands import pad_rows, round_up
 
 
@@ -53,17 +54,14 @@ def _cached_run(prm: wb.BatchParams, interpret: bool, with_cigar: bool = False):
         qlp, tlp, wpl, rlp = rep(qlen), rep(tlen), rep(w), rep(rlim)
         tpad = jnp.zeros((B, P * 128), I).at[:, :target.shape[1]].set(
             target.astype(I)).reshape(R, 128)
-        ridx = jnp.minimum(rr, jnp.maximum(qlen - 1, 0)[:, None])
-        qinj = jnp.repeat(
-            jnp.take_along_axis(query.astype(I), ridx, axis=1), P, axis=0)
+        qinj = jnp.repeat(inject_plane(query, qlen, n_diag), P, axis=0)
         args = [qlp, tlp, wpl, rlp, tpad]
         if generic:
             # per-query-symbol profile planes, pre-biased (GENERIC_SC)
-            matj = jnp.asarray(np.asarray(prm.matt, np.int32))
             qe2x = 2 * (prm.q + prm.e)
-            args.append(jnp.concatenate(
-                [(((jnp.take(matj, tpad * prm.m + c) + qe2x) & 255) ^ 128)
-                 for c in range(prm.m)], axis=0))
+            args.append(profile_planes(
+                tpad, prm.matt, prm.m,
+                lambda v: ((v + qe2x) & 255) ^ 128))
         args.append(qinj)
         out = call(*args)
         if with_cigar:
@@ -674,16 +672,12 @@ def _cached_run_extd(prm, interpret: bool, with_cigar: bool = False):
         qlp, tlp, wpl, rlp = rep(qlen), rep(tlen), rep(w), rep(rlim)
         tpad = jnp.zeros((B, P * 128), I).at[:, :target.shape[1]].set(
             target.astype(I)).reshape(R, 128)
-        ridx = jnp.minimum(rr, jnp.maximum(qlen - 1, 0)[:, None])
-        qinj = jnp.repeat(
-            jnp.take_along_axis(query.astype(I), ridx, axis=1), P, axis=0)
+        qinj = jnp.repeat(inject_plane(query, qlen, n_diag), P, axis=0)
         args = [qlp, tlp, wpl, rlp, tpad]
         if prm.flag & int(Flag.GENERIC_SC):
             # per-query-symbol profile planes, biased (GENERIC_SC)
-            matj = jnp.asarray(np.asarray(prm.matt, np.int32))
-            args.append(jnp.concatenate(
-                [((jnp.take(matj, tpad * prm.m + c) + 128) & 255)
-                 for c in range(prm.m)], axis=0))
+            args.append(profile_planes(
+                tpad, prm.matt, prm.m, lambda v: (v + 128) & 255))
         args.append(qinj)
         out = call(*args)
         if with_cigar:
@@ -964,15 +958,11 @@ def _cached_run_exts(prm, interpret: bool, with_cigar: bool = False):
         tpad = jnp.zeros((B, P * 128), I).at[:, :target.shape[1]].set(
             target.astype(I)).reshape(R, 128)
         rr = jnp.arange(n_diag, dtype=I)[None, :]
-        ridx = jnp.minimum(rr, jnp.maximum(qlen - 1, 0)[:, None])
-        qinj = jnp.repeat(
-            jnp.take_along_axis(query.astype(I), ridx, axis=1), P, axis=0)
+        qinj = jnp.repeat(inject_plane(query, qlen, n_diag), P, axis=0)
         args = [qlp, tlp, rlp, tpad, donb.astype(I), accb.astype(I)]
         if prm.flag & int(Flag.GENERIC_SC):
-            matj = jnp.asarray(np.asarray(prm.matt, np.int32))
-            args.append(jnp.concatenate(
-                [((jnp.take(matj, tpad * prm.m + c) + 128) & 255)
-                 for c in range(prm.m)], axis=0))
+            args.append(profile_planes(
+                tpad, prm.matt, prm.m, lambda v: (v + 128) & 255))
         args.append(qinj)
         out = call(*args)
         if with_cigar:
@@ -1474,9 +1464,7 @@ def _cached_run_extf(prm, interpret: bool):
         qlp, tlp, wpl, rlp = rep(qlen), rep(tlen), rep(w), rep(rlim)
         tpad = jnp.zeros((B, P * 128), I).at[:, :target.shape[1]].set(
             target.astype(I)).reshape(R, 128)
-        ridx = jnp.minimum(rr, jnp.maximum(qlen - 1, 0)[:, None])
-        qinj = jnp.repeat(
-            jnp.take_along_axis(query.astype(I), ridx, axis=1), P, axis=0)
+        qinj = jnp.repeat(inject_plane(query, qlen, n_diag), P, axis=0)
         out = call(qlp, tlp, wpl, rlp, tpad, qinj)
         return out[0][::P, :wb.NFIELDS]
 
@@ -1566,14 +1554,10 @@ def _cached_run_gg2(prm, interpret: bool, with_cigar: bool):
         qlp, tlp, wpl = rep(qlen), rep(tlen), rep(w)
         tpad = jnp.zeros((B, P * 128), I).at[:, :target.shape[1]].set(
             target.astype(I)).reshape(R, 128)
-        ridx = jnp.minimum(rr, jnp.maximum(qlen - 1, 0)[:, None])
-        qinj = jnp.repeat(
-            jnp.take_along_axis(query.astype(I), ridx, axis=1), P, axis=0)
-        matj = jnp.asarray(np.asarray(prm.matt, np.int32))
+        qinj = jnp.repeat(inject_plane(query, qlen, n_diag), P, axis=0)
         qe2x = 2 * (prm.q + prm.e)
-        prof = jnp.concatenate(
-            [(((jnp.take(matj, tpad * prm.m + c) + qe2x) & 255) ^ 128)
-             for c in range(prm.m)], axis=0)
+        prof = profile_planes(tpad, prm.matt, prm.m,
+                              lambda v: ((v + qe2x) & 255) ^ 128)
         out = call(qlp, tlp, wpl, tpad, prof, qinj)
         if with_cigar:
             return out[0][::P, :1], out[1]

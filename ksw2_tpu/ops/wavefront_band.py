@@ -397,7 +397,12 @@ def _band_kernel_body(prm: BandParams, with_cigar, refs):
         Cbest = _pmax(packedv)
         M = Cbest >> 13
         kstar = 8191 - (Cbest & 8191)
-        max_j = jnp.where(kstar <= 4 * TV, (kstar - 1) % TV,
+        # (kstar-1) % TV via two conditional subtractions (cls <= 3; no
+        # VPU integer mod — it lowers ~200x slower than ALU ops)
+        j1 = kstar - 1
+        j1 = jnp.where(j1 >= 2 * TV, j1 - 2 * TV, j1)
+        j1 = jnp.where(j1 >= TV, j1 - TV, j1)
+        max_j = jnp.where(kstar <= 4 * TV, j1,
                           kstar - 1 - 4 * TV)
         max_t = jnp.where(kstar == 0, en0, max_j + o_now)
         max_t = jnp.where(is0, 0, max_t)
@@ -439,7 +444,7 @@ def _band_kernel_body(prm: BandParams, with_cigar, refs):
         mte = _pmax(MT[...])
         rt = _pmin(jnp.where(MT[...] == mte, MTR[...], _BIGKEY))
         has_mte = mte > NEG_INF
-        en_c = ((tlp - 1 + 16) // 16) * 16 - 1
+        en_c = ((tlp + 15) & -16) - 1
         mteq = jnp.where(has_mte, rt - en_c, -1)
         mte = jnp.where(has_mte, mte, NEG_INF)
 

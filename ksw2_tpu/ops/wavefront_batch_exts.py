@@ -304,15 +304,24 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
             # (positive range guarded by the host wrapper; the
             # deep-negative clamp is beyond any zdrop margin)
             KB = 1 << (5 * TV + 1).bit_length()
+            KBITS = (5 * TV + 1).bit_length()
             kf = jnp.where(lane < en1, cls * TV + lanep1, lane4)
             kf = jnp.where(en0m, 0, kf)
             hcl = jnp.maximum(Hn, -((1 << 31) - 2 * KB) // KB)
             packedv = jnp.where(band, hcl * KB + (KB - 1 - kf), _INT_MIN)
             Cbest = _pmax(packedv)
-            M = Cbest // KB
-            kstar = KB - 1 - (Cbest % KB)
+            # KB is a power of two, so the decode is an arithmetic
+            # shift + mask (bit-exact floor-div/mod); vector integer
+            # division has no VPU unit and lowers ~200x slower
+            M = Cbest >> KBITS
+            kstar = KB - 1 - (Cbest & (KB - 1))
+            # (kstar-1) % TV via two conditional subtractions (cls <= 3;
+            # exact for any TV, incl. odd-P strides; no VPU integer mod)
+            j1 = kstar - 1
+            j1 = jnp.where(j1 >= 2 * TV, j1 - 2 * TV, j1)
+            j1 = jnp.where(j1 >= TV, j1 - TV, j1)
             max_t = jnp.where(kstar == 0, en0,
-                              jnp.where(kstar <= 4 * TV, (kstar - 1) % TV,
+                              jnp.where(kstar <= 4 * TV, j1,
                                         kstar - 1 - 4 * TV))
             max_t = jnp.where(is0, 0, max_t)
             betterz = act & (M > mxp[...])
@@ -359,7 +368,7 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
             en0s = jnp.minimum(tlp - 1, rstar)
             first = cand & (RDv == rstar)
             en0_hit = _pmax(jnp.where(first & (lane == en0s), 1, 0))
-            en1 = st0s + (en0s - st0s) // 4 * 4
+            en1 = st0s + ((en0s - st0s) & -4)
             cls = (lane - st0s) & 3
             key = jnp.where(lane < en1, cls * (1 << 26) + lane,
                             (1 << 28) + lane)
@@ -387,7 +396,7 @@ def _batch_exts_kernel(prm: BatchExtsParams, with_cigar, refs):
             mte = _pmax(jnp.where(corner, HMv, _INT_MIN))
             rdte = _pmax(jnp.where(corner, RDv, _INT_MIN))
             has_mte = mte > NEG_INF
-            en_c = ((tlp - 1 + 16) // 16) * 16 - 1
+            en_c = ((tlp + 15) & -16) - 1
             mteq = jnp.where(has_mte, rdte - en_c, -1)
             mte = jnp.where(has_mte, mte, NEG_INF)
 
