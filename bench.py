@@ -62,11 +62,8 @@ def main() -> None:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
-    try:  # persistent executable cache: first compile is minutes, reuse it
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_ccache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    from ksw2_tpu.utils.ccache import ensure_compile_cache
+    ensure_compile_cache()   # per-user persistent executable cache
     from ksw2_tpu.core.flags import Flag
     from ksw2_tpu.core.matrix import encode_dna, simple_mat
 
@@ -79,6 +76,34 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         from ksw2_tpu.ops.extz import extz2_device
+
+        # quick real-TPU parity sweep BEFORE timing (so the recorded bench
+        # implies on-chip correctness, not just CPU-interpret correctness):
+        # random pairs through the compiled single-pair and batched extz
+        # kernels vs the golden-validated spec engines
+        from ksw2_tpu.core.matrix import simple_mat as _sm
+        from ksw2_tpu.ops.batch_pallas import extz_batch_device
+        from ksw2_tpu.spec import diagdiff as _dd
+
+        rngv = np.random.default_rng(2026)
+        matv = _sm(5, 2, 4)
+        B = 16
+        Qv = rngv.integers(0, 4, size=(B, 120)).astype(np.int8)
+        Tv = np.where(rngv.random((B, 120)) < 0.15,
+                      rngv.integers(0, 4, size=(B, 120)), Qv).astype(np.int8)
+        lv = np.full((B,), 120, np.int32)
+        ob = extz_batch_device(Qv, Tv, lv, lv, 5, matv, 4, 2, zdrop=100,
+                               flag=Flag.SCORE_ONLY)
+        for k in range(B):
+            ev, _ = _dd.extz2(Qv[k].astype(np.int32), Tv[k].astype(np.int32),
+                              5, matv, 4, 2, zdrop=100, flag=Flag.SCORE_ONLY)
+            for fk in ("max", "max_t", "max_q", "score"):
+                assert int(ob[fk][k]) == getattr(ev, fk),                     ("tpu-parity", k, fk, int(ob[fk][k]), getattr(ev, fk))
+        ezv, _ = extz2_device(Qv[0].astype(np.int32)[:100],
+                              Tv[0].astype(np.int32), 5, matv, 4, 2, w=64)
+        evv, _ = _dd.extz2(Qv[0].astype(np.int32)[:100],
+                           Tv[0].astype(np.int32), 5, matv, 4, 2, w=64)
+        assert (ezv.score, ezv.cigar) == (evv.score, evv.cigar),             ("tpu-parity-single", ezv.score, evv.score)
 
         flag = Flag.SCORE_ONLY
 

@@ -107,6 +107,18 @@ def main():
     emit("extz_50k_exact_score_gcells_per_s", c50 / best_of(run_extz),
          "Gcells/s", baseline=1.31)
 
+    def run_extz_approx():
+        # the reference's headline '-sg' mode (README.md:104-105): approx
+        # max + approx drop, score-only, unbanded
+        ez, _ = extz2_device(q50, t50, 5, mat, 4, 2,
+                             flag=(Flag.SCORE_ONLY | Flag.APPROX_MAX
+                                   | Flag.APPROX_DROP))
+        assert (ez.score, ez.max, ez.max_t, ez.max_q) == \
+            (69932, 70010, 49962, 49999), (ez.score, ez.max)
+
+    emit("extz_50k_approx_score_gcells_per_s", c50 / best_of(run_extz_approx),
+         "Gcells/s", baseline=5.10)  # ref extz2_sse -sg (BASELINE.md)
+
     def run_extd():
         ez, _ = extd2_device(q50, t50, 5, mat, 4, 2, 13, 1,
                              flag=Flag.SCORE_ONLY)

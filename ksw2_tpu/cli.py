@@ -246,22 +246,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.backend in ("tpu", "batch"):
         # persistent executable cache: kernel compiles cost 20-40 s each,
         # so CLI invocations (one process per run, like the reference
-        # binary) reuse them across processes
-        try:
-            import jax
+        # binary) reuse them across processes (also set on package import;
+        # repeated here for when the import graph changes)
+        from .utils.ccache import ensure_compile_cache
 
-            cache = os.environ.get("KSW2_TPU_CCACHE")
-            if cache is None:
-                # per-user default: a world-shared /tmp path could be
-                # pre-created by another user (poisoning / permission
-                # collisions on multi-user hosts)
-                cache = os.path.join(
-                    os.path.expanduser("~"), ".cache", "ksw2_tpu",
-                    "jax_ccache")
-            jax.config.update("jax_compilation_cache_dir", cache)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-        except Exception:
-            pass
+        ensure_compile_cache()
 
     if args.stats:
         # like km_stat's end-of-run stderr report (kalloc.c:191-214), on

@@ -59,10 +59,6 @@ def extd2_device(
     qlen, tlen = len(query), len(target)
     if m <= 1 or qlen <= 0 or tlen <= 0:
         return ez, None
-    if flag & Flag.GENERIC_SC:
-        from ..spec.diagdiff import extd2 as _spec
-        return _spec(query, target, m, mat, q, e, q2, e2, w=w, zdrop=zdrop,
-                     end_bonus=end_bonus, flag=flag)
     mat = np.asarray(mat, dtype=np.int8).reshape(-1)
     q, e, q2, e2 = int(q), int(e), int(q2), int(e2)
     qe_pre_swap = q + e
@@ -99,17 +95,31 @@ def extd2_device(
         w=int(w), zdrop=int(zdrop), flag=int(flag),
         chunk=int(chunk), n_diag=n_diag, n_rows=N // 128, p_rows=p_rows,
     )
+    generic = bool(flag & Flag.GENERIC_SC)
     perlane = not (flag & Flag.APPROX_MAX) and zdrop < 0
     qpad = _pad_seq(np.asarray(query), max(round_up(qlen, 128), 1024))
     tpad = _pad_seq(np.asarray(target), N)
-    if perlane and not with_cigar:
+    if perlane and not with_cigar and not generic:
         # row-windowed phase chain (see wavefront_extd.build_extd_phased)
         call = _cached_phased(prm, interpret)
         res = call(jnp.asarray(qpad.reshape(-1)), jnp.asarray(tpad))
         p = None
     else:
         call = _cached_call(prm, with_cigar, interpret)
-        out = call(jnp.asarray(qpad), jnp.asarray(tpad))
+        args = [jnp.asarray(qpad), jnp.asarray(tpad)]
+        if generic:
+            # biased profile planes (extd stores raw scores + sign bias;
+            # no 2(q+e) shift in the extd canon)
+            R0 = N // 128
+            tpv = np.zeros(N, np.int64)
+            tpv[:tlen] = np.asarray(target, np.int64)
+            prof = np.empty((m * R0, 128), np.int32)
+            for c in range(m):
+                vals = mat[(tpv * m + c)].astype(np.int64)
+                prof[c * R0:(c + 1) * R0] = (
+                    (vals + 128) & 255).reshape(R0, 128)
+            args.append(jnp.asarray(prof))
+        out = call(*args)
         if with_cigar:
             res, p = out
             p = np.asarray(p)

@@ -66,10 +66,6 @@ def exts2_device(
     q, e, q2, noncan = int(q), int(e), int(q2), int(noncan)
     if m <= 1 or qlen <= 0 or tlen <= 0 or q2 <= q + e:
         return ez, None
-    if flag & Flag.GENERIC_SC:
-        from ..spec.diagdiff import exts2 as _spec
-        return _spec(query, target, m, mat, q, e, q2, noncan, zdrop=zdrop,
-                     junc_bonus=junc_bonus, flag=flag, junc=junc)
     mat = np.asarray(mat, dtype=np.int8).reshape(-1)
     min_sc = int(mat[1:].min())
     if -min_sc > 2 * (q + e):
@@ -108,8 +104,9 @@ def exts2_device(
 
     qpad = _pad_seq(np.asarray(query), max(round_up(qlen, 128), 1024))
     tpad = _pad_seq(np.asarray(target), N)
+    generic = bool(flag & Flag.GENERIC_SC)
     perlane = not (flag & Flag.APPROX_MAX) and zdrop < 0
-    if perlane and not with_cigar:
+    if perlane and not with_cigar and not generic:
         # row-windowed phase chain (see wavefront_exts.build_exts_phased)
         call = _cached_phased(prm, interpret)
         res = call(jnp.asarray(qpad.reshape(-1)), jnp.asarray(tpad),
@@ -117,8 +114,20 @@ def exts2_device(
         p = None
     else:
         call = _cached_call(prm, with_cigar, interpret)
-        out = call(jnp.asarray(qpad.reshape(-1)), jnp.asarray(tpad),
-                   jnp.asarray(donb), jnp.asarray(accb))
+        args = [jnp.asarray(qpad.reshape(-1)), jnp.asarray(tpad),
+                jnp.asarray(donb), jnp.asarray(accb)]
+        if generic:
+            # biased profile planes (exts stores raw scores + sign bias)
+            R0 = N // 128
+            tpv = np.zeros(N, np.int64)
+            tpv[:tlen] = np.asarray(target, np.int64)
+            prof = np.empty((m * R0, 128), np.int32)
+            for c in range(m):
+                vals = mat[(tpv * m + c)].astype(np.int64)
+                prof[c * R0:(c + 1) * R0] = (
+                    (vals + 128) & 255).reshape(R0, 128)
+            args.append(jnp.asarray(prof))
+        out = call(*args)
         if with_cigar:
             res, p = out        # p stays on device for the traceback
         else:

@@ -29,8 +29,10 @@ def _cached_call(prm: wf.ExtzParams, with_cigar: bool, interpret: bool):
 
 
 @functools.lru_cache(maxsize=256)
-def _cached_phased(prm: wf.ExtzParams, interpret: bool):
-    return jax.jit(wf.build_extz_phased(prm, interpret=interpret))
+def _cached_phased(prm: wf.ExtzParams, interpret: bool,
+                   approx: bool = False):
+    return jax.jit(wf.build_extz_phased(prm, interpret=interpret,
+                                        approx=approx))
 
 
 @functools.lru_cache(maxsize=256)
@@ -96,12 +98,6 @@ def extz2_device(
     qlen, tlen = len(query), len(target)
     if m <= 0 or qlen <= 0 or tlen <= 0:
         return ez, None
-    if flag & Flag.GENERIC_SC:
-        # generic scoring matrices run through the (slower) spec engine;
-        # the CLI and minimap2-style callers use specialized fills
-        from ..spec.diagdiff import extz2 as _spec
-        return _spec(query, target, m, mat, q, e, w=w, zdrop=zdrop,
-                     end_bonus=end_bonus, flag=flag)
     mat = np.asarray(mat, dtype=np.int8).reshape(-1)
     min_sc = int(mat[1:].min())
     if -min_sc > 2 * (q + e):
@@ -129,17 +125,34 @@ def extz2_device(
         q=int(q), e=int(e), w=int(w), zdrop=int(zdrop), flag=int(flag),
         chunk=int(chunk), n_diag=n_diag, n_rows=N // 128, p_rows=p_rows,
     )
-    perlane = not (flag & Flag.APPROX_MAX) and zdrop < 0
+    approx = bool(flag & Flag.APPROX_MAX)
+    generic = bool(flag & Flag.GENERIC_SC)
+    perlane = not approx and zdrop < 0
     qpad = _pad_seq(np.asarray(query), max(round_up(qlen, 128), 1024))
     tpad = _pad_seq(np.asarray(target), N)
-    if perlane and not with_cigar:
-        # row-windowed phase chain (see wavefront.build_extz_phased)
-        call = _cached_phased(prm, interpret)
+    if (perlane or approx) and not with_cigar and not generic:
+        # row-windowed phase chain (see wavefront.build_extz_phased);
+        # approx (-g) runs the H0-walk variant of the same chain
+        call = _cached_phased(prm, interpret, approx)
         res = call(jnp.asarray(qpad), jnp.asarray(tpad))
         p = None
     else:
         call = _cached_call(prm, with_cigar, interpret)
-        out = call(jnp.asarray(qpad), jnp.asarray(tpad))
+        args = [jnp.asarray(qpad), jnp.asarray(tpad)]
+        if generic:
+            # m query-symbol profile planes, pre-biased like the in-kernel
+            # specialized fill (ksw2_extz2_sse.c:141-144 semantics)
+            R0 = N // 128
+            qe = q + e
+            tpv = np.zeros(N, np.int64)
+            tpv[:tlen] = np.asarray(target, np.int64)
+            prof = np.empty((m * R0, 128), np.int32)
+            for c in range(m):
+                vals = mat[(tpv * m + c)].astype(np.int64)
+                prof[c * R0:(c + 1) * R0] = (
+                    ((vals + 2 * qe) & 255) ^ 128).reshape(R0, 128)
+            args.append(jnp.asarray(prof))
+        out = call(*args)
         if with_cigar:
             res, p = out            # p stays on device for the traceback
         else:

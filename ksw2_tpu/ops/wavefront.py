@@ -180,9 +180,12 @@ def _extz_kernel_body(prm: ExtzParams, with_cigar: bool, refs):
     # never consulted mid-run: exact mode with Z-drop disabled.
     perlane = (not approx) and prm.zdrop < 0
 
+    generic = bool(flag & Flag.GENERIC_SC)
     refs = list(refs)
-    query_ref, target_ref, res_ref = refs[:3]
-    rest = refs[3:]
+    query_ref, target_ref = refs[:2]
+    rest = refs[2:]
+    prof_ref = rest.pop(0) if generic else None
+    res_ref = rest.pop(0)
     p_ref = rest.pop(0) if with_cigar else None
     u, v, x, y, s, Q = rest[:6]
     rest = rest[6:]
@@ -442,14 +445,25 @@ def _extz_kernel_body(prm: ExtzParams, with_cigar: bool, refs):
         Qn = _shift_t(Q[...], qv)
         Q[...] = Qn
 
-        # score profile over [st0, fill_hi] (16-block store extent),
-        # stored with the +2(q+e) shift and sign bias pre-applied
-        fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
-        eq = target_ref[...] == Qn
-        nm = (tn[...] != 0) | (Qn == prm.m - 1)
-        sval = jnp.where(eq, sb_mch, sb_mis)
-        sval = jnp.where(nm, sb_N, sval)
-        smask = (tvec >= st0) & (tvec <= fill_hi)
+        if generic:
+            # KSW_EZ_GENERIC_SC: m pre-biased query-symbol profile planes
+            # (prof_c[t] = mat[target[t]*m + c]); the reference fills
+            # exactly [st0, en0] here, not 16-byte blocks
+            # (ksw2_extz2_sse.c:141-144)
+            sval = prof_ref[pl.ds(0, R), :]
+            for c in range(1, prm.m):
+                sval = jnp.where(Qn == c, prof_ref[pl.ds(c * R, R), :],
+                                 sval)
+            smask = (tvec >= st0) & (tvec <= en0)
+        else:
+            # score profile over [st0, fill_hi] (16-block store extent),
+            # stored with the +2(q+e) shift and sign bias pre-applied
+            fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
+            eq = target_ref[...] == Qn
+            nm = (tn[...] != 0) | (Qn == prm.m - 1)
+            sval = jnp.where(eq, sb_mch, sb_mis)
+            sval = jnp.where(nm, sb_N, sval)
+            smask = (tvec >= st0) & (tvec <= fill_hi)
         s[...] = jnp.where(smask, sval, s[...])
 
         # core difference recurrence on unsigned byte values
@@ -616,13 +630,16 @@ def build_extz_call(prm: ExtzParams, with_cigar: bool, interpret: bool = False):
             (prm.chunk, prm.p_rows, 128), lambda i: (i, 0, 0),
             memory_space=pltpu.VMEM))
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # query (Rq,128) int32
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # target (R,128) int32
+    ]
+    if flag & Flag.GENERIC_SC:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # profiles
     call = pl.pallas_call(
         wrap,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # query (Rq,128) int32
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # target (R,128) int32
-        ],
+        in_specs=in_specs,
         out_shape=out_shape,
         out_specs=out_specs,
         scratch_shapes=scratch,
@@ -662,48 +679,80 @@ def _window_rows(qlen, tlen, w, n_diag, R):
 
 
 def window_phases(qlen, tlen, w, n_diag, R, quant=32, min_len=1024):
-    """Split [0, r_stop) into phases of bounded window height.
+    """Split [0, r_stop) into phases with STATIC row windows.
 
-    Returns (phases, r_stop) with phases = [(r_lo, r_hi, Wcap), ...].
+    Returns (phases, r_stop); phases = [(r_lo, r_hi, row_base, Wstat)].
+    One compile-time window [row_base, row_base + Wstat) covers every
+    diagonal's rounded band inside the phase, so every plane slice in the
+    phase body is static — per-diagonal dynamic sublane offsets force
+    relayout copies on Mosaic that cost more than the saved rows (measured
+    ~5-10x per-lane vs the static batch kernels).  The band drifts only
+    ``min_len/256`` rows per greedy segment, so the static span stays
+    within one ``quant`` of the tight per-diagonal window.
     """
     import numpy as np
     r_stop = _static_stop(qlen, tlen, w, n_diag)
     row_lo, row_hi = _window_rows(qlen, tlen, w, n_diag, R)
-    Wr = (row_hi - row_lo + 1)[:r_stop]
-    cap = np.minimum(R, (Wr + quant - 1) // quant * quant)
-    runs = []
+    phases = []
     i = 0
     while i < r_stop:
-        j = i
-        while j < r_stop and cap[j] == cap[i]:
-            j += 1
-        runs.append([i, j, int(cap[i])])
+        j = min(i + min_len, r_stop)
+        lo = int(row_lo[i:j].min()) & -8          # sublane-tile aligned
+        hi = int(row_hi[i:j].max())
+        span = min(R, -(-(hi - lo + 1) // quant) * quant)
+        while j < r_stop:                          # grow while span holds
+            j2 = min(j + min_len, r_stop)
+            lo2 = min(lo, int(row_lo[j:j2].min()) & -8)
+            hi2 = max(hi, int(row_hi[j:j2].max()))
+            span2 = min(R, -(-(hi2 - lo2 + 1) // quant) * quant)
+            if span2 > span:
+                break
+            lo, hi, j = lo2, hi2, j2
+        lo = max(0, min(lo, R - span))
+        phases.append((i, j, lo, span))
         i = j
-    phases = []
-    for run in runs:                              # merge short runs
-        if phases and (run[1] - run[0] < min_len
-                       or phases[-1][1] - phases[-1][0] < min_len):
-            phases[-1][1] = run[1]
-            phases[-1][2] = max(phases[-1][2], run[2])
-        else:
-            phases.append(run)
-    return [tuple(p) for p in phases], r_stop
+    if not phases:
+        phases = [(0, max(r_stop, 1), 0, min(R, quant))]
+    return phases, r_stop
 
 
-def _extz_phase_body(prm: ExtzParams, r_lo, r_hi, Wcap, is_last, refs):
-    """One phase of the score-only deferred-max kernel (windowed rows)."""
+# walk-state slots for the approx (-g) phase chain, carried between
+# phases in an aliased SMEM vector (ksw2_extz2_sse.c:270-286 state)
+WH0, WLT, WMAX, WMAXT, WMAXQ, WSTOP = range(6)
+NWALK = 8
+
+
+def _extz_phase_body(prm: ExtzParams, r_lo, r_hi, row_base, Wcap,
+                     is_last, approx, refs):
+    """One phase of the score-only deferred-max kernel (windowed rows).
+
+    ``approx`` builds the APPROX_MAX variant: no H/HM/RD/MQ planes at all
+    (the reference's approx branch skips the int32 H row); instead the O(1)
+    H0 walk runs per diagonal with one packed plane-reduce, and its scalar
+    state (H0, t0, running max triple, drop flag) flows between phases in
+    the ``wk`` SMEM vector.  APPROX_DROP's running-max update runs whenever
+    the flag is set; the drop itself needs ``zdrop >= 0``.
+    """
     refs = list(refs)
     qsmem_ref, target_ref = refs[:2]
-    state_in = refs[2:12]
-    del state_in                               # aliased with the outputs
+    NP = 6 if approx else 10
+    k = 2 + NP + (1 if approx else 0)          # inputs alias the outputs
     if is_last:
-        res_ref = refs[12]
-        u, v, x, y, s, Q, H, HM, RD, MQ = refs[13:23]
-        ez = refs[23]
+        res_ref = refs[k]
+        k += 1
     else:
         res_ref = None
-        u, v, x, y, s, Q, H, HM, RD, MQ = refs[12:22]
-        ez = refs[22]
+    if approx:
+        u, v, x, y, s, Q = refs[k:k + 6]
+        wk = refs[k + 6]
+        H = HM = RD = MQ = None
+        ez = refs[k + 7]
+    else:
+        u, v, x, y, s, Q, H, HM, RD, MQ = refs[k:k + 10]
+        wk = None
+        ez = refs[k + 10]
+    withad = approx and bool(Flag(prm.flag) & Flag.APPROX_DROP)
+    withdrop = withad and prm.zdrop >= 0
 
     qlen, tlen, w = prm.qlen, prm.tlen, prm.w
     qe = prm.q + prm.e
@@ -737,8 +786,12 @@ def _extz_phase_body(prm: ExtzParams, r_lo, r_hi, Wcap, is_last, refs):
 
     def diag(rr, _):
         r = r_lo + step * prm.chunk + rr
+        go = r < r_hi
+        if withdrop:
+            go = go & (wk[WSTOP] == 0)     # Z-dropped: remaining diagonals
+                                           # are no-ops (reference breaks)
 
-        @pl.when(r < r_hi)
+        @pl.when(go)
         def _():
             st0 = jnp.maximum(0, jnp.maximum(r - qlen + 1, (r - w + 1) >> 1))
             en0 = jnp.minimum(tlen - 1, jnp.minimum(r, (r + w) >> 1))
@@ -753,9 +806,11 @@ def _extz_phase_body(prm: ExtzParams, r_lo, r_hi, Wcap, is_last, refs):
             need_ov = (st == 0) | jnp.logical_not(in_range)
             ov_v = jnp.where(st == 0, jnp.where(r > 0, prm.q, 0), 0)
 
-            row_lo_c = jnp.minimum(jnp.maximum(0, (st - 1) // 128), R - Wcap)
-            win = pl.ds(row_lo_c, Wcap)
-            tvw = tvw_base + row_lo_c * 128
+            # static window: the phase's row span is compile-time
+            # constant, so every plane slice below is static (dynamic
+            # sublane offsets force Mosaic relayout copies)
+            win = slice(row_base, row_base + Wcap)
+            tvw = tvw_base + row_base * 128
             # flat t==0 (shift injection); None when this phase's bands
             # never touch t==0 (st_min_phase > 0, monotone in r)
             fixm = (tvw == 0) if may_fix else None
@@ -805,26 +860,110 @@ def _extz_phase_body(prm: ExtzParams, r_lo, r_hi, Wcap, is_last, refs):
             x[win, :] = jnp.where(bmask, jnp.where((an ^ 128) > 128, an, 0), xc)
             y[win, :] = jnp.where(bmask, jnp.where((bn ^ 128) > 128, bn, 0), yc)
 
-            Hc = H[win, :]
-            Hv = Hc + vn - qe
-            Hs = shiftw(Hc, NEG_INF, fixm) + un - qe
-            is0 = r == 0
-            scan_mask = ((tvw >= st0) & (tvw < en0) & jnp.logical_not(is0))
-            h_en0_vec = jnp.where(en0 > 0, Hs, Hv)
-            h_en0_vec = jnp.where(is0, vn - 2 * qe, h_en0_vec)
-            en0m = tvw == en0
-            Hn = jnp.where(en0m, h_en0_vec, jnp.where(scan_mask, Hv, Hc))
-            H[win, :] = Hn
-            HMc = HM[win, :]
-            better = Hn > HMc                  # H[t] <= HM[t] invariant
-            HM[win, :] = jnp.where(better, Hn, HMc)
-            RD[win, :] = jnp.where(better, r, RD[win, :])
-            MQ[win, :] = jnp.where(
-                ((r - st0) == (qlen - 1)) & (tvw == st0), Hn, MQ[win, :])
+            if not approx:
+                Hc = H[win, :]
+                Hv = Hc + vn - qe
+                Hs = shiftw(Hc, NEG_INF, fixm) + un - qe
+                is0 = r == 0
+                scan_mask = ((tvw >= st0) & (tvw < en0)
+                             & jnp.logical_not(is0))
+                h_en0_vec = jnp.where(en0 > 0, Hs, Hv)
+                h_en0_vec = jnp.where(is0, vn - 2 * qe, h_en0_vec)
+                en0m = tvw == en0
+                Hn = jnp.where(en0m, h_en0_vec,
+                               jnp.where(scan_mask, Hv, Hc))
+                H[win, :] = Hn
+                HMc = HM[win, :]
+                better = Hn > HMc              # H[t] <= HM[t] invariant
+                HM[win, :] = jnp.where(better, Hn, HMc)
+                RD[win, :] = jnp.where(better, r, RD[win, :])
+                MQ[win, :] = jnp.where(
+                    ((r - st0) == (qlen - 1)) & (tvw == st0), Hn,
+                    MQ[win, :])
+            else:
+                # O(1) H0 walk (ksw2_extz2_sse.c:270-286): the tracked
+                # cell moves t0 -> t0/t0+1 by comparing the two byte
+                # deltas.  At most three disjoint lanes contribute, so one
+                # packed sum-reduce recovers all fields (< 2^24).
+                is0 = r == 0
+                lt = wk[WLT]
+                c1 = (lt >= st0) & (lt <= en0)
+                c2 = (lt + 1 >= st0) & (lt + 1 <= en0)
+                ltn = jnp.minimum(lt + 1, R * 128 - 1)
+                sel = (jnp.where(tvw == lt, vn, 0) * 256
+                       + jnp.where(tvw == ltn, un, 0)
+                       + jnp.where(tvw == 0, vn, 0) * 65536)
+                Mb = jnp.sum(sel)
+                d0 = ((Mb >> 8) & 255) - qe
+                d1 = (Mb & 255) - qe
+                both = c1 & c2
+                h0c = wk[WH0]
+                newH0 = jnp.where(
+                    both, h0c + jnp.maximum(d0, d1),
+                    jnp.where(c1, h0c + d0, h0c + d1))
+                newlt = jnp.where(both, jnp.where(d0 > d1, lt, lt + 1),
+                                  jnp.where(c1, lt, lt + 1))
+                h00 = (Mb >> 16) - 2 * qe
+                M0 = jnp.where(is0, h00, newH0)
+                t0_ = jnp.where(is0, 0, newlt)
+                wk[WH0] = M0
+                wk[WLT] = t0_
+                # ksw_apply_zdrop on the walk value — only under
+                # APPROX_DROP (max updates whenever the flag is set; the
+                # drop itself additionally needs zdrop >= 0)
+                if withad:
+                    nis0 = jnp.logical_not(is0)
+                    betterz = nis0 & (M0 > wk[WMAX])
+                    if withdrop:
+                        l = jnp.abs((t0_ - wk[WMAXT])
+                                    - ((r - t0_) - wk[WMAXQ]))
+                        trig = (nis0 & jnp.logical_not(M0 > wk[WMAX])
+                                & (t0_ >= wk[WMAXT])
+                                & (r - t0_ >= wk[WMAXQ])
+                                & (wk[WMAX] - M0 > prm.zdrop + l * prm.e))
+                        wk[WSTOP] = jnp.where(trig, 1 + r, wk[WSTOP])
+                    wk[WMAX] = jnp.where(betterz, M0, wk[WMAX])
+                    wk[WMAXT] = jnp.where(betterz, t0_, wk[WMAXT])
+                    wk[WMAXQ] = jnp.where(betterz, r - t0_, wk[WMAXQ])
 
     jax.lax.fori_loop(0, prm.chunk, diag, None)
 
-    if is_last:
+    if is_last and approx:
+        r_stop = r_hi
+
+        @pl.when(step == pl.num_programs(0) - 1)
+        def _fin_approx():
+            for kk in (MAXT, MAXQ, MQET, MTEQ):
+                ez[kk] = -1
+            for kk in (MQE, MTE):               # approx never sets mqe/mte
+                ez[kk] = NEG_INF
+            ez[SCORE] = NEG_INF
+            for kk in (MAX, ZDROP, H0, LASTH0T, FIN):
+                ez[kk] = 0
+            ez[LASTST] = -1
+            ez[LASTEN] = -1
+            ez[STOPR] = prm.n_diag
+            if withad:
+                ez[MAX] = wk[WMAX]
+                ez[MAXT] = wk[WMAXT]
+                ez[MAXQ] = wk[WMAXQ]
+            dropped = (wk[WSTOP] > 0) if withdrop else jnp.int32(0) > 0
+            # final score = H0 only when the run reached the last diagonal
+            # with the corner in-band and did not drop
+            score_ok = (r_stop == prm.n_diag and _static_en0(
+                prm.n_diag - 1, qlen, tlen, w) == tlen - 1)
+            if score_ok:
+                ez[SCORE] = jnp.where(dropped, NEG_INF, wk[WH0])
+            if r_stop < prm.n_diag:
+                ez[ZDROP] = 1
+                ez[STOPR] = r_stop
+            if withdrop:
+                ez[ZDROP] = jnp.maximum(ez[ZDROP], dropped.astype(I32))
+                ez[STOPR] = jnp.where(dropped, wk[WSTOP] - 1, ez[STOPR])
+            for kk in range(NSTATE):
+                res_ref[kk] = ez[kk] if kk < 15 else 0
+
+    if is_last and not approx:
         tvec = (jax.lax.broadcasted_iota(I32, (R, 128), 0) * 128
                 + jax.lax.broadcasted_iota(I32, (R, 128), 1))
         r_stop = r_hi                          # phases end at the stop diag
@@ -888,39 +1027,53 @@ def _extz_phase_body(prm: ExtzParams, r_lo, r_hi, Wcap, is_last, refs):
                 res_ref[k] = ez[k] if k < 15 else 0
 
 
-def build_extz_phased(prm: ExtzParams, interpret: bool = False):
+def build_extz_phased(prm: ExtzParams, interpret: bool = False,
+                      approx: bool = False):
     """Build the phased score-only call: (qpad, tpad) -> res[NSTATE].
 
-    Only valid for the deferred-max configuration (exact max, zdrop < 0,
-    SCORE_ONLY); callers dispatch here from :func:`extz2_device`.
+    ``approx=False``: the deferred-max configuration (exact max, zdrop < 0,
+    SCORE_ONLY).  ``approx=True``: the APPROX_MAX walk variant (any zdrop,
+    SCORE_ONLY) — 6 state planes plus a walk-state SMEM vector flowing
+    through the phase chain.  Callers dispatch from :func:`extz2_device`.
     """
     R = prm.n_rows
     shape = (R, 128)
     phases, r_stop = window_phases(prm.qlen, prm.tlen, prm.w, prm.n_diag, R)
-    state_t = [jax.ShapeDtypeStruct(shape, jnp.int32)] * 10
+    NP = 6 if approx else 10
+    state_t = [jax.ShapeDtypeStruct(shape, jnp.int32)] * NP
+    if approx:
+        state_t.append(jax.ShapeDtypeStruct((NWALK,), jnp.int32))
+    NS = len(state_t)                          # planes (+ walk vector)
 
     calls = []
-    for pi, (p_lo, p_hi, Wcap) in enumerate(phases):
+    for pi, (p_lo, p_hi, p_base, Wcap) in enumerate(phases):
         is_last = pi == len(phases) - 1
         n_steps = (p_hi - p_lo + prm.chunk - 1) // prm.chunk
         kernel = functools.partial(
-            _extz_phase_body, prm, p_lo, p_hi, Wcap, is_last)
+            _extz_phase_body, prm, p_lo, p_hi, p_base, Wcap, is_last,
+            approx)
 
         def wrap(*refs, _k=kernel):
             _k(refs)
 
         out_shape = list(state_t)
-        out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10
+        out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * NP
+        if approx:
+            out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         scratch = [pltpu.SMEM((NSTATE,), jnp.int32)]
         if is_last:
-            out_shape = [jax.ShapeDtypeStruct((NSTATE,), jnp.int32)] + out_shape
+            out_shape = [jax.ShapeDtypeStruct((NSTATE,), jnp.int32)] \
+                + out_shape
             out_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + out_specs
-        aliases = {2 + i: (1 if is_last else 0) + i for i in range(10)}
+        aliases = {2 + i: (1 if is_last else 0) + i for i in range(NS)}
+        in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                    + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + NP))
+        if approx:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         calls.append(pl.pallas_call(
             wrap,
             grid=(n_steps,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-                     + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+            in_specs=in_specs,
             out_shape=out_shape,
             out_specs=out_specs,
             scratch_shapes=scratch,
@@ -937,10 +1090,15 @@ def build_extz_phased(prm: ExtzParams, interpret: bool = False):
     def run(qpad, tpad):
         qflat = qpad.reshape(-1)
         zero = jnp.zeros(shape, jnp.int32)
-        ninf = jnp.full(shape, NEG_INF, jnp.int32)
         state = [zero, zero, zero, zero,
-                 jnp.full(shape, s_init, jnp.int32), zero,
-                 ninf, ninf, zero, ninf]
+                 jnp.full(shape, s_init, jnp.int32), zero]
+        if approx:
+            walk0 = jnp.zeros((NWALK,), jnp.int32)
+            walk0 = walk0.at[WMAXT].set(-1).at[WMAXQ].set(-1)
+            state.append(walk0)
+        else:
+            ninf = jnp.full(shape, NEG_INF, jnp.int32)
+            state = state + [ninf, ninf, zero, ninf]
         for call in calls[:-1]:
             state = list(call(qflat, tpad, *state))
         out = calls[-1](qflat, tpad, *state)

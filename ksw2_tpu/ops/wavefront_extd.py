@@ -71,9 +71,12 @@ def _extd_kernel_body(prm: ExtdParams, with_cigar: bool, refs):
     right = bool(flag & Flag.RIGHT)
     perlane = (not approx) and prm.zdrop < 0
 
+    generic = bool(flag & Flag.GENERIC_SC)
     refs = list(refs)
-    query_ref, target_ref, res_ref = refs[:3]
-    rest = refs[3:]
+    query_ref, target_ref = refs[:2]
+    rest = refs[2:]
+    prof_ref = rest.pop(0) if generic else None
+    res_ref = rest.pop(0)
     p_ref = rest.pop(0) if with_cigar else None
     u, v, x, y, x2, y2, s, Q = rest[:8]
     rest = rest[8:]
@@ -299,12 +302,22 @@ def _extd_kernel_body(prm: ExtdParams, with_cigar: bool, refs):
                 Qn = _shift_t(Q[...], qv)
                 Q[...] = Qn
 
-                fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
-                eq = target_ref[...] == Qn
-                nm = (tn[...] != 0) | (Qn == prm.m - 1)
-                sval = jnp.where(eq, sb_mch, sb_mis)
-                sval = jnp.where(nm, sb_N, sval)
-                smask = (tvec >= st0) & (tvec <= fill_hi)
+                if generic:
+                    # KSW_EZ_GENERIC_SC profile planes; reference fills
+                    # exactly [st0, en0] (ksw2_extd2_sse.c:178-184)
+                    R_ = prm.n_rows
+                    sval = prof_ref[pl.ds(0, R_), :]
+                    for c in range(1, prm.m):
+                        sval = jnp.where(
+                            Qn == c, prof_ref[pl.ds(c * R_, R_), :], sval)
+                    smask = (tvec >= st0) & (tvec <= en0)
+                else:
+                    fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
+                    eq = target_ref[...] == Qn
+                    nm = (tn[...] != 0) | (Qn == prm.m - 1)
+                    sval = jnp.where(eq, sb_mch, sb_mis)
+                    sval = jnp.where(nm, sb_N, sval)
+                    smask = (tvec >= st0) & (tvec <= fill_hi)
                 s[...] = jnp.where(smask, sval, s[...])
 
                 # core recurrence on biased byte values: signed max/min/cmp
@@ -427,10 +440,11 @@ def build_extd_call(prm: ExtdParams, with_cigar: bool, interpret: bool = False):
     return pl.pallas_call(
         wrap,
         grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+            + ([pl.BlockSpec(memory_space=pltpu.VMEM)]
+               if Flag(prm.flag) & Flag.GENERIC_SC else [])
+        ),
         out_shape=out_shape,
         out_specs=out_specs,
         scratch_shapes=scratch,
@@ -451,7 +465,8 @@ def build_extd_call(prm: ExtdParams, with_cigar: bool, interpret: bool = False):
 from .wavefront import (_static_en0, _static_stop, window_phases)
 
 
-def _extd_phase_body(prm: ExtdParams, r_lo, r_hi, Wcap, is_last, refs):
+def _extd_phase_body(prm: ExtdParams, r_lo, r_hi, row_base, Wcap,
+                     is_last, refs):
     refs = list(refs)
     qsmem_ref, target_ref = refs[:2]
     # refs[2:14] are the aliased state inputs (same buffers as the outputs)
@@ -508,9 +523,11 @@ def _extd_phase_body(prm: ExtdParams, r_lo, r_hi, Wcap, is_last, refs):
             ov_x2 = _b(-qe2)
             ov_v = jnp.where(st == 0, _ucol(r), _b(-qe))
 
-            row_lo_c = jnp.minimum(jnp.maximum(0, (st - 1) // 128), R - Wcap)
-            win = pl.ds(row_lo_c, Wcap)
-            tvw = tvw_base + row_lo_c * 128
+            # static window: the phase's row span is compile-time
+            # constant, so every plane slice below is static (dynamic
+            # sublane offsets force Mosaic relayout copies)
+            win = slice(row_base, row_base + Wcap)
+            tvw = tvw_base + row_base * 128
             fixm = tvw == 0
 
             uc, vc, xc, yc = u[win, :], v[win, :], x[win, :], y[win, :]
@@ -666,11 +683,11 @@ def build_extd_phased(prm: ExtdParams, interpret: bool = False):
     state_t = [jax.ShapeDtypeStruct(shape, jnp.int32)] * 12
 
     calls = []
-    for pi, (p_lo, p_hi, Wcap) in enumerate(phases):
+    for pi, (p_lo, p_hi, p_base, Wcap) in enumerate(phases):
         is_last = pi == len(phases) - 1
         n_steps = (p_hi - p_lo + prm.chunk - 1) // prm.chunk
         kernel = functools.partial(
-            _extd_phase_body, prm, p_lo, p_hi, Wcap, is_last)
+            _extd_phase_body, prm, p_lo, p_hi, p_base, Wcap, is_last)
 
         def wrap(*refs, _k=kernel):
             _k(refs)

@@ -57,9 +57,12 @@ def _exts_kernel_body(prm: ExtsParams, with_cigar: bool, refs):
     right = bool(flag & Flag.RIGHT)
     perlane = (not approx) and prm.zdrop < 0
 
+    generic = bool(flag & Flag.GENERIC_SC)
     refs = list(refs)
-    qsmem_ref, target_ref, don_ref, acc_ref, res_ref = refs[:5]
-    rest = refs[5:]
+    qsmem_ref, target_ref, don_ref, acc_ref = refs[:4]
+    rest = refs[4:]
+    prof_ref = rest.pop(0) if generic else None
+    res_ref = rest.pop(0)
     p_ref = rest.pop(0) if with_cigar else None
     u, v, x, y, x2, s, Q = rest[:7]
     rest = rest[7:]
@@ -274,12 +277,22 @@ def _exts_kernel_body(prm: ExtsParams, with_cigar: bool, refs):
             Qn = _shift_t(Q[...], qv)
             Q[...] = Qn
 
-            fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
-            eq = target_ref[...] == Qn
-            nm = (target_ref[...] == prm.m - 1) | (Qn == prm.m - 1)
-            sval = jnp.where(eq, sb_mch, sb_mis)
-            sval = jnp.where(nm, sb_N, sval)
-            smask = (tvec >= st0) & (tvec <= fill_hi)
+            if generic:
+                # KSW_EZ_GENERIC_SC profile planes; reference fills exactly
+                # [st0, en0] (ksw2_exts2_sse.c:214-216)
+                R_ = prm.n_rows
+                sval = prof_ref[pl.ds(0, R_), :]
+                for c in range(1, prm.m):
+                    sval = jnp.where(
+                        Qn == c, prof_ref[pl.ds(c * R_, R_), :], sval)
+                smask = (tvec >= st0) & (tvec <= en0)
+            else:
+                fill_hi = st0 + ((en0 - st0) // 16) * 16 + 15
+                eq = target_ref[...] == Qn
+                nm = (target_ref[...] == prm.m - 1) | (Qn == prm.m - 1)
+                sval = jnp.where(eq, sb_mch, sb_mis)
+                sval = jnp.where(nm, sb_N, sval)
+                smask = (tvec >= st0) & (tvec <= fill_hi)
             s[...] = jnp.where(smask, sval, s[...])
 
             ovm = (tvec == st) & need_ov
@@ -389,12 +402,12 @@ def build_exts_call(prm: ExtsParams, with_cigar: bool, interpret: bool = False):
     return pl.pallas_call(
         wrap,
         grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # query, flat int32
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # target (R,128)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # donor (biased)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # acceptor (biased)
-        ],
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.SMEM)]  # query, flat int32
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3  # target/don/acc
+            + ([pl.BlockSpec(memory_space=pltpu.VMEM)]     # profiles
+               if Flag(prm.flag) & Flag.GENERIC_SC else [])
+        ),
         out_shape=out_shape,
         out_specs=out_specs,
         scratch_shapes=scratch,
@@ -415,7 +428,8 @@ def build_exts_call(prm: ExtsParams, with_cigar: bool, interpret: bool = False):
 from .wavefront import _static_en0, _static_stop, window_phases
 
 
-def _exts_phase_body(prm: ExtsParams, r_lo, r_hi, Wcap, is_last, refs):
+def _exts_phase_body(prm: ExtsParams, r_lo, r_hi, row_base, Wcap,
+                     is_last, refs):
     refs = list(refs)
     qsmem_ref, target_ref, don_ref, acc_ref = refs[:4]
     # refs[4:15] are the aliased state inputs
@@ -466,9 +480,11 @@ def _exts_phase_body(prm: ExtsParams, r_lo, r_hi, Wcap, is_last, refs):
             ov_x2 = _b(-prm.q2)
             ov_v = jnp.where(st == 0, _ucol(r), _b(-qe))
 
-            row_lo_c = jnp.minimum(jnp.maximum(0, (st - 1) // 128), R - Wcap)
-            win = pl.ds(row_lo_c, Wcap)
-            tvw = tvw_base + row_lo_c * 128
+            # static window: the phase's row span is compile-time
+            # constant, so every plane slice below is static (dynamic
+            # sublane offsets force Mosaic relayout copies)
+            win = slice(row_base, row_base + Wcap)
+            tvw = tvw_base + row_base * 128
             fixm = tvw == 0
 
             uc, vc, xc, yc = u[win, :], v[win, :], x[win, :], y[win, :]
@@ -608,11 +624,11 @@ def build_exts_phased(prm: ExtsParams, interpret: bool = False):
     state_t = [jax.ShapeDtypeStruct(shape, jnp.int32)] * 11
 
     calls = []
-    for pi, (p_lo, p_hi, Wcap) in enumerate(phases):
+    for pi, (p_lo, p_hi, p_base, Wcap) in enumerate(phases):
         is_last = pi == len(phases) - 1
         n_steps = (p_hi - p_lo + prm.chunk - 1) // prm.chunk
         kernel = functools.partial(
-            _exts_phase_body, prm, p_lo, p_hi, Wcap, is_last)
+            _exts_phase_body, prm, p_lo, p_hi, p_base, Wcap, is_last)
 
         def wrap(*refs, _k=kernel):
             _k(refs)

@@ -336,3 +336,73 @@ def sharded_extf_scores_pallas(mesh: Mesh, query, target, qlen, tlen, w,
     # fields the reference kernel defines (ksw2_extf2_sse.c)
     return {k: out[k] for k in ("max", "max_t", "max_q", "score",
                                 "zdropped")}
+
+
+def make_sharded_run_fn(mesh: Mesh):
+    """Scheduler hook: ``run_fn(spec, Q, T, qlen, tlen, w)`` sharded.
+
+    Pads each bucket's batch up to a multiple of the mesh size (padded
+    pairs carry qlen = tlen = 1, scored and discarded), runs
+    :func:`sharded_extz_scores`, and slices the records back.  Plug into
+    ``align_batch_scores(..., run_fn=make_sharded_run_fn(mesh))`` for a
+    mesh-wide mixed-length workload with the same single-fetch pipeline.
+    """
+    n = mesh.devices.size
+
+    def run_fn(spec, Q, T, qlen, tlen, w):
+        B = Q.shape[0]
+        Bp = -(-B // n) * n
+        if Bp != B:
+            pad = Bp - B
+            Q = jnp.pad(Q, ((0, pad), (0, 0)))
+            T = jnp.pad(T, ((0, pad), (0, 0)))
+            one = jnp.ones((pad,), qlen.dtype)
+            qlen = jnp.concatenate([qlen, one])
+            tlen = jnp.concatenate([tlen, one])
+            w = jnp.concatenate([w, one])
+        out = sharded_extz_scores(mesh, spec, Q, T, qlen, tlen, w)
+        if Bp != B:
+            out = {k: (v[:B] if getattr(v, "ndim", 0) == 1 else v)
+                   for k, v in out.items()}
+        return out
+
+    return run_fn
+
+
+def scaling_efficiency(n_devices: int, B_per_dev: int = 64, L: int = 128,
+                       reps: int = 3):
+    """Measure batch-sharded pairs/s at 1 vs n devices on this host.
+
+    Returns ``(t1, tn, efficiency)`` where efficiency = t1 / (tn * n).
+    On a virtual CPU mesh the devices share host cores, so the number is
+    a weak lower bound; on a real TPU slice it measures ICI scaling of
+    the production batch path end-to-end (records gathered per step).
+    """
+    import time
+
+    B = B_per_dev * n_devices
+    rng = np.random.default_rng(0)
+    Q = rng.integers(0, 4, size=(B, L)).astype(np.int32)
+    T = np.where(rng.random((B, L)) < 0.1,
+                 rng.integers(0, 4, size=(B, L)), Q).astype(np.int32)
+    ql = jnp.full((B,), L, jnp.int32)
+    spec = BatchSpec(Lq=L, Lt=L, m=5, sc_mch=2, sc_mis=-4, sc_N=-2,
+                     q=4, e=2, zdrop=200, flag=1)
+    Qd, Td = jnp.asarray(Q), jnp.asarray(T)
+
+    def timed(mesh):
+        out = sharded_extz_scores(mesh, spec, Qd, Td, ql, ql, ql)
+        jax.block_until_ready(out["max"])          # compile + warm
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            out = sharded_extz_scores(mesh, spec, Qd, Td, ql, ql, ql)
+            jax.block_until_ready(out["max"])
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return best, int(np.asarray(out["max"]).sum())
+
+    t1, sum1 = timed(make_mesh(1))
+    tn, sumn = timed(make_mesh(n_devices))
+    assert sum1 == sumn, (sum1, sumn)              # sharding-invariant
+    return t1, tn, t1 / (tn * n_devices)
