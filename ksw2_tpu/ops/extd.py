@@ -150,16 +150,18 @@ def extd2_device(
             i0, j0 = ez.max_t, ez.max_q
         else:
             i0 = None
+        full_rows = 1 if p_rows >= N // 128 else 0
         if i0 is not None and device_tb:
             from .extz import device_backtrack
             ez.cigar = device_backtrack(
                 p, p.shape[0] // chunk, chunk, p_rows, qlen, tlen, w,
-                i0, j0, 0, rev, interpret)
+                i0, j0, 0, rev, interpret, full_rows=full_rows)
             if ez.cigar is None:
                 device_tb = False   # escaped: replay on the host
         if i0 is not None and not device_tb:
             st0, en0, st, en = band_bounds_rounded(n_diag, qlen, tlen, w)
-            store_off = st // 128 * 128
+            store_off = (np.zeros_like(st) if full_rows
+                         else st // 128 * 128)
             pmat = np.asarray(p).reshape(p.shape[0], -1)[:n_diag]
             trace = Trace(pmat, st, en, p_rows * 128)
             ez.cigar = backtrack(

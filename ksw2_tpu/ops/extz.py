@@ -42,13 +42,15 @@ def _cached_tb(prm, interpret: bool):
 
 
 def device_backtrack(p_dev, n_steps, chunk, p_rows, qlen, tlen, w,
-                     i0, j0, min_intron, is_rev, interpret, upper_force=1):
+                     i0, j0, min_intron, is_rev, interpret, upper_force=1,
+                     full_rows=0):
     """Walk the traceback on device; only the op string leaves the chip."""
     from . import traceback_device as tbd
     prm = tbd.TbParams(
         qlen=qlen, tlen=tlen, w=int(w), n_diag=qlen + tlen - 1,
         p_rows=p_rows, blk=chunk, n_blocks=n_steps,
         min_intron=int(min_intron), upper_force=int(upper_force),
+        full_rows=int(full_rows),
     )
     call = _cached_tb(prm, interpret)
     res, ops = call(jnp.asarray(np.array([i0, j0], np.int32)), p_dev)
@@ -183,19 +185,21 @@ def extz2_device(
             i0, j0 = ez.max_t, ez.max_q
         else:
             i0 = None
+        full_rows = 1 if p_rows >= N // 128 else 0
         if i0 is not None and device_tb:
             # walk on device: only the op string crosses to the host
             n_steps = p.shape[0] // chunk
             ez.cigar = device_backtrack(
                 p, n_steps, chunk, p_rows, qlen, tlen, w, i0, j0,
-                0, rev, interpret)
+                0, rev, interpret, full_rows=full_rows)
             if ez.cigar is None:
                 # the walk escaped the stored rows: replay on the host
                 # over the fetched direction matrix (exact same bytes)
                 device_tb = False
         if i0 is not None and not device_tb:
             st0, en0, st, en = band_bounds_rounded(n_diag, qlen, tlen, w)
-            store_off = st // 128 * 128
+            store_off = (np.zeros_like(st) if full_rows
+                         else st // 128 * 128)
             pmat = np.asarray(p).reshape(p.shape[0], -1)[:n_diag]
             trace = Trace(pmat, st, en, p_rows * 128)
             ez.cigar = backtrack(

@@ -87,14 +87,16 @@ def gg2_device(
         from .extz import device_backtrack
         cig = device_backtrack(
             p, p.shape[0] // chunk, chunk, p_rows, qlen, tlen, w,
-            tlen - 1, qlen - 1, 0, False, interpret, upper_force=0)
+            tlen - 1, qlen - 1, 0, False, interpret, upper_force=0,
+            full_rows=1 if p_rows >= R else 0)
         if cig is not None:
             return score, cig, None
         # the walk escaped the band upward: replay with the reference's
         # exact flat row layout (its reads run into the next diagonal)
     p = np.asarray(p)
     st0, en0, st, en = band_bounds_rounded(n_diag, qlen, tlen, w)
-    store_off = st // 128 * 128
+    store_off = (np.zeros_like(st) if p_rows >= R
+                 else st // 128 * 128)
     pmat = p.reshape(p.shape[0], -1)[:n_diag]
     # repack to the reference's n_col-wide rows so flat overflow reads
     # land on the same bytes (ksw2_gg2_sse.c:41-47)

@@ -44,6 +44,7 @@ class TbParams(NamedTuple):
     n_blocks: int
     min_intron: int
     upper_force: int  # 1: clamp to E above the band (0 for gg2, NULL off_end)
+    full_rows: int = 0   # direction rows stored at true positions (off==0)
 
 
 def _tb_kernel(prm: TbParams, refs):
@@ -85,7 +86,7 @@ def _tb_kernel(prm: TbParams, refs):
             en0 = jnp.minimum(tlen - 1, jnp.minimum(r, (r + w) >> 1))
             st = st0 // 16 * 16
             en = (en0 + 16) // 16 * 16 - 1
-            store_off = st // 128 * 128
+            store_off = 0 if prm.full_rows else st // 128 * 128
             if prm.upper_force:
                 force = jnp.where(i < st, 2, jnp.where(i > en, 1, -1))
             else:

@@ -510,11 +510,18 @@ def _extz_kernel_body(prm: ExtzParams, with_cigar: bool, refs):
         y[...] = jnp.where(bmask, jnp.where(bnb > 128, bn, 0), y[...])
 
         if with_cigar:
-            dscr[pl.ds(0, R)] = d
-            row0_ = st // 128
-            p_ref[pl.ds(rr, 1)] = (
+            if prm.p_rows >= R:
+                # full-rows mode (unbanded/square: the stored window
+                # already spans every row) — static store at true row
+                # positions, store_off == 0, no per-diagonal dynamic
+                # relayout of the direction plane
+                p_ref[pl.ds(rr, 1), pl.ds(0, R)] = d.astype(jnp.int8)[None]
+            else:
+                dscr[pl.ds(0, R)] = d
+                row0_ = st // 128
+                p_ref[pl.ds(rr, 1)] = (
                 dscr[pl.ds(row0_, prm.p_rows), :].astype(jnp.int8)[None]
-            )
+                )
 
 
     def diag_body(rr, _):
@@ -716,8 +723,10 @@ def window_phases(qlen, tlen, w, n_diag, R, quant=32, min_len=1024):
     return phases, r_stop
 
 
-# walk-state slots for the approx (-g) phase chain, carried between
-# phases in an aliased SMEM vector (ksw2_extz2_sse.c:270-286 state)
+# walk-state slots for the approx (-g) phase chain: carried between
+# phases in an aliased (8,128) VMEM plane (row 0, lanes WH0..WSTOP —
+# SMEM in/out aliasing is not honored on hardware), and mirrored into
+# SMEM ez scratch slots inside each phase (ksw2_extz2_sse.c:270-286)
 WH0, WLT, WMAX, WMAXT, WMAXQ, WSTOP = range(6)
 NWALK = 8
 
@@ -784,11 +793,24 @@ def _extz_phase_body(prm: ExtzParams, r_lo, r_hi, row_base, Wcap,
             return out
         return jnp.where(fixm, first_fix, out)
 
+    if approx:
+        # phase-entry: mirror the carried walk plane into SMEM scratch
+        # slots (per-diagonal scalar state must live in SMEM; the plane
+        # only ferries it between the aliased phase launches)
+        @pl.when(step == 0)
+        def _walk_load():
+            ez[H0] = _ld(wk, WH0)
+            ez[LASTH0T] = _ld(wk, WLT)
+            ez[MAX] = _ld(wk, WMAX)
+            ez[MAXT] = _ld(wk, WMAXT)
+            ez[MAXQ] = _ld(wk, WMAXQ)
+            ez[FIN] = _ld(wk, WSTOP)
+
     def diag(rr, _):
         r = r_lo + step * prm.chunk + rr
         go = r < r_hi
         if withdrop:
-            go = go & (wk[WSTOP] == 0)     # Z-dropped: remaining diagonals
+            go = go & (ez[FIN] == 0)       # Z-dropped: remaining diagonals
                                            # are no-ops (reference breaks)
 
         @pl.when(go)
@@ -886,7 +908,7 @@ def _extz_phase_body(prm: ExtzParams, r_lo, r_hi, row_base, Wcap,
                 # deltas.  At most three disjoint lanes contribute, so one
                 # packed sum-reduce recovers all fields (< 2^24).
                 is0 = r == 0
-                lt = wk[WLT]
+                lt = ez[LASTH0T]
                 c1 = (lt >= st0) & (lt <= en0)
                 c2 = (lt + 1 >= st0) & (lt + 1 <= en0)
                 ltn = jnp.minimum(lt + 1, R * 128 - 1)
@@ -897,7 +919,7 @@ def _extz_phase_body(prm: ExtzParams, r_lo, r_hi, row_base, Wcap,
                 d0 = ((Mb >> 8) & 255) - qe
                 d1 = (Mb & 255) - qe
                 both = c1 & c2
-                h0c = wk[WH0]
+                h0c = ez[H0]
                 newH0 = jnp.where(
                     both, h0c + jnp.maximum(d0, d1),
                     jnp.where(c1, h0c + d0, h0c + d1))
@@ -906,62 +928,80 @@ def _extz_phase_body(prm: ExtzParams, r_lo, r_hi, row_base, Wcap,
                 h00 = (Mb >> 16) - 2 * qe
                 M0 = jnp.where(is0, h00, newH0)
                 t0_ = jnp.where(is0, 0, newlt)
-                wk[WH0] = M0
-                wk[WLT] = t0_
+                ez[H0] = M0
+                ez[LASTH0T] = t0_
                 # ksw_apply_zdrop on the walk value — only under
                 # APPROX_DROP (max updates whenever the flag is set; the
                 # drop itself additionally needs zdrop >= 0)
                 if withad:
                     nis0 = jnp.logical_not(is0)
-                    betterz = nis0 & (M0 > wk[WMAX])
+                    betterz = nis0 & (M0 > ez[MAX])
                     if withdrop:
-                        l = jnp.abs((t0_ - wk[WMAXT])
-                                    - ((r - t0_) - wk[WMAXQ]))
-                        trig = (nis0 & jnp.logical_not(M0 > wk[WMAX])
-                                & (t0_ >= wk[WMAXT])
-                                & (r - t0_ >= wk[WMAXQ])
-                                & (wk[WMAX] - M0 > prm.zdrop + l * prm.e))
-                        wk[WSTOP] = jnp.where(trig, 1 + r, wk[WSTOP])
-                    wk[WMAX] = jnp.where(betterz, M0, wk[WMAX])
-                    wk[WMAXT] = jnp.where(betterz, t0_, wk[WMAXT])
-                    wk[WMAXQ] = jnp.where(betterz, r - t0_, wk[WMAXQ])
+                        l = jnp.abs((t0_ - ez[MAXT])
+                                    - ((r - t0_) - ez[MAXQ]))
+                        trig = (nis0 & jnp.logical_not(M0 > ez[MAX])
+                                & (t0_ >= ez[MAXT])
+                                & (r - t0_ >= ez[MAXQ])
+                                & (ez[MAX] - M0 > prm.zdrop + l * prm.e))
+                        ez[FIN] = jnp.where(trig, 1 + r, ez[FIN])
+                    ez[MAX] = jnp.where(betterz, M0, ez[MAX])
+                    ez[MAXT] = jnp.where(betterz, t0_, ez[MAXT])
+                    ez[MAXQ] = jnp.where(betterz, r - t0_, ez[MAXQ])
 
     jax.lax.fori_loop(0, prm.chunk, diag, None)
 
-    if is_last and approx:
+    if approx:
         r_stop = r_hi
 
         @pl.when(step == pl.num_programs(0) - 1)
-        def _fin_approx():
-            for kk in (MAXT, MAXQ, MQET, MTEQ):
-                ez[kk] = -1
-            for kk in (MQE, MTE):               # approx never sets mqe/mte
-                ez[kk] = NEG_INF
-            ez[SCORE] = NEG_INF
-            for kk in (MAX, ZDROP, H0, LASTH0T, FIN):
-                ez[kk] = 0
-            ez[LASTST] = -1
-            ez[LASTEN] = -1
-            ez[STOPR] = prm.n_diag
-            if withad:
-                ez[MAX] = wk[WMAX]
-                ez[MAXT] = wk[WMAXT]
-                ez[MAXQ] = wk[WMAXQ]
-            dropped = (wk[WSTOP] > 0) if withdrop else jnp.int32(0) > 0
-            # final score = H0 only when the run reached the last diagonal
-            # with the corner in-band and did not drop
-            score_ok = (r_stop == prm.n_diag and _static_en0(
-                prm.n_diag - 1, qlen, tlen, w) == tlen - 1)
-            if score_ok:
-                ez[SCORE] = jnp.where(dropped, NEG_INF, wk[WH0])
-            if r_stop < prm.n_diag:
-                ez[ZDROP] = 1
-                ez[STOPR] = r_stop
-            if withdrop:
-                ez[ZDROP] = jnp.maximum(ez[ZDROP], dropped.astype(I32))
-                ez[STOPR] = jnp.where(dropped, wk[WSTOP] - 1, ez[STOPR])
-            for kk in range(NSTATE):
-                res_ref[kk] = ez[kk] if kk < 15 else 0
+        def _walk_store():
+            # ferry the walk scalars to the aliased output plane for the
+            # next phase (row 0, lanes WH0..WSTOP)
+            lanes8 = jax.lax.broadcasted_iota(I32, (8, 128), 1)
+            rows8 = jax.lax.broadcasted_iota(I32, (8, 128), 0)
+            plane = jnp.zeros((8, 128), I32)
+            for idx, slot in ((WH0, H0), (WLT, LASTH0T), (WMAX, MAX),
+                              (WMAXT, MAXT), (WMAXQ, MAXQ), (WSTOP, FIN)):
+                plane = jnp.where((rows8 == 0) & (lanes8 == idx),
+                                  ez[slot], plane)
+            wk[...] = plane
+            if is_last:
+                # assemble the result record from the walk scalars
+                w_h0 = ez[H0]
+                w_max = ez[MAX]
+                w_maxt = ez[MAXT]
+                w_maxq = ez[MAXQ]
+                w_stop = ez[FIN]
+                for kk in (MAXT, MAXQ, MQET, MTEQ):
+                    ez[kk] = -1
+                for kk in (MQE, MTE):           # approx never sets mqe/mte
+                    ez[kk] = NEG_INF
+                ez[SCORE] = NEG_INF
+                for kk in (MAX, ZDROP, H0, LASTH0T, FIN):
+                    ez[kk] = 0
+                ez[LASTST] = -1
+                ez[LASTEN] = -1
+                ez[STOPR] = prm.n_diag
+                if withad:
+                    ez[MAX] = w_max
+                    ez[MAXT] = w_maxt
+                    ez[MAXQ] = w_maxq
+                dropped = (w_stop > 0) if withdrop else jnp.int32(0) > 0
+                # final score = H0 only when the run reached the last
+                # diagonal with the corner in-band and did not drop
+                score_ok = (r_stop == prm.n_diag and _static_en0(
+                    prm.n_diag - 1, qlen, tlen, w) == tlen - 1)
+                if score_ok:
+                    ez[SCORE] = jnp.where(dropped, NEG_INF, w_h0)
+                if r_stop < prm.n_diag:
+                    ez[ZDROP] = 1
+                    ez[STOPR] = r_stop
+                if withdrop:
+                    ez[ZDROP] = jnp.maximum(ez[ZDROP],
+                                            dropped.astype(I32))
+                    ez[STOPR] = jnp.where(dropped, w_stop - 1, ez[STOPR])
+                for kk in range(NSTATE):
+                    res_ref[kk] = ez[kk] if kk < 15 else 0
 
     if is_last and not approx:
         tvec = (jax.lax.broadcasted_iota(I32, (R, 128), 0) * 128
@@ -1042,8 +1082,8 @@ def build_extz_phased(prm: ExtzParams, interpret: bool = False,
     NP = 6 if approx else 10
     state_t = [jax.ShapeDtypeStruct(shape, jnp.int32)] * NP
     if approx:
-        state_t.append(jax.ShapeDtypeStruct((NWALK,), jnp.int32))
-    NS = len(state_t)                          # planes (+ walk vector)
+        state_t.append(jax.ShapeDtypeStruct((8, 128), jnp.int32))
+    NS = len(state_t)                          # planes (+ walk plane)
 
     calls = []
     for pi, (p_lo, p_hi, p_base, Wcap) in enumerate(phases):
@@ -1057,9 +1097,7 @@ def build_extz_phased(prm: ExtzParams, interpret: bool = False,
             _k(refs)
 
         out_shape = list(state_t)
-        out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * NP
-        if approx:
-            out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * NS
         scratch = [pltpu.SMEM((NSTATE,), jnp.int32)]
         if is_last:
             out_shape = [jax.ShapeDtypeStruct((NSTATE,), jnp.int32)] \
@@ -1067,9 +1105,7 @@ def build_extz_phased(prm: ExtzParams, interpret: bool = False,
             out_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + out_specs
         aliases = {2 + i: (1 if is_last else 0) + i for i in range(NS)}
         in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                    + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + NP))
-        if approx:
-            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+                    + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + NS))
         calls.append(pl.pallas_call(
             wrap,
             grid=(n_steps,),
@@ -1093,8 +1129,8 @@ def build_extz_phased(prm: ExtzParams, interpret: bool = False,
         state = [zero, zero, zero, zero,
                  jnp.full(shape, s_init, jnp.int32), zero]
         if approx:
-            walk0 = jnp.zeros((NWALK,), jnp.int32)
-            walk0 = walk0.at[WMAXT].set(-1).at[WMAXQ].set(-1)
+            walk0 = jnp.zeros((8, 128), jnp.int32)
+            walk0 = walk0.at[0, WMAXT].set(-1).at[0, WMAXQ].set(-1)
             state.append(walk0)
         else:
             ninf = jnp.full(shape, NEG_INF, jnp.int32)

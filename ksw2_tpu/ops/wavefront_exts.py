@@ -343,11 +343,18 @@ def _exts_kernel_body(prm: ExtsParams, with_cigar: bool, refs):
                 bmask, (jnp.maximum(a2n, don) - prm.q2) & 255, x2[...])
 
             if with_cigar:
-                dscr[pl.ds(0, R)] = d
-                row0_ = st // 128
-                p_ref[pl.ds(rr, 1)] = (
+                if prm.p_rows >= R:
+                    # full-rows mode (unbanded/square: the stored window
+                    # already spans every row) — static store at true row
+                    # positions, store_off == 0, no per-diagonal dynamic
+                    # relayout of the direction plane
+                    p_ref[pl.ds(rr, 1), pl.ds(0, R)] = d.astype(jnp.int8)[None]
+                else:
+                    dscr[pl.ds(0, R)] = d
+                    row0_ = st // 128
+                    p_ref[pl.ds(rr, 1)] = (
                     dscr[pl.ds(row0_, prm.p_rows), :].astype(jnp.int8)[None]
-                )
+                    )
 
             if approx:
                 _approx_update(r, st0, en0)

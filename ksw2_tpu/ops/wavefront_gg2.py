@@ -195,11 +195,18 @@ def _gg2_kernel_body(prm: Gg2Params, refs):
                 # ksw2_gg2_sse.c:124), so bytes past the band must be zero
                 # exactly like the reference's untouched p row tail
                 d = jnp.where(bmask, d, 0)
-                dscr[pl.ds(0, R)] = d
-                row0_ = st // 128
-                p_ref[pl.ds(rr, 1)] = (
+                if prm.p_rows >= R:
+                    # full-rows mode (unbanded/square: the stored window
+                    # already spans every row) — static store at true row
+                    # positions, store_off == 0, no per-diagonal dynamic
+                    # relayout of the direction plane
+                    p_ref[pl.ds(rr, 1), pl.ds(0, R)] = d.astype(jnp.int8)[None]
+                else:
+                    dscr[pl.ds(0, R)] = d
+                    row0_ = st // 128
+                    p_ref[pl.ds(rr, 1)] = (
                     dscr[pl.ds(row0_, prm.p_rows), :].astype(jnp.int8)[None]
-                )
+                    )
                 ez[LASTST] = st
                 ez[LASTEN] = en
 

@@ -347,6 +347,47 @@ def sweep_newpaths(rng):
     return fails
 
 
+def sweep_round2(rng):
+    """Round-2 paths: multi-phase approx walk carry, device GENERIC_SC,
+    and the traceback escape fallback wiring -- on the real chip."""
+    from ksw2_tpu.ops.extz import extz2_device
+    from ksw2_tpu.ops.extd import extd2_device
+    mat = simple_mat(5, 2, 4)
+    fails = 0
+
+    # approx (-sg) through >= 2 phases, with and without Z-drop
+    q = rng.integers(0, 4, size=900).astype(np.int32)
+    t = np.where(rng.random(900) < 0.1,
+                 rng.integers(0, 4, size=900), q).astype(np.int32)
+    FL = Flag.SCORE_ONLY | Flag.APPROX_MAX | Flag.APPROX_DROP
+    for z in (-1, 150):
+        ez, _ = extz2_device(q, t, 5, mat, 4, 2, zdrop=z, flag=FL)
+        want, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, zdrop=z, flag=FL)
+        for fld in ("max", "max_t", "max_q", "score", "zdropped"):
+            if getattr(ez, fld) != getattr(want, fld):
+                print(f"approx multi-phase FAIL z={z} {fld}")
+                fails += 1
+
+    # GENERIC_SC on the single-pair device route (scores + CIGAR)
+    gmat = rng.integers(-5, 4, size=(5, 5)).astype(np.int8)
+    np.fill_diagonal(gmat, rng.integers(1, 4, size=5))
+    gmat = gmat.reshape(-1)
+    qg = rng.integers(0, 5, size=180).astype(np.int32)
+    tg = rng.integers(0, 5, size=200).astype(np.int32)
+    for fl in (Flag.SCORE_ONLY | Flag.GENERIC_SC, Flag.GENERIC_SC):
+        ez, _ = extz2_device(qg, tg, 5, gmat, 4, 2, w=100, flag=fl)
+        want, _ = diagdiff.extz2(qg, tg, 5, gmat, 4, 2, w=100, flag=fl)
+        if ez.tsv_fields() != want.tsv_fields() or ez.cigar != want.cigar:
+            print(f"generic extz FAIL flag={int(fl)}")
+            fails += 1
+        ez, _ = extd2_device(qg, tg, 5, gmat, 4, 2, 13, 1, flag=fl)
+        want, _ = diagdiff.extd2(qg, tg, 5, gmat, 4, 2, 13, 1, flag=fl)
+        if ez.tsv_fields() != want.tsv_fields() or ez.cigar != want.cigar:
+            print(f"generic extd FAIL flag={int(fl)}")
+            fails += 1
+    return fails
+
+
 def mt_anchors():
     from ksw2_tpu.ops.extz import extz2_device
     from ksw2_tpu.ops.extd import extd2_device
@@ -398,6 +439,9 @@ if __name__ == "__main__":
     fn = sweep_newpaths(rng)
     f += fn
     print(f"new-paths sweep done ({fn} fails)")
+    fr2 = sweep_round2(rng)
+    f += fr2
+    print(f"round-2 sweep done ({fr2} fails)")
     f += mt_anchors()
     print("TPU VALIDATION", "FAILED" if f else "PASSED")
     sys.exit(1 if f else 0)
