@@ -39,7 +39,7 @@ def ensure_compile_cache() -> None:
                                  "ksw2_tpu", "jax_ccache")
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     except Exception:
         pass                                   # never break the caller
 
