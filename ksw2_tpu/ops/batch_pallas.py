@@ -972,11 +972,78 @@ def _cached_run_exts(prm, interpret: bool, with_cigar: bool = False):
     return jax.jit(run)
 
 
+def splice_profiles_batch(target, tlen, N, noncan, flag, junc, junc_bonus):
+    """Vectorized per-pair donor/acceptor planes, (B, N) int8.
+
+    Batch equivalent of :func:`ksw2_tpu.spec.diagdiff._splice_profiles`
+    (the executable spec keeps its per-base scalar loops; this is the
+    production path — 65k python iterations per 128x512 batch otherwise).
+    Parity-tested against the spec in tests/test_batch_pallas.py.
+    """
+    from ..spec.common import c_div
+
+    flag = Flag(int(flag))
+    B, Lt = target.shape
+    don = np.zeros((B, N), np.int64)
+    acc = np.zeros((B, N), np.int64)
+    if not (flag & (Flag.SPLICE_FOR | Flag.SPLICE_REV)):
+        return don.astype(np.int8), acc.astype(np.int8)
+    fwd = bool(flag & Flag.SPLICE_FOR)
+    rev = bool(flag & Flag.SPLICE_REV)
+    revc = bool(flag & Flag.REV_CIGAR)
+    semi = c_div(-noncan, 2) if (flag & Flag.SPLICE_FLANK) else 0
+    don[:] = -noncan
+    acc[:] = -noncan
+    idx = np.arange(N, dtype=np.int64)[None, :]
+    tl = np.asarray(tlen, np.int64)[:, None]
+    # tp[:, i+k] == t[i+k] with out-of-range == -1 (matches no base)
+    tp = np.full((B, N + 4), -1, np.int64)
+    tp[:, :Lt] = target
+    # tm[:, i+2-k] == t[i-k] (k = 1, 2), same padding
+    tm = np.full((B, N + 2), -1, np.int64)
+    tm[:, 2:Lt + 2] = target
+    t0, t1, t2, t3 = (tp[:, k:k + N] for k in range(4))
+    tm1, tm2 = tm[:, 1:N + 1], tm[:, 0:N]
+
+    if not revc:
+        dcan1 = ((fwd & (t1 == 2) & (t2 == 3))
+                 | (rev & (t1 == 1) & (t2 == 3)))
+        dcan2 = dcan1 & ((t3 == 0) | (t3 == 2))
+        acan1 = ((fwd & (tm1 == 0) & (t0 == 2))
+                 | (rev & (tm1 == 0) & (t0 == 1)))
+        acan2 = acan1 & ((tm2 == 1) | (tm2 == 3))
+        dbit_f, dbit_r, abit_f, abit_r = 1, 8, 2, 4
+    else:
+        dcan1 = ((fwd & (t1 == 2) & (t2 == 0))
+                 | (rev & (t1 == 1) & (t2 == 0)))
+        dcan2 = dcan1 & ((t3 == 1) | (t3 == 3))
+        acan1 = ((fwd & (tm1 == 3) & (t0 == 2))
+                 | (rev & (tm1 == 3) & (t0 == 1)))
+        acan2 = acan1 & ((tm2 == 0) | (tm2 == 2))
+        dbit_f, dbit_r, abit_f, abit_r = 2, 4, 1, 8
+
+    din = idx < (tl - 4)
+    don = np.where(din & dcan2, 0, np.where(din & dcan1, semi, don))
+    ain = (idx >= 2) & (idx < tl)
+    acc = np.where(ain & acan2, 0, np.where(ain & acan1, semi, acc))
+    if junc is not None:
+        jp = np.zeros((B, N + 1), np.int64)
+        jp[:, :Lt] = junc
+        j1 = jp[:, 1:N + 1]
+        j0 = jp[:, 0:N]
+        dj = ((fwd & ((j1 & dbit_f) != 0)) | (rev & ((j1 & dbit_r) != 0)))             & (idx < tl - 1)
+        aj = ((fwd & ((j0 & abit_f) != 0)) | (rev & ((j0 & abit_r) != 0)))             & (idx < tl)
+        don = np.where(dj, don + junc_bonus, don)
+        acc = np.where(aj, acc + junc_bonus, acc)
+    # int8 wraparound exactly as the spec's _i8
+    wrap = lambda x: (((x + 128) & 255) - 128).astype(np.int8)
+    return wrap(don), wrap(acc)
+
+
 def _exts_batch_prep(B, target, tlen, m, mat, q, e, q2, noncan, flag, junc,
                      junc_bonus, R, P=1):
     """Per-pair donor/acceptor planes (biased) + canonicalized params."""
     from ..spec.common import c_div
-    from ..spec.diagdiff import _splice_profiles
 
     mat = np.asarray(mat, dtype=np.int8).reshape(-1)
     long_thres = c_div(q2 - q, e) - 1
@@ -984,17 +1051,13 @@ def _exts_batch_prep(B, target, tlen, m, mat, q, e, q2, noncan, flag, junc,
         long_thres += 1
     long_diff = long_thres * e - (q2 - q)
     sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+    dn, ac = splice_profiles_batch(
+        np.asarray(target, np.int64), tlen, P * 128, noncan, flag,
+        junc, junc_bonus)
     donb = np.full((R, 128), 128, np.int32)
     accb = np.full((R, 128), 128, np.int32)
-    for b in range(B):
-        tl = int(tlen[b])
-        dn, ac = _splice_profiles(
-            np.asarray(target[b][:tl]), tl, P * 128, noncan, Flag(int(flag)),
-            None if junc is None else junc[b][:tl], junc_bonus)
-        donb[b * P:(b + 1) * P] = (
-            (dn.astype(np.int32) + 128) & 255).reshape(P, 128)
-        accb[b * P:(b + 1) * P] = (
-            (ac.astype(np.int32) + 128) & 255).reshape(P, 128)
+    donb[:B * P] = ((dn.astype(np.int32) + 128) & 255).reshape(B * P, 128)
+    accb[:B * P] = ((ac.astype(np.int32) + 128) & 255).reshape(B * P, 128)
     return mat, long_thres, long_diff, sc_N, donb, accb
 
 

@@ -610,3 +610,41 @@ def test_rev_cigar_paths():
                                   flag=Flag.REV_CIGAR)
         assert brev[i].cigar == wantb.cigar, i
         assert bfwd[i].cigar == wantb.cigar[::-1], i
+
+
+def test_splice_profiles_batch_parity():
+    """Vectorized donor/acceptor builder == the scalar spec, all flags."""
+    import numpy as np
+    from ksw2_tpu.core.flags import Flag
+    from ksw2_tpu.spec.diagdiff import _splice_profiles
+    from ksw2_tpu.ops.batch_pallas import splice_profiles_batch
+
+    rng = np.random.default_rng(42)
+    for trial in range(60):
+        B = int(rng.integers(1, 5))
+        Lt = int(rng.integers(5, 90))
+        N = ((Lt + 127) // 128) * 128
+        T = rng.integers(0, 4, size=(B, Lt)).astype(np.int64)
+        tl = rng.integers(1, Lt + 1, size=B).astype(np.int64)
+        noncan = int(rng.integers(0, 40))
+        fl = Flag(0)
+        if rng.random() < 0.8:
+            fl |= Flag.SPLICE_FOR
+        if rng.random() < 0.4:
+            fl |= Flag.SPLICE_REV
+        if rng.random() < 0.5:
+            fl |= Flag.SPLICE_FLANK
+        if rng.random() < 0.3:
+            fl |= Flag.REV_CIGAR
+        junc = None
+        jb = 0
+        if rng.random() < 0.5:
+            junc = rng.integers(0, 16, size=(B, Lt)).astype(np.uint8)
+            jb = int(rng.integers(0, 20))
+        dn, ac = splice_profiles_batch(T, tl, N, noncan, fl, junc, jb)
+        for b in range(B):
+            dn_s, ac_s = _splice_profiles(
+                T[b][:tl[b]].astype(np.int64), int(tl[b]), N, noncan, fl,
+                None if junc is None else junc[b][:tl[b]], jb)
+            assert (dn[b] == dn_s).all(), (trial, b, "donor")
+            assert (ac[b] == ac_s).all(), (trial, b, "acceptor")
