@@ -347,6 +347,20 @@ def main():
          (mcells / 1e9) / best_of(run_mixed, n=3),
          "Gcells/s", baseline=0.95)  # ref extz2_sse -z100 -s serial loop
 
+    # the same mix at a production batch size (4x; checksum scales
+    # exactly, the serial reference's Gcells/s baseline is invariant)
+    jobs4 = jobs * 4
+
+    def run_mixed4():
+        ezs = align_batch_scores(jobs4, 5, mat, 4, 2, zdrop=100,
+                                 flag=Flag.SCORE_ONLY)
+        tot = sum(ez.max for ez in ezs)
+        assert tot == 4 * 165978, tot
+
+    emit("align_batch_mixed_2048_gcells_per_s",
+         (4 * mcells / 1e9) / best_of(run_mixed4, n=3),
+         "Gcells/s", baseline=0.95)
+
     # cross-process warm-up: a FRESH python process scoring a small mixed
     # batch (every kernel comes from the persistent compile cache — the
     # kalloc zero-per-call-setup contract; target < 10 s)
@@ -421,14 +435,20 @@ def main():
         jobs_s.append(AlignJob(query=qq, target=tt))
         scells += len(qq) * len(tt)
 
+    # production batch size: tile the validated 256-job workload 4x (the
+    # checksum scales exactly; the reference's Gcells/s baseline is
+    # batch-size-invariant, TPU throughput is not)
+    jobs_s = jobs_s * 4
+    scells *= 4
+
     def run_splice():
         ezs = align_batch_splice(jobs_s, 5, mat_s, 2, 1, 32, 9, zdrop=200,
                                  flag=Flag.NONE)
         tot = sum(ez.max for ez in ezs)
         ctot = sum(len(ez.cigar) for ez in ezs)
-        assert (tot, ctot) == (47099, 1394), (tot, ctot)
+        assert (tot, ctot) == (4 * 47099, 4 * 1394), (tot, ctot)
 
-    emit("splice_batch_256x512_cigar_gcells_per_s",
+    emit("splice_batch_1024x512_cigar_gcells_per_s",
          (scells / 1e9) / best_of(run_splice, n=3), "Gcells/s")
 
     # batched Smith-Waterman local alignment (declared-but-absent upstream;

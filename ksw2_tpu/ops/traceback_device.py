@@ -56,6 +56,9 @@ def _tb_kernel(prm: TbParams, refs):
     blk_hi = (prm.n_blocks - 1 - step) * prm.blk + prm.blk  # this block: [lo, hi)
     blk_lo = blk_hi - prm.blk
     lane = jax.lax.broadcasted_iota(I32, (1, 128), 1)
+    # loop-invariant slab iotas (Mosaic does not reliably LICM these)
+    sub32 = jax.lax.broadcasted_iota(I32, (32, 128), 0)
+    ln32 = jax.lax.broadcasted_iota(I32, (32, 128), 1)
 
     I, J, STATE, K, DONE, OVF = range(6)
 
@@ -70,8 +73,8 @@ def _tb_kernel(prm: TbParams, refs):
 
     def emit(op):
         k = st8[K]
-        row = ops[pl.ds(k // 128, 1), :]
-        ops[pl.ds(k // 128, 1), :] = jnp.where(lane == k % 128, op, row)
+        row = ops[pl.ds(k >> 7, 1), :]
+        ops[pl.ds(k >> 7, 1), :] = jnp.where(lane == (k & 127), op, row)
         st8[K] = k + 1
 
     def walk(_, __):
@@ -99,11 +102,9 @@ def _tb_kernel(prm: TbParams, refs):
             # int8 dim-1 slices must be tile-aligned (32 sublanes); the
             # hint is required because Mosaic cannot prove it statically
             base = pl.multiple_of(
-                jnp.minimum((idx // 128) & ~31, prm.p_rows - 32), 32)
+                jnp.minimum((idx >> 7) & ~31, prm.p_rows - 32), 32)
             slab = p_ref[pl.ds(r - blk_lo, 1), pl.ds(base, 32), :][0]
-            sub = jax.lax.broadcasted_iota(I32, (32, 128), 0)
-            ln4 = jax.lax.broadcasted_iota(I32, (32, 128), 1)
-            hit = (sub == idx // 128 - base) & (ln4 == idx % 128)
+            hit = (sub32 == (idx >> 7) - base) & (ln32 == (idx & 127))
             tmp0 = jnp.max(jnp.where(hit, slab.astype(I32) & 255, 0))
             tmp = jnp.where(force >= 0, 0, tmp0)
             s1 = jnp.where(state == 0, tmp & 7,
