@@ -164,3 +164,33 @@ def random_pair(rng: np.random.Generator, tlen: int, divergence: float = 0.1,
 
 
 __all__ = ["have_ref", "run_ref", "run_spec", "random_pair", "REF_BIN"]
+
+
+def have_parasail() -> bool:
+    """True when the optional parasail python bindings are installed.
+
+    Mirrors the reference CLI's compile-time HAVE_PARASAIL comparator
+    hook (cli.c:85-126, Makefile:10-21): an independent third-party
+    oracle for global-alignment scores, used when available and skipped
+    otherwise.
+    """
+    try:
+        import parasail  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+def run_parasail_nw(tseq: str, qseq: str, a: int = 2, b: int = 4,
+                    gapo: int = 4, gape: int = 2) -> int:
+    """Global (NW) score from parasail, reference-CLI cost conventions.
+
+    The reference compares ksw_gg against parasail's nw_striped with the
+    same simple matrix and gap costs (cli.c:103-126: open = gapo + gape,
+    extend = gape, matrix from a/-b).
+    """
+    import parasail
+
+    matrix = parasail.matrix_create("ACGT", a, -b)
+    r = parasail.nw_striped_32(qseq, tseq, gapo + gape, gape, matrix)
+    return int(r.score)
