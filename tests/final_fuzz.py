@@ -1,6 +1,20 @@
-"""Final round-1 differential campaign: device pipeline vs reference binary."""
+"""Final differential campaign: device pipeline vs reference binary.
+
+Runs the device engines in interpret mode on CPU: this terminal's
+platform plugin pins the TPU backend regardless of JAX_PLATFORMS, so the
+platform is forced through jax.config before any backend initializes
+(random shapes would otherwise each pay a multi-minute TPU compile;
+real-chip coverage lives in tests/tpu_validate.py).
+"""
 import os
 import sys
+
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
