@@ -1,0 +1,111 @@
+"""API-level flags the reference CLI cannot express, vs a real oracle.
+
+KSW_EZ_EXTZ_ONLY + end_bonus (+ REV_CIGAR) are the extension-call pattern
+minimap2 actually uses (left/right extensions with reach_end stitching);
+the ksw2-test CLI has no flags for them, so the golden corpus never covers
+them.  This test compiles a tiny driver against the UNMODIFIED reference
+sources (in /tmp; /root/reference stays read-only) and fuzzes our spec and
+device engines against it.
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+import refcmp  # noqa: E402
+
+from ksw2_tpu.core.flags import Flag  # noqa: E402
+from ksw2_tpu.core.matrix import encode_dna, simple_mat  # noqa: E402
+from ksw2_tpu.spec import diagdiff  # noqa: E402
+
+DRV_SRC = os.path.join(HERE, "ext_driver.c")
+DRV_BIN = "/tmp/ksw2t_ext_driver"
+REF_DIR = "/root/reference"
+
+
+def _build_driver():
+    if os.path.exists(DRV_BIN):
+        return True
+    if not os.path.exists(os.path.join(REF_DIR, "ksw2_extz2_sse.c")):
+        return False
+    cmd = ["gcc", "-O2", f"-I{REF_DIR}", "-o", DRV_BIN, DRV_SRC,
+           os.path.join(REF_DIR, "ksw2_extz2_sse.c"),
+           os.path.join(REF_DIR, "ksw2_extd2_sse.c"),
+           os.path.join(REF_DIR, "kalloc.c")]
+    try:
+        return subprocess.run(cmd, capture_output=True,
+                              timeout=120).returncode == 0
+    except Exception:
+        return False
+
+
+def _run_driver(algo, q, e, q2, e2, w, zdrop, end_bonus, flag, qs, ts):
+    r = subprocess.run(
+        [DRV_BIN, algo, str(q), str(e), str(q2), str(e2), str(w),
+         str(zdrop), str(end_bonus), str(int(flag)), qs, ts],
+        capture_output=True, timeout=60, text=True)
+    assert r.returncode == 0, r.stderr
+    nums, cig = r.stdout.splitlines() + ([""] if
+                                         r.stdout.count("\n") < 2 else [])
+    vals = [int(x) for x in nums.split()]
+    keys = ("max", "zdropped", "max_q", "max_t", "mqe", "mqe_t",
+            "mte", "mte_q", "score", "reach_end")
+    return dict(zip(keys, vals)), cig.strip()
+
+
+def _cigar_str(ez):
+    return ez.cigar_string() if ez.cigar else ""
+
+
+@pytest.mark.skipif(not _build_driver(),
+                    reason="reference sources/gcc unavailable")
+@pytest.mark.parametrize("algo", ["extz2_sse", "extd2_sse"])
+def test_extz_only_end_bonus_vs_reference(algo):
+    rng = np.random.default_rng(2468)
+    mat = simple_mat(5, 2, -4)
+    n_reach = 0
+    for trial in range(10):
+        tlen = int(rng.integers(20, 140))
+        t, q = refcmp.random_pair(rng, tlen, 0.2, 0.08)
+        # queries shorter than targets so reach_end fires often
+        q = q[: max(5, int(len(q) * 0.7))]
+        w = int(rng.choice([-1, 20, 60]))
+        z = int(rng.choice([-1, 80]))
+        eb = int(rng.integers(0, 30))
+        fl = Flag.EXTZ_ONLY
+        if rng.random() < 0.3:
+            fl |= Flag.RIGHT
+        if rng.random() < 0.3:
+            fl |= Flag.REV_CIGAR
+        want, want_cig = _run_driver(
+            algo, 4, 2, 13, 1, w, z, eb, int(fl), q, t)
+        qs, ts = encode_dna(q), encode_dna(t)
+        if algo == "extz2_sse":
+            ez, _ = diagdiff.extz2(qs, ts, 5, mat, 4, 2, w=w, zdrop=z,
+                                   end_bonus=eb, flag=fl)
+            from ksw2_tpu.ops.extz import extz2_device
+            ezd, _ = extz2_device(qs, ts, 5, mat, 4, 2, w=w, zdrop=z,
+                                  end_bonus=eb, flag=fl, interpret=True)
+        else:
+            ez, _ = diagdiff.extd2(qs, ts, 5, mat, 4, 2, 13, 1, w=w,
+                                   zdrop=z, end_bonus=eb, flag=fl)
+            from ksw2_tpu.ops.extd import extd2_device
+            ezd, _ = extd2_device(qs, ts, 5, mat, 4, 2, 13, 1, w=w,
+                                  zdrop=z, end_bonus=eb, flag=fl,
+                                  interpret=True)
+        for impl, e_ in (("spec", ez), ("device", ezd)):
+            got = dict(max=e_.max, zdropped=int(e_.zdropped),
+                       max_q=e_.max_q, max_t=e_.max_t, mqe=e_.mqe,
+                       mqe_t=e_.mqe_t, mte=e_.mte, mte_q=e_.mte_q,
+                       score=e_.score, reach_end=int(e_.reach_end))
+            assert got == want, (algo, impl, trial, int(fl), got, want,
+                                 q, t)
+            assert _cigar_str(e_) == want_cig, (algo, impl, trial,
+                                                int(fl), _cigar_str(e_),
+                                                want_cig)
+        n_reach += want["reach_end"]
+    assert n_reach > 0, "no case exercised reach_end; fuzz shape too weak"
