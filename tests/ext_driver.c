@@ -13,8 +13,10 @@ static unsigned char nt4(char c) {
 }
 
 int main(int argc, char **argv) {
-  // argv: algo q e q2 e2 w zdrop end_bonus flag qseq tseq
-  if (argc != 12) { fprintf(stderr, "args\n"); return 2; }
+  // argv: algo q e q2 e2 w zdrop end_bonus flag qseq tseq [junc_hex]
+  // (for exts2_sse: e2 is reused as noncan, end_bonus as junc_bonus,
+  //  w ignored; junc_hex is one hex digit per target base)
+  if (argc != 12 && argc != 13) { fprintf(stderr, "args\n"); return 2; }
   const char *algo = argv[1];
   int q = atoi(argv[2]), e = atoi(argv[3]), q2 = atoi(argv[4]),
       e2 = atoi(argv[5]), w = atoi(argv[6]), zdrop = atoi(argv[7]),
@@ -40,7 +42,20 @@ int main(int argc, char **argv) {
   else if (strcmp(algo, "extd2_sse") == 0)
     ksw_extd2_sse(0, qlen, qb, tlen, tb, 5, mat, q, e, q2, e2, w, zdrop,
                   end_bonus, flag, &ez);
-  else return 2;
+  else if (strcmp(algo, "exts2_sse") == 0) {
+    uint8_t *junc = 0;
+    if (argc == 13 && (int)strlen(argv[12]) == tlen) {
+      junc = calloc(tlen, 1);
+      for (i = 0; i < tlen; ++i) {
+        char c = argv[12][i];
+        junc[i] = c <= '9' ? c - '0' : c - 'a' + 10;
+      }
+    }
+    ksw_exts2_sse(0, qlen, qb, tlen, tb, 5, mat, q, e, q2,
+                  (int8_t)e2 /* noncan */, zdrop,
+                  (int8_t)end_bonus /* junc_bonus */, flag, junc, &ez);
+    free(junc);
+  } else return 2;
   printf("%d %d %d %d %d %d %d %d %d %d\n", (int)ez.max, ez.zdropped,
          ez.max_q, ez.max_t, ez.mqe, ez.mqe_t, ez.mte, ez.mte_q, ez.score,
          ez.reach_end);
