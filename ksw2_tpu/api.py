@@ -1,0 +1,163 @@
+"""High-level alignment API: configure once, align many.
+
+The reference is consumed (by minimap2) as a family of C calls whose
+score parameters are fixed per run while millions of sequence pairs flow
+through.  :class:`Aligner` is that usage pattern as an object: costs and
+flags are bound at construction (so every compiled kernel variant is
+reused across calls), and the methods accept raw DNA strings or encoded
+arrays.
+
+    >>> from ksw2_tpu import Aligner
+    >>> aln = Aligner(a=2, b=4, q=4, e=2, zdrop=100)
+    >>> ez = aln.extend("ACGTGGTAC", "ACGTGGTTC")      # one pair
+    >>> ez.score, ez.cigar_string()
+    >>> ezs = aln.extend_batch(pairs)                   # many pairs
+
+Two-piece costs (``q2``/``e2``) switch the engines to extd2 semantics;
+``splice=True`` with ``q2``/``noncan`` selects the exts2 family.  Every
+result is an :class:`~ksw2_tpu.core.result.ExtzResult` with the exact
+``ksw_extz_t`` field contract (max/mqe/mte/zdropped/reach_end/cigar).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from .core.flags import Flag
+from .core.matrix import encode_dna, simple_mat
+from .core.result import ExtzResult
+
+Seq = Union[str, np.ndarray]
+
+
+def _enc(s: Seq) -> np.ndarray:
+    if isinstance(s, str):
+        return encode_dna(s)
+    return np.asarray(s)
+
+
+class Aligner:
+    """Pairwise extension/global aligner with fixed scoring parameters.
+
+    Parameters mirror the reference CLI and kernel signatures: match
+    ``a``, mismatch ``b`` (positive), gap open/extend ``q``/``e``,
+    optional two-piece ``q2``/``e2`` (extd2), band ``w``, Z-drop
+    ``zdrop``, ``end_bonus``, and ``flag`` (any ``Flag`` bits: RIGHT,
+    SCORE_ONLY, APPROX_MAX|APPROX_DROP, EXTZ_ONLY, EQX, ...).  A custom
+    ``mat`` (m*m int8) overrides ``a``/``b`` and implies GENERIC_SC
+    unless it is a simple matrix.
+    """
+
+    def __init__(self, a: int = 2, b: int = 4, q: int = 4, e: int = 2,
+                 q2: Optional[int] = None, e2: Optional[int] = None,
+                 w: int = -1, zdrop: int = -1, end_bonus: int = 0,
+                 flag: Flag | int = Flag.NONE, m: int = 5,
+                 mat: Optional[np.ndarray] = None,
+                 splice: bool = False, noncan: int = 0,
+                 junc_bonus: int = 0):
+        self.m = int(m)
+        self.flag = Flag(int(flag))
+        if mat is not None:
+            self.mat = np.asarray(mat, np.int8).reshape(-1)
+            if not self._is_simple(self.mat, self.m):
+                self.flag |= Flag.GENERIC_SC
+        else:
+            self.mat = simple_mat(self.m, int(a), -int(b))
+        self.q, self.e = int(q), int(e)
+        self.q2 = None if q2 is None else int(q2)
+        self.e2 = None if e2 is None else int(e2)
+        self.w, self.zdrop = int(w), int(zdrop)
+        self.end_bonus = int(end_bonus)
+        self.splice = bool(splice)
+        self.noncan = int(noncan)
+        self.junc_bonus = int(junc_bonus)
+        if self.splice and self.q2 is None:
+            raise ValueError("splice mode needs q2 (intron open cost)")
+        if (self.q2 is None) != (self.e2 is None) and not self.splice:
+            raise ValueError("two-piece costs need both q2 and e2")
+
+    @staticmethod
+    def _is_simple(mat: np.ndarray, m: int) -> bool:
+        sq = mat.reshape(m, m)
+        a, b = int(sq[0, 0]), int(sq[0, 1])
+        want = np.full((m, m), b, np.int8)
+        np.fill_diagonal(want, a)
+        want[m - 1, :] = 0
+        want[:, m - 1] = 0
+        return bool((sq == want).all())
+
+    # -- single pair ------------------------------------------------------
+
+    def extend(self, query: Seq, target: Seq,
+               junc: Optional[np.ndarray] = None) -> ExtzResult:
+        """Extension alignment of one pair (the ksw_ext* call family)."""
+        qs, ts = _enc(query), _enc(target)
+        if self.splice:
+            from .ops.exts import exts2_device
+            ez, _ = exts2_device(qs, ts, self.m, self.mat, self.q, self.e,
+                                 self.q2, self.noncan, zdrop=self.zdrop,
+                                 junc_bonus=self.junc_bonus,
+                                 flag=self.flag, junc=junc)
+        elif self.q2 is not None:
+            from .ops.extd import extd2_device
+            ez, _ = extd2_device(qs, ts, self.m, self.mat, self.q, self.e,
+                                 self.q2, self.e2, w=self.w,
+                                 zdrop=self.zdrop,
+                                 end_bonus=self.end_bonus, flag=self.flag)
+        else:
+            from .ops.extz import extz2_device
+            ez, _ = extz2_device(qs, ts, self.m, self.mat, self.q, self.e,
+                                 w=self.w, zdrop=self.zdrop,
+                                 end_bonus=self.end_bonus, flag=self.flag)
+        return ez
+
+    def global_align(self, query: Seq, target: Seq) -> ExtzResult:
+        """Global (NW) alignment of one pair (ksw_gg2_sse semantics)."""
+        from .ops.gg2 import gg2_device
+
+        qs, ts = _enc(query), _enc(target)
+        score, cig, _ = gg2_device(qs, ts, self.m, self.mat, self.q,
+                                   self.e, w=self.w)
+        ez = ExtzResult()
+        ez.reset()
+        ez.score = score
+        ez.cigar = cig
+        return ez
+
+    # -- batches ----------------------------------------------------------
+
+    def extend_batch(self, pairs: Sequence[Tuple[Seq, Seq]],
+                     w: Optional[Sequence[int]] = None,
+                     run_fn=None) -> List[ExtzResult]:
+        """Extension alignment of many pairs through the bucketing
+        scheduler (scores+CIGARs; score-only when SCORE_ONLY is set).
+
+        ``w`` optionally gives per-pair bands; ``run_fn`` plugs a
+        mesh-sharded engine (see
+        :func:`ksw2_tpu.parallel.mesh.make_sharded_run_fn`).
+        """
+        from .batch.scheduler import AlignJob, align_batch, \
+            align_batch_scores, align_batch_splice
+
+        jobs = []
+        for i, (qy, tg) in enumerate(pairs):
+            wv = int(w[i]) if w is not None else self.w
+            jobs.append(AlignJob(query=_enc(qy), target=_enc(tg), w=wv))
+        if self.splice:
+            return align_batch_splice(
+                jobs, self.m, self.mat, self.q, self.e, self.q2,
+                self.noncan, zdrop=self.zdrop,
+                junc_bonus=self.junc_bonus, flag=self.flag)
+        if run_fn is not None or (self.flag & Flag.SCORE_ONLY
+                                  and self.q2 is None):
+            return align_batch_scores(
+                jobs, self.m, self.mat, self.q, self.e, zdrop=self.zdrop,
+                flag=self.flag, run_fn=run_fn)
+        return align_batch(
+            jobs, self.m, self.mat, self.q, self.e, q2=self.q2,
+            e2=self.e2, zdrop=self.zdrop, end_bonus=self.end_bonus,
+            flag=self.flag)
+
+
+__all__ = ["Aligner"]

@@ -1,0 +1,90 @@
+"""High-level Aligner API: routing, parity with the underlying engines."""
+import numpy as np
+import pytest
+
+from ksw2_tpu import Aligner
+from ksw2_tpu.core.flags import Flag
+from ksw2_tpu.core.matrix import encode_dna, simple_mat
+from ksw2_tpu.spec import diagdiff
+
+
+def _pair(seed, L=90, div=0.15):
+    rng = np.random.default_rng(seed)
+    q = rng.integers(0, 4, size=L).astype(np.int32)
+    t = np.where(rng.random(L) < div,
+                 rng.integers(0, 4, size=L), q).astype(np.int32)
+    return q, t
+
+
+def test_extend_one_piece_matches_spec():
+    q, t = _pair(1)
+    aln = Aligner(a=2, b=4, q=4, e=2, zdrop=100)
+    ez = aln.extend(q, t)
+    want, _ = diagdiff.extz2(q, t, 5, simple_mat(5, 2, -4), 4, 2,
+                             zdrop=100)
+    assert (ez.score, ez.max, ez.cigar) == (want.score, want.max,
+                                            want.cigar)
+
+
+def test_extend_two_piece_and_strings():
+    q, t = _pair(2)
+    aln = Aligner(a=2, b=4, q=4, e=2, q2=13, e2=1)
+    qs = "".join("ACGT"[v] for v in q)
+    ts = "".join("ACGT"[v] for v in t)
+    ez = aln.extend(qs, ts)
+    want, _ = diagdiff.extd2(q, t, 5, simple_mat(5, 2, -4), 4, 2, 13, 1)
+    assert (ez.score, ez.cigar) == (want.score, want.cigar)
+
+
+def test_generic_matrix_autodetected():
+    rng = np.random.default_rng(3)
+    mat = rng.integers(-5, 4, size=(5, 5)).astype(np.int8)
+    np.fill_diagonal(mat, 2)
+    aln = Aligner(mat=mat, q=4, e=2)
+    assert aln.flag & Flag.GENERIC_SC
+    aln2 = Aligner(mat=simple_mat(5, 2, -4), q=4, e=2)
+    assert not (aln2.flag & Flag.GENERIC_SC)
+    q, t = _pair(4, L=60)
+    ez = aln.extend(q, t)
+    want, _ = diagdiff.extz2(q, t, 5, mat.reshape(-1), 4, 2,
+                             flag=Flag.GENERIC_SC)
+    assert (ez.score, ez.cigar) == (want.score, want.cigar)
+
+
+def test_extend_batch_and_global():
+    rng = np.random.default_rng(5)
+    pairs = [_pair(10 + i, L=int(rng.integers(40, 120))) for i in range(9)]
+    aln = Aligner(a=2, b=4, q=4, e=2, zdrop=100, flag=Flag.SCORE_ONLY)
+    ezs = aln.extend_batch(pairs)
+    assert len(ezs) == 9
+    for (q, t), ez in zip(pairs, ezs):
+        want, _ = diagdiff.extz2(q, t, 5, simple_mat(5, 2, -4), 4, 2,
+                                 zdrop=100, flag=Flag.SCORE_ONLY)
+        assert ez.max == want.max and ez.score == want.score
+
+    q, t = pairs[0]
+    g = Aligner(a=2, b=4, q=4, e=2).global_align(q, t)
+    from ksw2_tpu.spec.diagdiff import gg2_sse
+    score, cig, _ = gg2_sse(q, t, 5, simple_mat(5, 2, -4), 4, 2)
+    assert (g.score, g.cigar) == (score, cig)
+
+
+def test_splice_mode():
+    rng = np.random.default_rng(6)
+    t = rng.integers(0, 4, 200).astype(np.int32)
+    t[60:62] = (2, 3)
+    t[139:141] = (0, 2)
+    q = np.concatenate([t[20:60], t[141:180]]).astype(np.int32)
+    aln = Aligner(a=1, b=2, q=2, e=1, q2=32, splice=True, noncan=9,
+                  zdrop=200)
+    ez = aln.extend(q, t)
+    want, _ = diagdiff.exts2(q, t, 5, simple_mat(5, 1, -2), 2, 1, 32, 9,
+                             zdrop=200)
+    assert (ez.score, ez.cigar) == (want.score, want.cigar)
+
+
+def test_bad_params_raise():
+    with pytest.raises(ValueError):
+        Aligner(q2=13)          # two-piece needs both q2 and e2
+    with pytest.raises(ValueError):
+        Aligner(splice=True)    # splice needs q2
