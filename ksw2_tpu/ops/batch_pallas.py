@@ -132,6 +132,12 @@ def extz_batch_records(
         w = np.maximum(qlen, tlen)
     w = np.asarray(w, np.int32)
     mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    # short effectively-unbanded score-only buckets take the row-major
+    # engine: ~2x fewer VPU ops per pair than the anti-diagonal sweep
+    from .wavefront_rows import extz_rows_records, rows_eligible
+    if rows_eligible(qlen, tlen, w, flag, zdrop, m, mat):
+        return extz_rows_records(query, target, qlen, tlen, m, mat, q, e,
+                                 zdrop=zdrop, flag=flag, interpret=interpret)
     if zdrop >= 0 and not (flag & Flag.APPROX_MAX):
         # the exact-Z-drop kernel packs (H, tie-key) into one int32; the
         # key needs 5*P*128+2 values, so the positive H range shrinks as P

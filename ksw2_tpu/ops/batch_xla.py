@@ -114,12 +114,12 @@ def extz_batch_scores(spec: BatchSpec, query, target, qlen, tlen, w):
         enb = (en0 + 16) // 16 * 16 - 1
         in_range = (stb - 1 >= st["last_st"]) & (stb - 1 <= st["last_en"])
         need_ov = (stb == 0) | jnp.logical_not(in_range)
-        ov_v = jnp.where(stb == 0, jnp.where(r > 0, spec.q, 0), 0)
+        ov_v = jnp.where(stb == 0, ((r > 0).astype(I32) * spec.q), 0)
 
         am = act[:, None]
         # first-column presets
         col_mask = am & (enb >= r)[:, None] & (tvec == r)
-        ucol = jnp.where(r > 0, spec.q, 0)
+        ucol = ((r > 0).astype(I32) * spec.q)
         u0 = jnp.where(col_mask, ucol, st["u"])
         y0 = jnp.where(col_mask, 0, st["y"])
 

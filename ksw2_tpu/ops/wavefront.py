@@ -432,12 +432,12 @@ def _extz_kernel_body(prm: ExtzParams, with_cigar: bool, refs):
 
     def _sweep(r, rr, st0, en0, st, en, need_ov):
         """One diagonal of the difference recurrence (stores u/v/x/y [+d])."""
-        ov_v = jnp.where(st == 0, jnp.where(r > 0, prm.q, 0), 0)
+        ov_v = jnp.where(st == 0, ((r > 0).astype(I32) * prm.q), 0)
         # first-column boundary (u[r]=q, y[r]=0 when en>=r) is folded
         # into the recurrence reads: lane r is always rewritten by
         # the masked store below, so the preset never persists.
         col_mask = (en >= r) & (tvec == r)
-        ut = jnp.where(col_mask, jnp.where(r > 0, prm.q, 0), u[...])
+        ut = jnp.where(col_mask, ((r > 0).astype(I32) * prm.q), u[...])
         yt = jnp.where(col_mask, 0, y[...])
 
         # reversed-query window: shift right, inject query[r] at t=0
@@ -826,7 +826,7 @@ def _extz_phase_body(prm: ExtzParams, r_lo, r_hi, row_base, Wcap,
             in_range = ((r > 0) & (st - 1 >= st0p // 16 * 16)
                         & (st - 1 <= (en0p + 16) // 16 * 16 - 1))
             need_ov = (st == 0) | jnp.logical_not(in_range)
-            ov_v = jnp.where(st == 0, jnp.where(r > 0, prm.q, 0), 0)
+            ov_v = jnp.where(st == 0, ((r > 0).astype(I32) * prm.q), 0)
 
             # static window: the phase's row span is compile-time
             # constant, so every plane slice below is static (dynamic
@@ -842,7 +842,7 @@ def _extz_phase_body(prm: ExtzParams, r_lo, r_hi, row_base, Wcap,
 
             if may_col:
                 col_mask = (en >= r) & (tvw == r)
-                ut = jnp.where(col_mask, jnp.where(r > 0, prm.q, 0), uc)
+                ut = jnp.where(col_mask, ((r > 0).astype(I32) * prm.q), uc)
                 yt = jnp.where(col_mask, 0, yc)
             else:
                 ut, yt = uc, yc

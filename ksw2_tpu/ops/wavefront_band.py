@@ -228,10 +228,10 @@ def _band_kernel_body(prm: BandParams, with_cigar, refs):
         # stb == 0 covers the init case.
         need_ov = (stb == 0) | (stb == pbs[...])
         pbs[...] = stb
-        ov_v = jnp.where(stb == 0, jnp.where(r > 0, prm.q, 0), 0)
+        ov_v = jnp.where(stb == 0, ((r > 0).astype(I32) * prm.q), 0)
 
         col_mask = act & (enb >= r) & (jb == r)
-        ucol = jnp.where(r > 0, prm.q, 0)
+        ucol = ((r > 0).astype(I32) * prm.q)
         ut = jnp.where(col_mask, ucol, u[...])
         yt = jnp.where(col_mask, 0, y[...])
 

@@ -216,10 +216,10 @@ def _batch_kernel_body(prm: BatchParams, with_cigar, refs):
         # bounds(r-1); stb == 0 covers r == 0.
         need_ov = (stb == 0) | (stb == pbs[...])
         pbs[...] = stb
-        ov_v = jnp.where(stb == 0, jnp.where(r > 0, prm.q, 0), 0)
+        ov_v = jnp.where(stb == 0, ((r > 0).astype(I32) * prm.q), 0)
 
         col_mask = act & (enb >= r) & (lane == r)
-        ucol = jnp.where(r > 0, prm.q, 0)
+        ucol = ((r > 0).astype(I32) * prm.q)
         ut = jnp.where(col_mask, ucol, u[...])
         yt = jnp.where(col_mask, 0, y[...])
 

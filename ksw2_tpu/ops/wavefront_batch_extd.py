@@ -142,11 +142,13 @@ def _batch_extd_kernel(prm: BatchExtdParams, with_cigar, refs):
     lanep1 = lane + 1
 
     def _ucol(r):
-        return jnp.where(
-            r == 0, _b(-qe),
-            jnp.where(r < prm.long_thres, _b(-prm.e),
-                      jnp.where(r == prm.long_thres,
-                                (prm.long_diff + BIAS) & 255, _b(-prm.e2))))
+        # branch-free priority chain (r==0 -> r<lt -> r==lt -> else):
+        # a scalar jnp.where feeding a plane-level select mis-evaluates
+        # under the Pallas interpreter's fori (Mosaic is fine)
+        v = _b(-prm.e2) + (r == prm.long_thres).astype(I32) * (
+            ((prm.long_diff + BIAS) & 255) - _b(-prm.e2))
+        v = v + (r < prm.long_thres).astype(I32) * (_b(-prm.e) - v)
+        return v + (r == 0).astype(I32) * (_b(-qe) - v)
 
     def diag_body(rr, _):
         r = step * prm.chunk + rr

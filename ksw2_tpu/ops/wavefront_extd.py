@@ -138,11 +138,13 @@ def _extd_kernel_body(prm: ExtdParams, with_cigar: bool, refs):
 
     def _ucol(r):
         """u[r]/v1 first-column boundary (long-gap cost switch), biased."""
-        return jnp.where(
-            r == 0, _b(-qe),
-            jnp.where(r < prm.long_thres, _b(-prm.e),
-                      jnp.where(r == prm.long_thres,
-                                (prm.long_diff + BIAS) & 255, _b(-prm.e2))))
+        # branch-free priority chain (r==0 -> r<lt -> r==lt -> else):
+        # a scalar jnp.where feeding a plane-level select mis-evaluates
+        # under the Pallas interpreter's fori (Mosaic is fine)
+        v = _b(-prm.e2) + (r == prm.long_thres).astype(I32) * (
+            ((prm.long_diff + BIAS) & 255) - _b(-prm.e2))
+        v = v + (r < prm.long_thres).astype(I32) * (_b(-prm.e) - v)
+        return v + (r == 0).astype(I32) * (_b(-qe) - v)
 
     def _zdrop_update(Hval, rr, tt):
         better = Hval > ez[MAX]
@@ -504,11 +506,13 @@ def _extd_phase_body(prm: ExtdParams, r_lo, r_hi, row_base, Wcap,
         return jnp.where(fixm, first_fix, out)
 
     def _ucol(r):
-        return jnp.where(
-            r == 0, _b(-qe),
-            jnp.where(r < prm.long_thres, _b(-prm.e),
-                      jnp.where(r == prm.long_thres,
-                                (prm.long_diff + BIAS) & 255, _b(-prm.e2))))
+        # branch-free priority chain (r==0 -> r<lt -> r==lt -> else):
+        # a scalar jnp.where feeding a plane-level select mis-evaluates
+        # under the Pallas interpreter's fori (Mosaic is fine)
+        v = _b(-prm.e2) + (r == prm.long_thres).astype(I32) * (
+            ((prm.long_diff + BIAS) & 255) - _b(-prm.e2))
+        v = v + (r < prm.long_thres).astype(I32) * (_b(-prm.e) - v)
+        return v + (r == 0).astype(I32) * (_b(-qe) - v)
 
     def diag(rr, _):
         r = r_lo + step * prm.chunk + rr

@@ -147,9 +147,9 @@ def _gg2_kernel_body(prm: Gg2Params, refs):
             def _main():
                 in_range = (st - 1 >= ez[LASTST]) & (st - 1 <= ez[LASTEN])
                 need_ov = (st == 0) | jnp.logical_not(in_range)
-                ov_v = jnp.where(st == 0, jnp.where(r > 0, prm.q, 0), 0)
+                ov_v = jnp.where(st == 0, ((r > 0).astype(I32) * prm.q), 0)
                 col_mask = (en >= r) & (tvec == r)
-                ut = jnp.where(col_mask, jnp.where(r > 0, prm.q, 0), u[...])
+                ut = jnp.where(col_mask, ((r > 0).astype(I32) * prm.q), u[...])
                 yt = jnp.where(col_mask, 0, y[...])
 
                 qv = qsmem_ref[jnp.minimum(r, qlen - 1)]
