@@ -113,15 +113,30 @@ class Aligner:
         return ez
 
     def global_align(self, query: Seq, target: Seq) -> ExtzResult:
-        """Global (NW) alignment of one pair (ksw_gg2_sse semantics)."""
+        """Global (NW) alignment of one pair (ksw_gg2_sse semantics).
+
+        The reference ``ksw_gg*`` return a bare score with no ``ksw_extz_t``
+        (ksw2.h:85-92), so there is no upstream contract for the max/mqe/mte
+        fields here.  For API uniformity they are filled from the one cell a
+        global alignment determines — the corner ``(tlen-1, qlen-1)``, which
+        is simultaneously the alignment end, the query-end cell, and the
+        target-end cell.  ``reach_end`` is set: a global alignment reaches
+        the query end by definition.
+        """
         from .ops.gg2 import gg2_device
 
         qs, ts = _enc(query), _enc(target)
         score, cig, _ = gg2_device(qs, ts, self.m, self.mat, self.q,
                                    self.e, w=self.w)
+        qlen, tlen = len(qs), len(ts)
         ez = ExtzResult()
         ez.reset()
         ez.score = score
+        ez.max = score
+        ez.max_t, ez.max_q = tlen - 1, qlen - 1
+        ez.mqe, ez.mqe_t = score, tlen - 1
+        ez.mte, ez.mte_q = score, qlen - 1
+        ez.reach_end = True
         ez.cigar = cig
         return ez
 
@@ -129,16 +144,32 @@ class Aligner:
 
     def extend_batch(self, pairs: Sequence[Tuple[Seq, Seq]],
                      w: Optional[Sequence[int]] = None,
-                     run_fn=None) -> List[ExtzResult]:
+                     run_fn=None,
+                     juncs: Optional[Sequence[Optional[np.ndarray]]] = None,
+                     ) -> List[ExtzResult]:
         """Extension alignment of many pairs through the bucketing
         scheduler (scores+CIGARs; score-only when SCORE_ONLY is set).
 
-        ``w`` optionally gives per-pair bands; ``run_fn`` plugs a
-        mesh-sharded engine (see
-        :func:`ksw2_tpu.parallel.mesh.make_sharded_run_fn`).
+        ``w`` optionally gives per-pair bands; ``juncs`` optionally gives
+        per-pair junction annotation tracks (splice mode, same meaning as
+        ``extend(junc=...)``); ``run_fn`` plugs a mesh-sharded engine (see
+        :func:`ksw2_tpu.parallel.mesh.make_sharded_run_fn`) and is only
+        valid for one-piece SCORE_ONLY configurations — the sharded record
+        path carries extz scores, so any other cost model or output shape
+        must fail loudly rather than return wrong results.
         """
         from .batch.scheduler import AlignJob, align_batch, \
             align_batch_scores, align_batch_splice
+
+        if run_fn is not None and (
+                self.splice or self.q2 is not None
+                or not (self.flag & Flag.SCORE_ONLY)):
+            raise ValueError(
+                "run_fn supports one-piece SCORE_ONLY batches only "
+                "(sharded records carry extz scores; q2/e2, splice, or "
+                "CIGAR configurations would silently lose information)")
+        if juncs is not None and not self.splice:
+            raise ValueError("juncs requires splice=True")
 
         jobs = []
         for i, (qy, tg) in enumerate(pairs):
@@ -148,9 +179,8 @@ class Aligner:
             return align_batch_splice(
                 jobs, self.m, self.mat, self.q, self.e, self.q2,
                 self.noncan, zdrop=self.zdrop,
-                junc_bonus=self.junc_bonus, flag=self.flag)
-        if run_fn is not None or (self.flag & Flag.SCORE_ONLY
-                                  and self.q2 is None):
+                junc_bonus=self.junc_bonus, flag=self.flag, juncs=juncs)
+        if run_fn is not None:
             return align_batch_scores(
                 jobs, self.m, self.mat, self.q, self.e, zdrop=self.zdrop,
                 flag=self.flag, run_fn=run_fn)

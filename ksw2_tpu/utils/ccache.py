@@ -31,6 +31,13 @@ def ensure_compile_cache() -> None:
     try:
         import jax
 
+        # some callers force CPU via jax.config rather than the env var
+        # (bench.py parity preflight, tests/final_fuzz.py); the SIGILL
+        # rationale above applies to them equally
+        plats = getattr(jax.config, "jax_platforms", None) or ""
+        if str(plats).strip().lower() == "cpu":
+            return
+
         cache = os.environ.get("KSW2_TPU_CCACHE")
         if cache is None:
             # per-user default (a world-shared /tmp path could be poisoned

