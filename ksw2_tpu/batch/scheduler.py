@@ -107,13 +107,14 @@ def align_batch_scores(
 
     # Phase 1 — dispatch every bucket WITHOUT waiting: each engine returns
     # device record arrays (B_i, NFIELDS) and JAX queues the launches
-    # asynchronously.  Phase 2 concatenates all records on device and
-    # fetches ONCE — over this environment's device tunnel a sync costs
-    # ~25 ms, so one round-trip for the whole workload instead of one per
-    # bucket is the difference between losing to and beating the
-    # reference's serial loop on mixed-length batches.
+    # asynchronously, heaviest bucket first.  Phase 2 starts async
+    # device->host copies for every piece and unpacks — over this
+    # environment's device tunnel a sync costs ~25 ms, so zero extra
+    # round-trips (each piece's copy rides behind the remaining compute)
+    # is the difference between losing to and beating the reference's
+    # serial loop on mixed-length batches.
     pending: List[Tuple[List[int], list]] = []   # (job idxs, record pieces)
-    for (Lq, Lt), idxs in buckets.items():
+    for (Lq, Lt), idxs in _heaviest_first(buckets, jobs):
         B = len(idxs)
         Q = np.zeros((B, Lq), np.int32)
         T = np.zeros((B, Lt), np.int32)
@@ -154,30 +155,11 @@ def align_batch_scores(
             pieces = [_stack_records(out)]
         pending.append((idxs, pieces))
 
-    # Phase 2 — one on-device concat, one fetch, then host-side unpack
-    all_pieces = [p for _, ps in pending for p in ps]
-    if all_pieces:
-        res = np.asarray(_concat_records(*all_pieces)
-                         if len(all_pieces) > 1 else all_pieces[0])
-    off = 0
-    guard = -min_sc > 2 * (q + e)
-    for idxs, ps in pending:
-        for k, i in enumerate(idxs):
-            rec = res[off + k]
-            ez = ExtzResult()
-            ez.reset()
-            if not guard:
-                ez.max = int(rec[0])
-                ez.max_t = int(rec[1])
-                ez.max_q = int(rec[2])
-                ez.mqe = int(rec[3])
-                ez.mqe_t = int(rec[4])
-                ez.mte = int(rec[5])
-                ez.mte_q = int(rec[6])
-                ez.score = int(rec[7])
-                ez.zdropped = bool(rec[8])
-            results[i] = ez
-        off += len(idxs)
+    # Phase 2 — per-piece async device->host copies, then host-side
+    # unpack (the copies overlap later buckets' compute; no device sync
+    # beyond the last launch's own transfer)
+    _start_host_copies(pending)
+    _unpack_pending(pending, results, guard=-min_sc > 2 * (q + e))
     return results  # type: ignore[return-value]
 
 
@@ -194,6 +176,55 @@ def _pallas_zdrop_ok(Lt, mat, qlen, tlen, zdrop, flag) -> bool:
 @jax.jit
 def _concat_records(*pieces):
     return jnp.concatenate(pieces, axis=0)
+
+
+def _heaviest_first(buckets: Dict[Tuple[int, int], List[int]], jobs):
+    """Bucket items ordered biggest-compute-first: the device starts
+    chewing the heaviest launches while the host still preps the rest,
+    and their device->host copies overlap the most remaining compute."""
+    def cost(kv):
+        _, idxs = kv
+        return -sum(len(jobs[i].query) * len(jobs[i].target) for i in idxs)
+    return sorted(buckets.items(), key=cost)
+
+
+def _start_host_copies(pending) -> None:
+    """Begin device->host transfer of every record piece without blocking.
+
+    Replaces the on-device concat + single blocking fetch: the device
+    executes launches FIFO, so each piece's bytes travel the tunnel while
+    later buckets still compute and the final np.asarray reads mostly
+    land on already-arrived host buffers (only the last launch's copy is
+    actually waited on).  Zero extra syncs either way."""
+    for _, ps in pending:
+        for p in ps:
+            cp = getattr(p, "copy_to_host_async", None)
+            if cp is not None:
+                cp()
+
+
+def _unpack_pending(pending, results, guard) -> None:
+    """Read every pending record piece and fill per-job ExtzResults."""
+    for idxs, ps in pending:
+        off = 0
+        for pce in ps:
+            arr = np.asarray(pce)
+            for k in range(arr.shape[0]):
+                rec = arr[k]
+                ez = ExtzResult()
+                ez.reset()
+                if not guard:
+                    ez.max = int(rec[0])
+                    ez.max_t = int(rec[1])
+                    ez.max_q = int(rec[2])
+                    ez.mqe = int(rec[3])
+                    ez.mqe_t = int(rec[4])
+                    ez.mte = int(rec[5])
+                    ez.mte_q = int(rec[6])
+                    ez.score = int(rec[7])
+                    ez.zdropped = bool(rec[8])
+                results[idxs[off + k]] = ez
+            off += arr.shape[0]
 
 
 @jax.jit
@@ -241,7 +272,7 @@ def align_batch_scores2(
         buckets.setdefault(key, []).append(i)
 
     pending: List[Tuple[List[int], list]] = []
-    for (Lq, Lt), idxs in buckets.items():
+    for (Lq, Lt), idxs in _heaviest_first(buckets, jobs):
         B = len(idxs)
         Q = np.zeros((B, Lq), np.int32)
         T = np.zeros((B, Lt), np.int32)
@@ -282,30 +313,9 @@ def align_batch_scores2(
                                      q2, e2, w=job.w, zdrop=zdrop, flag=flag)
                 results[i] = ez
 
-    all_pieces = [p for _, ps in pending for p in ps]
-    if all_pieces:
-        res = np.asarray(_concat_records(*all_pieces)
-                         if len(all_pieces) > 1 else all_pieces[0])
-    off = 0
+    _start_host_copies(pending)
     qc, ec = (q, e) if q + e <= q2 + e2 else (q2, e2)
-    guard = -min_sc > 2 * (qc + ec)
-    for idxs, ps in pending:
-        for k, i in enumerate(idxs):
-            rec = res[off + k]
-            ez = ExtzResult()
-            ez.reset()
-            if not guard:
-                ez.max = int(rec[0])
-                ez.max_t = int(rec[1])
-                ez.max_q = int(rec[2])
-                ez.mqe = int(rec[3])
-                ez.mqe_t = int(rec[4])
-                ez.mte = int(rec[5])
-                ez.mte_q = int(rec[6])
-                ez.score = int(rec[7])
-                ez.zdropped = bool(rec[8])
-            results[i] = ez
-        off += len(idxs)
+    _unpack_pending(pending, results, guard=-min_sc > 2 * (qc + ec))
     return results  # type: ignore[return-value]
 
 

@@ -623,6 +623,16 @@ def extz_batch_align(
                                   i0a, j0a, started, rev, interpret)
         for b in range(B):
             out[b].cigar = cigs[b]
+    if flag & Flag.EQX:
+        # library extension: the reference extz2 ignores KSW_EZ_EQX (only
+        # extd2/exts2 post-pass it), but every other engine here (spec,
+        # async dispatch, extd sync) honors it for extz, so stay uniform
+        from ..core import cigar as cigarmod
+        for b in range(B):
+            if out[b].cigar:
+                out[b].cigar = cigarmod.to_eqx(
+                    out[b].cigar, np.asarray(query[b])[:int(qlen[b])],
+                    np.asarray(target[b])[:int(tlen[b])])
     return out
 
 

@@ -369,6 +369,102 @@ def make_sharded_run_fn(mesh: Mesh):
     return run_fn
 
 
+def sharded_extz_align(mesh: Mesh, query, target, qlen, tlen, m, mat,
+                       q: int, e: int, w=None, zdrop: int = -1,
+                       end_bonus: int = 0, flag=None,
+                       interpret: Optional[bool] = None):
+    """Batched one-piece extension WITH CIGARs, batch-sharded over a mesh.
+
+    Each shard runs the full on-device CIGAR pipeline (forward wavefront
+    -> start-cell selection -> banded walker -> RLE pack,
+    ``ops.batch_pallas._cached_cigar_pipeline``) on its own pairs; only
+    the packed record slab crosses shard boundaries (XLA all-gathers it
+    on fetch).  Returns a list of ``ExtzResult`` with CIGARs, byte-equal
+    to the local :func:`ops.batch_pallas.extz_batch_align`.
+
+    Pairs pad to ``n_shards * Bp`` rows with zero-length jobs; targets
+    must fit the batched CIGAR engine (Lt <= 1536).  A pair whose packed
+    runs overflow the device compaction falls back to the local engine
+    (same policy as the scheduler's synchronous path).
+    """
+    from ..core.flags import Flag
+    from ..ops.batch_pallas import (NFIELDS_REC, _cached_cigar_pipeline,
+                                    _cigar_batch_finish, extz_batch_align)
+    from ..ops.bands import pad_rows, round_up
+    from ..ops import wavefront_batch as wb
+
+    flag = Flag(int(Flag.NONE if flag is None else flag))
+    if flag & Flag.SCORE_ONLY:
+        raise ValueError("use sharded_extz_scores for score-only batches")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    query = np.asarray(query)
+    target = np.asarray(target)
+    B, Lq = query.shape
+    Lt = target.shape[1]
+    assert Lt <= 1536, "sharded CIGAR batches require Lt <= 1536"
+    P_ = (Lt + 127) // 128
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    if w is None:
+        w = np.maximum(qlen, tlen)
+    w = np.asarray(w, np.int32)
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    min_sc = int(mat[1:].min())
+    if -min_sc > 2 * (q + e):
+        from ..core.result import ExtzResult
+        out = []
+        for _ in range(B):
+            ez = ExtzResult()
+            ez.reset()
+            out.append(ez)
+        return out
+
+    n = mesh.devices.size
+    Bp = pad_rows(-(-B // n), P_)
+    Btot = n * Bp
+    qpad = np.zeros((Btot, Lq), np.int8)
+    qpad[:B] = query.astype(np.int8)
+    tpad = np.zeros((Btot, Lt), np.int8)
+    tpad[:B] = target.astype(np.int8)
+    lens = np.zeros((3, Btot), np.int32)
+    lens[0, :B], lens[1, :B], lens[2, :B] = qlen, tlen, w
+
+    sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+    n_diag = int((qlen + tlen).max()) - 1 if B else 1
+    n_diag = max(round_up(n_diag, 32), 32)
+    prm = wb.BatchParams(
+        n_rows=Bp * P_, n_diag=n_diag, m=m,
+        sc_mch=int(mat[0]), sc_mis=int(mat[1]), sc_N=sc_N,
+        q=int(q), e=int(e), zdrop=int(zdrop), flag=int(flag), chunk=32,
+        p=P_,
+        matt=tuple(int(v) for v in mat) if flag & Flag.GENERIC_SC else (),
+    )
+    rmax = max(int((lens[0] + lens[1]).max()) - 2, 0)
+    rmax_round = -(-(rmax + 1) // 1024) * 1024
+    pipe, MAXR = _cached_cigar_pipeline(prm, Bp, int(flag), int(end_bonus),
+                                        rmax_round, interpret)
+
+    axis = mesh.axis_names[0]
+    run = shard_map(
+        pipe, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis), check_rep=False,
+    )
+    fetched = np.asarray(run(jnp.asarray(qpad), jnp.asarray(tpad),
+                             jnp.asarray(lens[0]), jnp.asarray(lens[1]),
+                             jnp.asarray(lens[2])))
+    out = _cigar_batch_finish(fetched[:B], MAXR, B, query, target, qlen,
+                              tlen, flag, end_bonus)
+    if out is None:
+        # a pair overflowed the device RLE compaction: local fallback
+        # (carries the full-fetch walker)
+        return extz_batch_align(query, target, qlen, tlen, m, mat, q, e,
+                                w, zdrop, end_bonus, flag,
+                                interpret=interpret)
+    return out
+
+
 def scaling_efficiency(n_devices: int, B_per_dev: int = 64, L: int = 128,
                        reps: int = 3):
     """Measure batch-sharded pairs/s at 1 vs n devices on this host.

@@ -208,3 +208,41 @@ def test_sharded_extf_engine_matches_spec():
         ez = diagdiff.extf2(q, t, 2, 4, 2, xdrop=40)
         assert int(out["score"][i]) == ez.score, i
         assert int(out["max"][i]) == ez.max, i
+
+
+def test_sharded_cigar_batch_matches_local():
+    """sharded_extz_align == local extz_batch_align, CIGARs included."""
+    import refcmp
+    from ksw2_tpu.core.flags import Flag
+    from ksw2_tpu.core.matrix import encode_dna, simple_mat
+    from ksw2_tpu.ops.batch_pallas import extz_batch_align
+    from ksw2_tpu.parallel.mesh import make_mesh, sharded_extz_align
+
+    rng = np.random.default_rng(31)
+    B = 21                                   # odd: forces mesh padding
+    pairs = []
+    for _ in range(B):
+        tlen = int(rng.integers(30, 120))
+        t, q = refcmp.random_pair(rng, tlen, divergence=0.2, indel=0.1)
+        pairs.append((encode_dna(q), encode_dna(t)))
+    Lq = max(len(q) for q, t in pairs)
+    Q = np.zeros((B, Lq), np.int32)
+    T = np.zeros((B, 128), np.int32)
+    qlen = np.zeros(B, np.int32)
+    tlen = np.zeros(B, np.int32)
+    for i, (q, t) in enumerate(pairs):
+        Q[i, : len(q)] = q
+        T[i, : len(t)] = t
+        qlen[i], tlen[i] = len(q), len(t)
+    mat = simple_mat(5, 2, 4)
+    for flag in (Flag.NONE, Flag.EXTZ_ONLY | Flag.EQX):
+        sh = sharded_extz_align(make_mesh(8), Q, T, qlen, tlen, 5, mat,
+                                4, 2, zdrop=100, end_bonus=5, flag=flag,
+                                interpret=True)
+        lo = extz_batch_align(Q, T, qlen, tlen, 5, mat, 4, 2,
+                              zdrop=100, end_bonus=5, flag=flag,
+                              interpret=True)
+        assert len(sh) == B
+        for i, (a, b) in enumerate(zip(sh, lo)):
+            assert a.tsv_fields() == b.tsv_fields(), (int(flag), i)
+            assert a.cigar == b.cigar, (int(flag), i)
