@@ -45,13 +45,36 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
-def sharded_extz_scores(mesh: Mesh, spec: BatchSpec, query, target, qlen, tlen, w):
-    """Run the batched scorer with the batch axis sharded over the mesh.
+@functools.lru_cache(maxsize=256)
+def _cached_shard_records(mesh: Mesh, run, n_in: int):
+    """shard_map-wrap a batch-records engine ONCE per (mesh, engine).
 
-    The batch dimension must be divisible by the mesh size (the scheduler
-    pads).  Returns the same result dict, fully addressable on the host,
-    plus a ``batch_max`` scalar reduced with ``psum``-style collectives.
+    The wrapped callable (and its jit executable) must be cached: a fresh
+    shard_map closure per call re-traces and re-compiles the whole engine
+    every call — on the virtual CPU mesh that was ~1.9 s of pure compile
+    per align call, which is what MULTICHIP_r02's 0.11 "efficiency"
+    actually measured.  ``run`` comes from an lru-cached builder, so its
+    identity is stable and keys this cache.
     """
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis),) * n_in,
+        out_specs=P(None, axis),
+        check_rep=False,
+    )
+    def _run(*args):
+        res = run(*args)                       # (Rs, NFIELDS)
+        return res.T[:, :, None].reshape(res.shape[1], -1)
+
+    return jax.jit(_run)
+
+
+@functools.lru_cache(maxsize=256)
+def _cached_sharded_extz(mesh: Mesh, spec: BatchSpec):
+    """Build-once shard_map wrapper for the XLA scan scorer (see
+    :func:`_cached_shard_records` for why caching is load-bearing)."""
     axis = mesh.axis_names[0]
 
     @functools.partial(
@@ -69,6 +92,17 @@ def sharded_extz_scores(mesh: Mesh, spec: BatchSpec, query, target, qlen, tlen, 
         stacked = jnp.stack([out[k] for k in _FIELDS], axis=0)
         return stacked, best[None]
 
+    return jax.jit(_run)
+
+
+def sharded_extz_scores(mesh: Mesh, spec: BatchSpec, query, target, qlen, tlen, w):
+    """Run the batched scorer with the batch axis sharded over the mesh.
+
+    The batch dimension must be divisible by the mesh size (the scheduler
+    pads).  Returns the same result dict, fully addressable on the host,
+    plus a ``batch_max`` scalar reduced with ``psum``-style collectives.
+    """
+    _run = _cached_sharded_extz(mesh, spec)
     stacked, best = _run(query, target, qlen, tlen, w)
     out = {k: stacked[i] for i, k in enumerate(_FIELDS)}
     out["batch_max"] = best[0]
@@ -109,15 +143,7 @@ def sharded_extz_scores_pallas(mesh: Mesh, query, target, qlen, tlen, w,
     )
     run = _cached_run(prm, interpret)
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(None, axis),
-        check_rep=False,
-    )
-    def _run(Q, T, ql, tl, wv):
-        res = run(Q, T, ql, tl, wv)            # (Rs, NFIELDS)
-        return res.T[:, :, None].reshape(res.shape[1], -1)
+    _run = _cached_shard_records(mesh, run, 5)
 
     stacked = _run(query, target, qlen, tlen, w)
     return {k: stacked[i] for i, k in enumerate(_FIELDS)}
@@ -148,15 +174,7 @@ def sharded_extd_scores_pallas(mesh: Mesh, query, target, qlen, tlen, w,
         int(Flag.SCORE_ONLY), wb.CHUNK, Pp)
     run = _cached_run_extd(prm, interpret)
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(None, axis),
-        check_rep=False,
-    )
-    def _run(Q, T, ql, tl, wv):
-        res = run(Q, T, ql, tl, wv)
-        return res.T[:, :, None].reshape(res.shape[1], -1)
+    _run = _cached_shard_records(mesh, run, 5)
 
     stacked = _run(query, target, qlen, tlen, w)
     return {k: stacked[i] for i, k in enumerate(_FIELDS)}
@@ -194,15 +212,7 @@ def sharded_band_scores(mesh: Mesh, query, target, qlen, tlen, w,
     )
     run = _cached_run_band(prm, interpret)
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(None, axis),
-        check_rep=False,
-    )
-    def _run(Q, T, ql, tl, wv):
-        res = run(Q, T, ql, tl, wv)
-        return res.T[:, :, None].reshape(res.shape[1], -1)
+    _run = _cached_shard_records(mesh, run, 5)
 
     stacked = _run(query, target, qlen, tlen, w)
     return {k: stacked[i] for i, k in enumerate(_FIELDS)}
@@ -269,15 +279,7 @@ def sharded_exts_scores_pallas(mesh: Mesh, query, target, qlen, tlen,
     )
     run = _cached_run_exts(prm, interpret, False)
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(None, axis),
-        check_rep=False,
-    )
-    def _run(Q, T, dn, ac, ql, tl):
-        res = run(Q, T, dn, ac, ql, tl)
-        return res.T[:, :, None].reshape(res.shape[1], -1)
+    _run = _cached_shard_records(mesh, run, 6)
 
     stacked = _run(jnp.asarray(np_.asarray(query, np_.int8)),
                    jnp.asarray(np_.asarray(target, np_.int8)),
@@ -316,15 +318,7 @@ def sharded_extf_scores_pallas(mesh: Mesh, query, target, qlen, tlen, w,
     )
     run = _cached_run_extf(prm, interpret)
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(None, axis),
-        check_rep=False,
-    )
-    def _run(Q, T, ql, tl, wv):
-        res = run(Q, T, ql, tl, wv)
-        return res.T[:, :, None].reshape(res.shape[1], -1)
+    _run = _cached_shard_records(mesh, run, 5)
 
     stacked = _run(jnp.asarray(np_.asarray(query, np_.int8)),
                    jnp.asarray(np_.asarray(target, np_.int8)),
@@ -367,6 +361,18 @@ def make_sharded_run_fn(mesh: Mesh):
         return out
 
     return run_fn
+
+
+@functools.lru_cache(maxsize=256)
+def _cached_shard_pipe(mesh: Mesh, pipe):
+    """Build-once shard_map wrapper for a CIGAR pipeline (cached for the
+    same retrace/recompile reason as :func:`_cached_shard_records`)."""
+    axis = mesh.axis_names[0]
+    return jax.jit(shard_map(
+        pipe, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis), check_rep=False,
+    ))
 
 
 def sharded_extz_align(mesh: Mesh, query, target, qlen, tlen, m, mat,
@@ -445,12 +451,7 @@ def sharded_extz_align(mesh: Mesh, query, target, qlen, tlen, m, mat,
     pipe, MAXR = _cached_cigar_pipeline(prm, Bp, int(flag), int(end_bonus),
                                         rmax_round, interpret)
 
-    axis = mesh.axis_names[0]
-    run = shard_map(
-        pipe, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(axis), check_rep=False,
-    )
+    run = _cached_shard_pipe(mesh, pipe)
     fetched = np.asarray(run(jnp.asarray(qpad), jnp.asarray(tpad),
                              jnp.asarray(lens[0]), jnp.asarray(lens[1]),
                              jnp.asarray(lens[2])))
