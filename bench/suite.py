@@ -391,8 +391,11 @@ def main():
     )
     t0 = time.time()
     subprocess.run([sys.executable, "-c", _code], check=True, cwd=_repo)
+    # baseline = the 10 s target (the reference binary pays ~0 setup, so
+    # the ratio reads "x of budget used"; < 1.0 means the kalloc-style
+    # zero-setup contract is met for this workload)
     emit("mixed_warmup_fresh_process_s", time.time() - t0, "s",
-         baseline=0.0)    # reference binary pays ~0; target < 10
+         baseline=10.0)
 
     from ksw2_tpu.utils.stats import format_stats
     print(format_stats(), file=sys.stderr)     # km_stat-style report

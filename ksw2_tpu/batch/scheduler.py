@@ -113,8 +113,8 @@ def align_batch_scores(
     # round-trips (each piece's copy rides behind the remaining compute)
     # is the difference between losing to and beating the reference's
     # serial loop on mixed-length batches.
-    pending: List[Tuple[List[int], list]] = []   # (job idxs, record pieces)
-    for (Lq, Lt), idxs in _heaviest_first(buckets, jobs):
+    def dispatch(item):
+        (Lq, Lt), idxs = item
         B = len(idxs)
         Q = np.zeros((B, Lq), np.int32)
         T = np.zeros((B, Lt), np.int32)
@@ -153,7 +153,9 @@ def align_batch_scores(
             out = run(spec, jnp.asarray(Q), jnp.asarray(T), jnp.asarray(qlen),
                       jnp.asarray(tlen), jnp.asarray(wv))
             pieces = [_stack_records(out)]
-        pending.append((idxs, pieces))
+        return idxs, pieces
+
+    pending = _dispatch_all(dispatch, _heaviest_first(buckets, jobs))
 
     # Phase 2 — per-piece async device->host copies, then host-side
     # unpack (the copies overlap later buckets' compute; no device sync
@@ -176,6 +178,25 @@ def _pallas_zdrop_ok(Lt, mat, qlen, tlen, zdrop, flag) -> bool:
 @jax.jit
 def _concat_records(*pieces):
     return jnp.concatenate(pieces, axis=0)
+
+
+def _dispatch_all(dispatch, items):
+    """Run per-bucket dispatch, in threads when there are several buckets.
+
+    Steady state this is pure overlap of numpy prep + enqueue (cheap
+    either way); the win is the FIRST call in a process, where each
+    bucket's engine compiles or loads from the persistent cache — loads
+    release the GIL and parallelize (~5 s each over this environment's
+    tunnel, so a 10-bucket mixed workload warms in ~1/4 the time).
+    Submission order (heaviest first) seeds enqueue order; results come
+    back in submission order so downstream unpack is deterministic.
+    """
+    items = list(items)
+    if len(items) <= 1:
+        return [dispatch(it) for it in items]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(8, len(items))) as ex:
+        return list(ex.map(dispatch, items))
 
 
 def _heaviest_first(buckets: Dict[Tuple[int, int], List[int]], jobs):
@@ -271,8 +292,8 @@ def align_batch_scores2(
         key = _bucket_key(len(job.query), len(job.target))
         buckets.setdefault(key, []).append(i)
 
-    pending: List[Tuple[List[int], list]] = []
-    for (Lq, Lt), idxs in _heaviest_first(buckets, jobs):
+    def dispatch(item):
+        (Lq, Lt), idxs = item
         B = len(idxs)
         Q = np.zeros((B, Lq), np.int32)
         T = np.zeros((B, Lt), np.int32)
@@ -300,19 +321,21 @@ def align_batch_scores2(
             pieces = extd_band_batch_records(Q, T, qlen, tlen, m, mat, q, e,
                                              q2, e2, wv, zdrop=zdrop,
                                              flag=flag)
-            pending.append((idxs, pieces))
+            return idxs, pieces
         elif use_pallas:
             pieces = extd_batch_records(Q, T, qlen, tlen, m, mat, q, e,
                                         q2, e2, wv, zdrop=zdrop, flag=flag)
-            pending.append((idxs, pieces))
-        else:
-            from ..ops.extd import extd2_device
-            for i in idxs:
-                job = jobs[i]
-                ez, _ = extd2_device(job.query, job.target, m, mat, q, e,
-                                     q2, e2, w=job.w, zdrop=zdrop, flag=flag)
-                results[i] = ez
+            return idxs, pieces
+        # single-pair fallback: ez results land directly (no record pieces)
+        from ..ops.extd import extd2_device
+        for i in idxs:
+            job = jobs[i]
+            ez, _ = extd2_device(job.query, job.target, m, mat, q, e,
+                                 q2, e2, w=job.w, zdrop=zdrop, flag=flag)
+            results[i] = ez
+        return idxs, []
 
+    pending = _dispatch_all(dispatch, _heaviest_first(buckets, jobs))
     _start_host_copies(pending)
     qc, ec = (q, e) if q + e <= q2 + e2 else (q2, e2)
     _unpack_pending(pending, results, guard=-min_sc > 2 * (qc + ec))
