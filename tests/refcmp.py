@@ -194,3 +194,60 @@ def run_parasail_nw(tseq: str, qseq: str, a: int = 2, b: int = 4,
     matrix = parasail.matrix_create("ACGT", a, -b)
     r = parasail.nw_striped_32(qseq, tseq, gapo + gape, gape, matrix)
     return int(r.score)
+
+
+def have_gaba() -> bool:
+    """True when a libgaba comparator is available on this machine.
+
+    Mirrors the reference CLI's compile-time HAVE_GABA hook
+    (cli.c:85-107, Makefile:16-21): gaba is an adaptive-band X-drop
+    library used as a second independent oracle for extension scores.
+    Neither a gaba Python binding nor libgaba ship in this image, so we
+    probe for a loadable shared library (KSW2_GABA_LIB overrides the
+    name) and skip cleanly otherwise — exactly like the reference,
+    which only gains the comparator when built with gaba/ checked out.
+    """
+    import ctypes
+    import os as _os
+
+    name = _os.environ.get("KSW2_GABA_LIB", "libgaba.so")
+    try:
+        lib = ctypes.CDLL(name)
+    except OSError:
+        return False
+    return hasattr(lib, "gaba_init")
+
+
+def run_gaba_extension(tseq: str, qseq: str, a: int = 2, b: int = 4,
+                       gapo: int = 4, gape: int = 2,
+                       zdrop: int = 100) -> int:
+    """Extension score from libgaba via ctypes (reference conventions).
+
+    The reference seeds gaba with GABA_SCORE_SIMPLE(mat[0], |mat[1]|,
+    q, e) and xdrop = min(zdrop, 120) (cli.c:95-99) and compares the
+    trace score against ksw_extz.  gaba's C API is struct-heavy; rather
+    than replicate GABA_PARAMS bit-for-bit here, this helper shells out
+    to the reference binary built WITH gaba when one is available
+    (KSW2_GABA_REF_BIN), which is how the reference itself consumes the
+    library.
+    """
+    import subprocess
+    import tempfile
+    import os as _os
+
+    ref = _os.environ.get("KSW2_GABA_REF_BIN")
+    if not ref:
+        raise RuntimeError("set KSW2_GABA_REF_BIN to a gaba-enabled "
+                           "ksw2-test build")
+    with tempfile.TemporaryDirectory() as td:
+        tf = _os.path.join(td, "t.fa")
+        qf = _os.path.join(td, "q.fa")
+        with open(tf, "w") as f:
+            f.write(f">t\n{tseq}\n")
+        with open(qf, "w") as f:
+            f.write(f">q\n{qseq}\n")
+        out = subprocess.run(
+            [ref, "-t", "gaba", "-A", str(a), "-B", str(b),
+             "-O", str(gapo), "-E", str(gape), "-z", str(zdrop), tf, qf],
+            capture_output=True, check=True).stdout
+    return int(out.decode().strip().split("\t")[2])
