@@ -59,12 +59,22 @@ def pad_rows(B: int, P: int) -> int:
     contract (kalloc.c:41-62).  Padding rows carry zero-length pairs that
     the kernels mask out everywhere.
     """
-    Bp = max(B, 1)
-    step = max(1, (1 << (Bp - 1).bit_length()) // 4)
-    Bp = -(-Bp // step) * step
-    while (Bp * P) % 8:
-        Bp += 1
-    return Bp
+    B = max(B, 1)
+
+    def rung(step):
+        Bp = -(-B // step) * step
+        while (Bp * P) % 8:
+            Bp += 1
+        return Bp
+
+    step = max(1, (1 << (B - 1).bit_length()) // 4)
+    # at high P a ladder step is hundreds of dead ROWS (e.g. 8 pairs at
+    # P=24 = 192 rows of padding); also offer a step capped to <= ~64
+    # padding rows and keep whichever rung wastes less — high-P buckets
+    # hold few pairs, so the extra compiled variants are cheap next to
+    # the occupancy win (both rungs are deterministic in (B, P), so
+    # compile reuse still holds per bucket size)
+    return min(rung(step), rung(min(step, max(1, 64 // P))))
 
 
 __all__ = [

@@ -148,8 +148,11 @@ def extz_batch_records(
             raise ValueError(
                 f"scores too large for the packed Z-drop argmax at P={P}")
 
-    # VMEM bounds one launch at ~512 rows; larger batches run as slices
-    RMAX = 512 // P // 8 * 8
+    # scratch VMEM bounds one score-only launch at ~768 rows (verified
+    # compiling R=768 P=24 on v5e; a half-empty second slice costs nearly
+    # a full launch, so occupancy beats conservatism); larger batches run
+    # as slices
+    RMAX = max(768 // P // 8 * 8, 8)
     if B > RMAX:
         pieces = []
         for i in range(0, B, RMAX):
@@ -803,7 +806,9 @@ def extd_batch_records(
         if (hmax + 1) * KB + KB >= (1 << 31):
             raise ValueError(
                 f"scores too large for the packed Z-drop argmax at P={P}")
-    RMAX = 384 // P // 8 * 8
+    # extd carries 2 more state planes than extz; ~576 rows fits (see the
+    # extz records comment on occupancy vs conservatism)
+    RMAX = max(576 // P // 8 * 8, 8)
     if B > RMAX:
         pieces = []
         for i in range(0, B, RMAX):
