@@ -519,16 +519,16 @@ def _finish_cigar_pending(cigar_pending, results, m, mat, q, e, q2, e2,
     from ..ops.batch_pallas import (_cigar_batch_finish, extd_batch_align,
                                     extz_batch_align)
 
-    slabs = []
+    # per-slab async device->host copies (same rationale as the score
+    # path's _start_host_copies: transfers ride behind remaining compute,
+    # zero extra blocking round-trips)
     for _, slices, _ in cigar_pending:
         for s in slices:
             if "packed" in s:
                 s["width"] = s["packed"].shape[1]
-                slabs.append(s["packed"])
-    if slabs:
-        fetched = np.asarray(_concat_pad_records(*slabs)
-                             if len(slabs) > 1 else slabs[0])
-    off = 0
+                cp = getattr(s["packed"], "copy_to_host_async", None)
+                if cp is not None:
+                    cp()
     for idxs, slices, twop in cigar_pending:
         pos = 0                                # job offset inside bucket
         for s in slices:
@@ -541,8 +541,7 @@ def _finish_cigar_pending(cigar_pending, results, m, mat, q, e, q2, e2,
                     ez.reset()
                     results[i] = ez
                 continue
-            slab = fetched[off:off + B, :s["width"]]
-            off += B
+            slab = np.asarray(s["packed"])[:B]
             Qs, Ts, qls, tls, ws = s["args"]
             out = _cigar_batch_finish(slab, s["MAXR"], B, Qs, Ts, qls, tls,
                                       flag, end_bonus)
@@ -664,17 +663,16 @@ def _finish_splice_pending(splice_pending, results, m, mat, q, e, q2,
 
     from ..ops import wavefront_batch as wb
 
-    slabs = []
+    # per-slab async copies (see _finish_cigar_pending)
     for _, slices in splice_pending:
         for s in slices:
             arr = s.get("packed", s.get("res"))
             if arr is not None:
                 s["width"] = arr.shape[1]
-                slabs.append(arr)
-    if slabs:
-        fetched = np.asarray(_concat_pad_records(*slabs)
-                             if len(slabs) > 1 else slabs[0])
-    off = 0
+                s["_slab"] = arr
+                cp = getattr(arr, "copy_to_host_async", None)
+                if cp is not None:
+                    cp()
     for idxs, slices in splice_pending:
         pos = 0                                # job offset inside bucket
         for s in slices:
@@ -687,8 +685,7 @@ def _finish_splice_pending(splice_pending, results, m, mat, q, e, q2,
                     ez.reset()
                     results[i] = ez
                 continue
-            slab = fetched[off:off + B, :s["width"]]
-            off += B
+            slab = np.asarray(s["_slab"])[:B]
             if "res" in s:                     # score-only records
                 for k, i in enumerate(sub):
                     ez = ExtzResult()

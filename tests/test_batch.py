@@ -117,14 +117,18 @@ def test_pad_rows_ladder():
     analogue."""
     from ksw2_tpu.ops.bands import pad_rows
 
-    for P in (1, 2, 3, 4, 8, 12):
+    for P in (1, 2, 3, 4, 8, 12, 24):
         seen = set()
-        for B in range(1, 513):
+        # the engines slice launches at <= 768 rows, so B <= 768/P is the
+        # whole domain pad_rows sees for a given P
+        for B in range(1, max(768 // P, 1) + 1):
             Bp = pad_rows(B, P)
             assert Bp >= B and (Bp * P) % 8 == 0
             # bounded padding waste (small B: sublane alignment forces
-            # R up to lcm(P, 8))
+            # R up to lcm(P, 8); the <=64-row rung bounds the rest)
             assert Bp * P <= max(8 * P, 3 * B * P)
+            assert Bp * P <= -(-B * P // 8) * 8 + max(64, B * P // 3), \
+                (P, B, Bp)
             seen.add(Bp)
         # the ladder keeps distinct compiled shapes logarithmic-ish in B
         assert len(seen) <= 40, (P, len(seen))
