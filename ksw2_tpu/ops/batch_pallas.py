@@ -420,6 +420,9 @@ def extz_batch_align_dispatch(
     R = Bp * P
     n_diag = int((qlen + tlen).max()) - 1 if B else 1
     n_diag = max(round_up(n_diag, 32), 32)
+    # chunk=32 beats 64 on the mixed CIGAR row (A/B on v5e: coarser
+    # early-exit granularity loses more than fewer grid steps save), and
+    # 128 exceeds the 16 MB scoped-VMEM limit at R=384
     prm = wb.BatchParams(
         n_rows=R, n_diag=n_diag, m=m,
         sc_mch=int(mat[0]), sc_mis=int(mat[1]), sc_N=sc_N,
