@@ -146,6 +146,7 @@ class Aligner:
                      w: Optional[Sequence[int]] = None,
                      run_fn=None,
                      juncs: Optional[Sequence[Optional[np.ndarray]]] = None,
+                     mesh=None,
                      ) -> List[ExtzResult]:
         """Extension alignment of many pairs through the bucketing
         scheduler (scores+CIGARs; score-only when SCORE_ONLY is set).
@@ -157,10 +158,22 @@ class Aligner:
         valid for one-piece SCORE_ONLY configurations — the sharded record
         path carries extz scores, so any other cost model or output shape
         must fail loudly rather than return wrong results.
+
+        ``mesh`` shards the batch over a ``jax.sharding.Mesh`` for
+        one-piece configurations: SCORE_ONLY routes through
+        ``make_sharded_run_fn``; CIGAR configurations run the per-shard
+        device CIGAR pipeline (``parallel.mesh.sharded_extz_align``) for
+        targets <= 1536 and the local scheduler for longer ones.
         """
         from .batch.scheduler import AlignJob, align_batch, \
             align_batch_scores, align_batch_splice
 
+        if mesh is not None:
+            if run_fn is not None:
+                raise ValueError("pass either mesh or run_fn, not both")
+            if self.splice or self.q2 is not None:
+                raise ValueError(
+                    "mesh batches support one-piece configurations only")
         if run_fn is not None and (
                 self.splice or self.q2 is not None
                 or not (self.flag & Flag.SCORE_ONLY)):
@@ -180,6 +193,11 @@ class Aligner:
                 jobs, self.m, self.mat, self.q, self.e, self.q2,
                 self.noncan, zdrop=self.zdrop,
                 junc_bonus=self.junc_bonus, flag=self.flag, juncs=juncs)
+        if mesh is not None and not (self.flag & Flag.SCORE_ONLY):
+            return self._extend_batch_mesh_cigar(mesh, jobs)
+        if mesh is not None:
+            from .parallel.mesh import make_sharded_run_fn
+            run_fn = make_sharded_run_fn(mesh)
         if run_fn is not None:
             return align_batch_scores(
                 jobs, self.m, self.mat, self.q, self.e, zdrop=self.zdrop,
@@ -188,6 +206,47 @@ class Aligner:
             jobs, self.m, self.mat, self.q, self.e, q2=self.q2,
             e2=self.e2, zdrop=self.zdrop, end_bonus=self.end_bonus,
             flag=self.flag)
+
+    def _extend_batch_mesh_cigar(self, mesh, jobs) -> List[ExtzResult]:
+        """One-piece CIGAR batch sharded over ``mesh`` (short targets);
+        targets past the batched CIGAR engine run the local scheduler."""
+        from .batch.scheduler import align_batch
+        from .parallel.mesh import sharded_extz_align
+
+        results: List[Optional[ExtzResult]] = [None] * len(jobs)
+        short = [i for i, j in enumerate(jobs)
+                 if 0 < len(j.target) <= 1536 and len(j.query) > 0]
+        rest = [i for i in range(len(jobs)) if i not in set(short)]
+        if short:
+            Lq = max(len(jobs[i].query) for i in short)
+            Lt = max(len(jobs[i].target) for i in short)
+            B = len(short)
+            Q = np.zeros((B, Lq), np.int32)
+            T = np.zeros((B, Lt), np.int32)
+            qlen = np.zeros(B, np.int32)
+            tlen = np.zeros(B, np.int32)
+            wv = np.zeros(B, np.int32)
+            for k, i in enumerate(short):
+                job = jobs[i]
+                Q[k, :len(job.query)] = job.query
+                T[k, :len(job.target)] = job.target
+                qlen[k] = len(job.query)
+                tlen[k] = len(job.target)
+                wv[k] = job.w if job.w >= 0 else max(len(job.query),
+                                                     len(job.target))
+            out = sharded_extz_align(
+                mesh, Q, T, qlen, tlen, self.m, self.mat, self.q, self.e,
+                w=wv, zdrop=self.zdrop, end_bonus=self.end_bonus,
+                flag=self.flag)
+            for k, i in enumerate(short):
+                results[i] = out[k]
+        if rest:
+            out = align_batch(
+                [jobs[i] for i in rest], self.m, self.mat, self.q, self.e,
+                zdrop=self.zdrop, end_bonus=self.end_bonus, flag=self.flag)
+            for k, i in enumerate(rest):
+                results[i] = out[k]
+        return results  # type: ignore[return-value]
 
 
 __all__ = ["Aligner"]

@@ -140,3 +140,38 @@ def test_extend_batch_juncs_matches_single():
         want = aln.extend(q, t, junc=jn)
         assert (ez.score, ez.max, ez.cigar) == (want.score, want.max,
                                                 want.cigar)
+
+
+def test_extend_batch_mesh_cigars_match_local():
+    """Aligner.extend_batch(mesh=...) == the local scheduler, CIGARs incl."""
+    import refcmp
+    from ksw2_tpu.api import Aligner
+    from ksw2_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(23)
+    pairs = []
+    for _ in range(13):
+        tl = int(rng.integers(30, 160))
+        t, q = refcmp.random_pair(rng, tl, divergence=0.2, indel=0.1)
+        pairs.append((q, t))
+    al = Aligner(a=2, b=4, q=4, e=2, zdrop=100)
+    sh = al.extend_batch(pairs, mesh=make_mesh(8))
+    lo = al.extend_batch(pairs)
+    assert len(sh) == len(lo)
+    for i, (a_, b_) in enumerate(zip(sh, lo)):
+        assert a_.tsv_fields() == b_.tsv_fields(), i
+        assert a_.cigar == b_.cigar, i
+
+
+def test_extend_batch_mesh_guards():
+    import pytest
+    from ksw2_tpu.api import Aligner
+    from ksw2_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError):
+        Aligner(a=2, b=4, q=4, e=2, q2=13, e2=1).extend_batch(
+            [("ACGT", "ACGT")], mesh=mesh)
+    with pytest.raises(ValueError):
+        Aligner(a=2, b=4, q=4, e=2).extend_batch(
+            [("ACGT", "ACGT")], mesh=mesh, run_fn=lambda *a: None)
