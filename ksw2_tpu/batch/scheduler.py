@@ -227,6 +227,9 @@ def _start_host_copies(pending) -> None:
 def _unpack_pending(pending, results, guard) -> None:
     """Read every pending record piece and fill per-job ExtzResults."""
     for idxs, ps in pending:
+        if ps:
+            n_rows = sum(p.shape[0] for p in ps)
+            assert n_rows == len(idxs), (n_rows, len(idxs))
         off = 0
         for pce in ps:
             arr = np.asarray(pce)
