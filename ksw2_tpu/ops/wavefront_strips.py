@@ -1,0 +1,535 @@
+"""Skewed strip-tiled row-major Pallas engine (arbitrary-length extz).
+
+Kernel form of ``spec/strips.py``: the query axis is cut into strips of
+128 columns, plane row ``g = pair*S + s`` holds strip ``s`` of pair
+``p``, and the strips run as a software pipeline — at step ``t`` strip
+``s`` processes target row ``i = t - s``, so the whole (R,128) plane
+advances one target row per step at ~full lane occupancy (the wavefront
+engines' triangle waste and per-diagonal Z-drop butterfly both
+disappear; Z-drop is replayed exactly from per-diagonal records, as in
+``ops/wavefront_rows.py``).  Steps = tlen + S instead of qlen + tlen -1
+anti-diagonals.
+
+Design elements (validated by tests/test_strips_spec.py +
+tests/test_strips.py):
+
+* **Boundary streams with no lane broadcasts**: strip ``s`` needs
+  ``H(i-1, 128s-1)`` (lag 2) and an F-scan seed (lag 1) from strip
+  ``s-1``.  Both are produced at lane 127 of plane row ``g-1`` and
+  consumed at lane 0 of plane row ``g``; ``roll(roll(x,1,axis=1),1,
+  axis=0)`` moves exactly (g-1,127) -> (g,0), so the streams ride two
+  static rolls per step and are only ever *read* at lane 0.
+* **Bit-packed skewed target symbols**: the per-step score plane needs
+  ``T[p][t-s]`` per plane row — a relayout-heavy (R,1)->(R,128)
+  broadcast if done naively.  Instead the host packs the 3-bit symbol
+  stream, pre-skewed by strip, into per-chunk words ``(3, R, 1)``; the
+  kernel broadcasts 3 planes once per 32-step chunk and extracts one
+  bit per plane per step, then maps symbols through 5 static profile
+  planes (which also absorbs GENERIC_SC).
+* **rho-space record windows**: cell (g, jj) at step t lies on global
+  diagonal ``r = t + 127*s + jj``; per strip the record coordinate
+  ``rho = t + jj`` advances uniformly, so per-diagonal packed
+  (H, merge-key) maxes accumulate into a 2-plane 256-wide window (one
+  dynamic lane roll per step), flushed one complete 128-plane per 128
+  steps to HBM.  The query-end stream (mqe) reuses the same rolled
+  plane via decode, costing no extra roll.
+
+Reference semantics: ksw2_extz2_sse.c:150-286 (score-only, exact max);
+the merge-order tie key mirrors spec/common.py:exact_max_scan.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.flags import NEG_INF, Flag
+from .bands import round_up
+
+I32 = jnp.int32
+SENT = -(2 ** 31) + 1
+CH = 32                    # steps per grid chunk (words pack 32 bits)
+RMAX = 512                 # max plane rows per launch
+
+
+class StripParams(NamedTuple):
+    n_rows: int            # R = B * S (padded plane rows)
+    s: int                 # strips per pair
+    tv: int                # t-capacity of the merge key (>= tlenp)
+    t_pad: int             # padded step count (multiple of 128)
+    t_real: int            # last chunk with live rows ends here
+    m: int
+    q: int
+    e: int
+    mat0: int              # mat[0]: the reference per-cell clamp
+    sc_mis: int
+    sc_N: int
+    zdrop: int
+    flag: int
+    matt: tuple = ()       # flattened matrix when GENERIC_SC
+
+
+def key_params(tv: int):
+    kbits = int(5 * tv + 1).bit_length()
+    return 1 << kbits, kbits
+
+
+def _kernel_body(prm: StripParams, refs):
+    (sp, s127, qlp, tlp, vm, qrow, qlane, bHi, Hinit, Einit, aoff, lnp,
+     prof, words, D_out, Dq_out, hl_out,
+     H, E, dA, dB, dqA, dqB, bh1, bh2, bf1) = refs
+    R = prm.n_rows
+    shape = (R, 128)
+    gapoe = prm.q + prm.e
+    KB, KBITS = key_params(prm.tv)
+    TV = prm.tv
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _init():
+        for ref in (dA, dB, dqA, dqB):
+            ref[...] = jnp.full(shape, SENT, I32)
+        for ref in (H, E, bh1, bh2, bf1):
+            ref[...] = jnp.zeros(shape, I32)
+        hl_out[...] = jnp.full(shape, SENT, I32)
+
+    spv = sp[...]
+    s127v = s127[...]
+    qlpv = qlp[...]
+    tlpv = tlp[...]
+    vmv = vm[...] > 0
+    qrowv = qrow[...] > 0
+    qlanev = qlane[...]
+    bHiv = bHi[...]
+    Hiv = Hinit[...]
+    Eiv = Einit[...]
+    aoffv = aoff[...]
+    lane = lnp[...]
+    lane0 = lane == 0
+    strip0 = spv == 0
+    # per-chunk symbol-bit planes: three (R,1) -> (R,128) broadcasts
+    W0 = jnp.broadcast_to(words[0, 0], shape)
+    W1 = jnp.broadcast_to(words[0, 1], shape)
+    W2 = jnp.broadcast_to(words[0, 2], shape)
+    profs = [prof[y] for y in range(prm.m)]
+
+    def step_body(tau, _):
+        t = c * CH + tau
+        i_pl = t - spv
+        act = (i_pl >= 0) & (i_pl < tlpv)
+        first = spv == t           # this step is the row's i == 0
+
+        # ---- score plane: extract the 3-bit symbol, map via profiles
+        b0 = (W0 >> tau) & 1
+        b1 = (W1 >> tau) & 1
+        b2 = (W2 >> tau) & 1
+        sym = b0 + 2 * b1 + 4 * b2
+        sc = profs[prm.m - 1]
+        for y in range(prm.m - 2, -1, -1):
+            sc = jnp.where(sym == y, profs[y], sc)
+
+        Hprev = jnp.where(first, Hiv, H[...])
+        Eprev = jnp.where(first, Eiv, E[...])
+
+        # ---- diagonal term H(i-1, j-1): lane shift; lane 0 from the
+        # boundary stream (lag 2) or the closed-form column bounds
+        hb0 = (t > 0).astype(I32) * -(gapoe + prm.e * (t - 1))
+        bhv = jnp.where(strip0, hb0,
+                        jnp.where(first, bHiv, bh2[...]))
+        Hd = jnp.where(lane0, bhv, pltpu.roll(Hprev, 1, axis=1))
+        hnof = jnp.maximum(Hd + sc, Eprev)
+        cv = Hd + prm.mat0
+        hnofc = jnp.minimum(hnof, cv)
+
+        # ---- F prefix scan with the incoming seed (lag 1)
+        A = hnofc + aoffv
+        fb0 = -(2 * gapoe + prm.e * t)
+        bfv = jnp.where(strip0, fb0, bf1[...])
+        S0 = jnp.where(lane0, bfv, pltpu.roll(A, 1, axis=1))
+        for k in (1, 2, 4, 8, 16, 32, 64):
+            S0 = jnp.where(lane >= k,
+                           jnp.maximum(S0, pltpu.roll(S0, k, axis=1)), S0)
+        F = S0 - aoffv - prm.q
+        Hn = jnp.minimum(jnp.maximum(hnof, F), cv)
+        En = jnp.maximum(Eprev - prm.e, Hn - gapoe)
+        H[...] = Hn
+        E[...] = En
+
+        # ---- outgoing boundary streams for the next strip
+        seed = jnp.maximum(F, hnofc - prm.q) - prm.e
+        bf1[...] = pltpu.roll(pltpu.roll(seed, 1, axis=1), 1, axis=0)
+        bh2[...] = bh1[...]
+        bh1[...] = pltpu.roll(pltpu.roll(Hn, 1, axis=1), 1, axis=0)
+
+        # ---- per-diagonal packed (H, merge-key) records
+        r_pl = t + s127v + lane
+        st0 = jnp.maximum(0, r_pl - qlpv + 1)
+        en0 = jnp.minimum(tlpv - 1, r_pl)
+        en1 = st0 + ((en0 - st0) & -4)
+        cls = (i_pl - st0) & 3
+        kf = jnp.where(i_pl < en1, cls * TV + i_pl + 1,
+                       4 * TV + i_pl + 1)
+        kf = jnp.where(i_pl == en0, 0, kf)
+        va = act & vmv
+        packed = jnp.where(va, Hn * KB + (KB - 1 - kf), SENT)
+        tm = t & 127
+        rolled = pltpu.roll(packed, tm, axis=1)
+        lm = lane >= tm
+        dA[...] = jnp.maximum(dA[...], jnp.where(lm, rolled, SENT))
+        dB[...] = jnp.maximum(dB[...], jnp.where(lm, SENT, rolled))
+
+        # ---- query-end stream (mqe), decoded from the same rolled plane
+        qsel = qrowv & (lane == ((qlanev + tm) & 127))
+        hdec = rolled >> KBITS
+        dqA[...] = jnp.maximum(dqA[...],
+                               jnp.where(qsel & lm, hdec, SENT))
+        dqB[...] = jnp.maximum(dqB[...],
+                               jnp.where(qsel & jnp.logical_not(lm),
+                                         hdec, SENT))
+
+        # ---- last-target-row capture (mte / score)
+        hl_out[...] = jnp.where(act & (i_pl == tlpv - 1), Hn, hl_out[...])
+
+    @pl.when(c * CH < prm.t_real)
+    def _run():
+        jax.lax.fori_loop(0, CH, step_body, None)
+
+    # window [128k, 128(k+1)) completes at the end of chunk c = 4k+3
+    @pl.when(c % 4 == 3)
+    def _flush():
+        D_out[0] = dA[...]
+        Dq_out[0] = dqA[...]
+        dA[...] = dB[...]
+        dB[...] = jnp.full(shape, SENT, I32)
+        dqA[...] = dqB[...]
+        dqB[...] = jnp.full(shape, SENT, I32)
+
+
+def build_strips_call(prm: StripParams, interpret: bool = False):
+    R = prm.n_rows
+    G = prm.t_pad // CH + 4            # +4 chunks drain the carry window
+    NF = G // 4
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def wrap(*refs):
+        _kernel_body(prm, refs)
+
+    return pl.pallas_call(
+        wrap,
+        grid=(G,),
+        in_specs=[const] * 12 + [
+            pl.BlockSpec((prm.m, R, 128), lambda c: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, R, 1), lambda c: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NF, R, 128), I32),   # D records
+            jax.ShapeDtypeStruct((NF, R, 128), I32),   # Dq records
+            jax.ShapeDtypeStruct((R, 128), I32),       # hl
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R, 128), lambda c: (c // 4, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, 128), lambda c: (c // 4, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const,
+        ],
+        scratch_shapes=[pltpu.VMEM((R, 128), I32)] * 9,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )
+
+
+def _postprocess(prm: StripParams, D, Dq, hl, qlen, tlen):
+    """Replay the per-diagonal ez automaton from the record streams.
+
+    D, Dq: (NF, R, 128); hl: (R, 128); qlen/tlen: (B,).  Returns (B, 9)
+    int32 records in ops.batch_pallas.FIELD_ORDER.  Mirrors
+    spec/strips.py:replay_records (mte -> mqe -> zdrop order, strict-``>``
+    automaton, ``mte_q = r - en`` 16-rounding quirk).
+    """
+    S = prm.s
+    R = prm.n_rows
+    B = R // S
+    KB, KBITS = key_params(prm.tv)
+    W = D.shape[0] * 128
+    # per-strip rho streams -> per-pair global-diagonal streams
+    Ds = jnp.transpose(D, (1, 0, 2)).reshape(B, S, W)
+    Dqs = jnp.transpose(Dq, (1, 0, 2)).reshape(B, S, W)
+    ND = 127 * (S - 1) + W
+    Dg = jnp.full((B, ND), SENT, I32)
+    Dqg = jnp.full((B, ND), SENT, I32)
+    for s in range(S):
+        lo = 127 * s
+        Dg = Dg.at[:, lo:lo + W].max(Ds[:, s])
+        Dqg = Dqg.at[:, lo:lo + W].max(Dqs[:, s])
+
+    qlc = qlen[:, None].astype(I32)
+    tlc = tlen[:, None].astype(I32)
+    r = jnp.arange(ND, dtype=I32)[None, :]
+    ndc = qlc + tlc - 1
+    valid = (r < ndc) & (qlc > 0) & (tlc > 0)
+
+    M = Dg >> KBITS
+    kstar = (KB - 1) - (Dg & (KB - 1))
+    en0 = jnp.minimum(tlc - 1, r)
+    j1 = (kstar - 1) % prm.tv
+    maxt = jnp.where(kstar == 0, en0,
+                     jnp.where(kstar <= 4 * prm.tv, j1,
+                               kstar - 1 - 4 * prm.tv))
+
+    # running-max automaton (strict >, earliest diagonal wins ties):
+    # key packs (clamped M, 8191 - r); max_t recovered by gather at the
+    # winning diagonal.  ND < 8192 and |M| < 2^17 by the host guard.
+    Mc = jnp.maximum(M, -(1 << 17))
+    key = jnp.where(valid, Mc * 8192 + (8191 - r), SENT)
+    cm = jax.lax.cummax(key, axis=1)
+    bestM = cm >> 13
+    rstar = 8191 - (cm & 8191)
+    pos = bestM > 0
+    mt_all = jnp.take_along_axis(maxt, jnp.clip(rstar, 0, ND - 1), axis=1)
+    mx = jnp.where(pos, bestM, 0)
+    mt = jnp.where(pos, mt_all, -1)
+    mq = jnp.where(pos, rstar - mt_all, -1)
+    # state *before* each diagonal
+    mxp = jnp.concatenate([jnp.zeros((B, 1), I32), mx[:, :-1]], axis=1)
+    mtp = jnp.concatenate([jnp.full((B, 1), -1, I32), mt[:, :-1]], axis=1)
+    mqp = jnp.concatenate([jnp.full((B, 1), -1, I32), mq[:, :-1]], axis=1)
+
+    BIG = 2 ** 30
+    if prm.zdrop >= 0:
+        l = jnp.abs((maxt - mtp) - ((r - maxt) - mqp))
+        trig = (valid & jnp.logical_not(M > mxp) & (maxt >= mtp)
+                & ((r - maxt) >= mqp)
+                & ((mxp - M) > prm.zdrop + l * prm.e))
+        rdrop = jnp.min(jnp.where(trig, r, BIG), axis=1)
+        dropped = rdrop < BIG
+    else:
+        rdrop = jnp.full((B,), BIG, I32)
+        dropped = jnp.zeros((B,), bool)
+    rc = jnp.where(dropped, rdrop, ndc[:, 0] - 1)
+    rcc = rc[:, None]
+
+    kmask = (r <= rcc) & valid
+    bkc = jnp.max(jnp.where(kmask, key, SENT), axis=1)
+    bestMc = bkc >> 13
+    rstarc = 8191 - (bkc & 8191)
+    posc = bestMc > 0
+    mtc = jnp.take_along_axis(
+        maxt, jnp.clip(rstarc[:, None], 0, ND - 1), axis=1)[:, 0]
+    vmax = jnp.where(posc, bestMc, 0)
+    vmaxt = jnp.where(posc, mtc, -1)
+    vmaxq = jnp.where(posc, rstarc - mtc, -1)
+
+    # mqe: raw query-end H per diagonal; earliest diagonal wins ties
+    hasdq = Dqg > SENT // 2
+    qpk = jnp.where(kmask & hasdq,
+                    jnp.maximum(Dqg, -(1 << 17)) * 8192 + (8191 - r), SENT)
+    qb = jnp.max(qpk, axis=1)
+    hasq = qb > SENT // 2
+    mqe = jnp.where(hasq, qb >> 13, NEG_INF)
+    mqet = jnp.where(hasq, (8191 - (qb & 8191)) - (qlen.astype(I32) - 1), -1)
+
+    # mte from the last-target-row capture; mte_q keeps the 16-rounded
+    # `r - en` quirk (ksw2_extz2_sse.c:264)
+    hlg = hl.reshape(B, S * 128)
+    jl = jnp.arange(S * 128, dtype=I32)[None, :]
+    tmask = (jl <= rcc - (tlc - 1)) & (jl < qlc) & (tlc > 0) & \
+        (hlg > SENT // 2)
+    pt = jnp.where(tmask,
+                   jnp.maximum(hlg, -(1 << 17)) * 8192 + (8191 - jl), SENT)
+    tb = jnp.max(pt, axis=1)
+    hast = tb > SENT // 2
+    jstar = 8191 - (tb & 8191)
+    en_c = ((tlen.astype(I32) + 15) & -16) - 1
+    mte = jnp.where(hast, tb >> 13, NEG_INF)
+    mteq = jnp.where(hast, (tlen.astype(I32) - 1 + jstar) - en_c, -1)
+
+    hq = jnp.sum(jnp.where(jl == qlc - 1, hlg, 0), axis=1)
+    done = jnp.logical_not(dropped) & (qlen > 0) & (tlen > 0)
+    score = jnp.where(done, hq, NEG_INF)
+
+    return jnp.stack([vmax, vmaxt, vmaxq, mqe, mqet, mte, mteq, score,
+                      dropped.astype(I32)], axis=1)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_strips_run(prm: StripParams, interpret: bool):
+    call = build_strips_call(prm, interpret=interpret)
+    R, S = prm.n_rows, prm.s
+    B = R // S
+    m = prm.m
+    G = prm.t_pad // CH + 4
+    generic = bool(prm.flag & int(Flag.GENERIC_SC))
+
+    def run(query, target, qlen, tlen):
+        """query (B,<=S*128) int8, target (B,<=t_pad) int8, lens (B,)."""
+        qlen = qlen.astype(I32)
+        tlen = tlen.astype(I32)
+        lane = jax.lax.broadcasted_iota(I32, (R, 128), 1)
+        g = jax.lax.broadcasted_iota(I32, (R, 128), 0)
+        spv = (g % S)
+        s127 = spv * 127
+        qlpv = jnp.repeat(qlen, S)[:, None] * jnp.ones((R, 128), I32)
+        tlpv = jnp.repeat(tlen, S)[:, None] * jnp.ones((R, 128), I32)
+        jgl = spv * 128 + lane
+        vm = (jgl < qlpv).astype(I32)
+        qrow = ((qlpv - 1) // 128 == spv).astype(I32)
+        qlane = (qlpv - 1) & 127
+        gapoe = prm.q + prm.e
+        Hinit = -(gapoe + prm.e * jgl)
+        Einit = Hinit - gapoe
+        bHi = -(gapoe + prm.e * (spv * 128 - 1))
+        aoff = lane * prm.e - prm.q
+
+        # profiles: score of (target symbol y, this plane cell's query)
+        Qp = jnp.zeros((B, S * 128), jnp.int8).at[
+            :, :query.shape[1]].set(query).reshape(R, 128).astype(I32)
+        if generic:
+            matv = np.asarray(prm.matt, np.int64).reshape(m, m)
+            prof = jnp.stack([
+                functools.reduce(
+                    lambda acc, x: jnp.where(Qp == x[0], x[1], acc),
+                    [(xq, int(matv[y, xq])) for xq in range(m)],
+                    jnp.zeros((R, 128), I32))
+                for y in range(m)])
+        else:
+            mis = jnp.full((R, 128), prm.sc_mis, I32)
+            mch = jnp.full((R, 128), prm.mat0, I32)
+            scN = jnp.full((R, 128), prm.sc_N, I32)
+            qn = Qp == m - 1
+            rows = []
+            for y in range(m):
+                if y == m - 1:
+                    rows.append(scN)
+                else:
+                    rows.append(jnp.where(qn, scN,
+                                          jnp.where(Qp == y, mch, mis)))
+            prof = jnp.stack(rows)
+
+        # skewed symbol stream, bit-packed into per-chunk words
+        Tsk = jnp.zeros((B, S, G * CH), I32)
+        Tp = jnp.zeros((B, prm.t_pad), I32).at[
+            :, :target.shape[1]].set(target.astype(I32))
+        for s in range(S):
+            Tsk = Tsk.at[:, s, s:s + prm.t_pad].set(Tp)
+        pw = (1 << jnp.arange(CH, dtype=I32))
+        bits = Tsk.reshape(B, S, G, CH)
+        words = jnp.stack([
+            jnp.sum(((bits >> b) & 1) * pw[None, None, None, :], axis=3)
+            for b in range(3)], axis=0)              # (3, B, S, G)
+        words = jnp.transpose(words, (3, 0, 1, 2)).reshape(G, 3, R, 1)
+
+        D, Dq, hl = call(spv, s127, qlpv, tlpv, vm, qrow, qlane, bHi,
+                         Hinit, Einit, aoff, lane, prof, words)
+        return _postprocess(prm, D, Dq, hl, qlen, tlen)
+
+    return jax.jit(run)
+
+
+def strips_eligible(qlen, tlen, w, flag, m, mat, zdrop) -> bool:
+    """True when every pair can run on the strips engine: plain
+    score-only exact mode, band never clips the matrix-shape bounds,
+    lengths within the packed-key range."""
+    flag = int(flag)
+    if flag & (int(Flag.APPROX_MAX) | int(Flag.APPROX_DROP)):
+        return False
+    if not (flag & int(Flag.SCORE_ONLY)):
+        return False
+    if m > 8:
+        return False       # 3-bit symbol packing
+    qlen = np.asarray(qlen)
+    tlen = np.asarray(tlen)
+    if qlen.size == 0:
+        return False
+    if qlen.max(initial=0) > 3072 or tlen.max(initial=0) > 3072:
+        return False
+    if qlen.min(initial=1) < 1 or tlen.min(initial=1) < 1:
+        return False
+    mat = np.asarray(mat).reshape(-1)
+    tv = int(tlen.max())
+    KB, _ = key_params(tv)
+    hmax = int(mat.max()) * int(np.minimum(qlen, tlen).max())
+    if hmax >= (1 << 17) or (hmax + 1) * KB + KB >= (1 << 31):
+        return False
+    w = np.asarray(w).astype(np.int64)
+    ql = qlen.astype(np.int64)
+    tl = tlen.astype(np.int64)
+    nd = int((ql + tl).max())
+    r = np.arange(max(nd - 1, 1), dtype=np.int64)[None, :]
+    live = r < (ql + tl - 1)[:, None]
+    st_clip = (r - w[:, None] + 1) >> 1 > np.maximum(0, r - ql[:, None] + 1)
+    en_clip = (r + w[:, None]) >> 1 < np.minimum(tl[:, None] - 1, r)
+    return not bool(((st_clip | en_clip) & live).any())
+
+
+def _pad_counts(B: int, S: int):
+    """Pad the pair count so R = B*S lands on the sublane tile and a
+    coarse ladder (compile-cache friendly), capped at the launch max."""
+    unit = 8 // int(np.gcd(S, 8))
+    bmax = max((RMAX // S) // unit * unit, unit)
+    n = -(-B // unit)
+    step = max(1, (1 << max(n - 1, 1).bit_length()) // 4)
+    return min(-(-n // step) * step * unit, bmax)
+
+
+def strips_records(query, target, qlen, tlen, m, mat, q, e,
+                   zdrop=-1, flag=Flag.SCORE_ONLY,
+                   interpret: bool = False) -> list:
+    """Strip-tiled batched one-piece extension, score-only, async records.
+
+    Same contract as :func:`ops.batch_pallas.extz_batch_records` (a list
+    of device (B_i, NFIELDS) int32 records in FIELD_ORDER); callers must
+    have checked :func:`strips_eligible`.
+    """
+    flag = Flag(int(flag))
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    B, Lq = query.shape
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    S = max(1, (int(qlen.max()) + 127) // 128)
+    unit = 8 // int(np.gcd(S, 8))
+    BMAX = max((RMAX // S) // unit * unit, unit)
+    if B > BMAX:
+        pieces = []
+        for i in range(0, B, BMAX):
+            pieces.extend(strips_records(
+                query[i:i + BMAX], target[i:i + BMAX], qlen[i:i + BMAX],
+                tlen[i:i + BMAX], m, mat, q, e, zdrop, flag, interpret))
+        return pieces
+    sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+    Bp = _pad_counts(B, S)
+    R = Bp * S
+    tmax = int(tlen.max()) if B else 1
+    tlenp = max(round_up(tmax, CH), CH)
+    t_real = tlenp + S - 1
+    t_pad = round_up(t_real + 1, 128)
+    generic = bool(flag & Flag.GENERIC_SC)
+    prm = StripParams(
+        n_rows=R, s=S, tv=tlenp, t_pad=t_pad, t_real=t_real, m=m,
+        q=int(q), e=int(e), mat0=int(mat[0]), sc_mis=int(mat[1]),
+        sc_N=sc_N, zdrop=int(zdrop), flag=int(flag),
+        matt=tuple(int(v) for v in mat) if generic else ())
+    run = _cached_strips_run(prm, interpret)
+    qpad = np.zeros((Bp, min(Lq, S * 128)), np.int8)
+    qpad[:B] = np.asarray(query, np.int8)[:, :S * 128]
+    tpad = np.zeros((Bp, min(target.shape[1], tlenp)), np.int8)
+    tpad[:B] = np.asarray(target, np.int8)[:, :tlenp]
+    lens = np.zeros((2, Bp), np.int32)
+    lens[0, :B], lens[1, :B] = qlen, tlen
+    return [run(jnp.asarray(qpad), jnp.asarray(tpad),
+                jnp.asarray(lens[0]), jnp.asarray(lens[1]))[:B]]
+
+
+__all__ = ["StripParams", "build_strips_call", "strips_eligible",
+           "strips_records", "CH", "RMAX"]
