@@ -128,12 +128,22 @@ def align_batch_scores(
             qlen[k] = len(job.query)
             tlen[k] = len(job.target)
             wv[k] = job.w if job.w >= 0 else max(len(job.query), len(job.target))
+        # effectively-unbanded score-only buckets of any length ride the
+        # strip-tiled engine (via extz_batch_records' internal dispatch);
+        # it beats both the band-relative and the P-row wavefront engines
+        # on those shapes (no triangle waste, no per-diagonal butterfly)
+        from ..ops.wavefront_strips import strips_eligible
+        use_strips = (
+            run_fn is None and engine in ("auto", "pallas")
+            and strips_eligible(qlen, tlen, wv, flag, m, mat, zdrop)
+        )
         use_band = (
             run_fn is None and engine in ("auto", "band") and Lt > 512
+            and not use_strips
             and wv.min() >= 1 and wv.max() <= 1472
             and int(mat[0]) * int(min(qlen.max(), tlen.max())) < (1 << 17)
         )
-        use_pallas = (
+        use_pallas = use_strips or (
             run_fn is None and engine in ("auto", "pallas") and Lt <= 3072
             and not use_band and _pallas_zdrop_ok(Lt, mat, qlen, tlen,
                                                   zdrop, flag)

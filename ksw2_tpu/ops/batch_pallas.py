@@ -138,6 +138,13 @@ def extz_batch_records(
     if rows_eligible(qlen, tlen, w, flag, zdrop, m, mat):
         return extz_rows_records(query, target, qlen, tlen, m, mat, q, e,
                                  zdrop=zdrop, flag=flag, interpret=interpret)
+    # longer effectively-unbanded score-only buckets take the skewed
+    # strip-tiled engine: tlen+S steps at full occupancy instead of
+    # qlen+tlen-1 triangle-wasted diagonals, Z-drop replayed post-hoc
+    from .wavefront_strips import strips_eligible, strips_records
+    if strips_eligible(qlen, tlen, w, flag, m, mat, zdrop):
+        return strips_records(query, target, qlen, tlen, m, mat, q, e,
+                              zdrop=zdrop, flag=flag, interpret=interpret)
     if zdrop >= 0 and not (flag & Flag.APPROX_MAX):
         # the exact-Z-drop kernel packs (H, tie-key) into one int32; the
         # key needs 5*P*128+2 values, so the positive H range shrinks as P
