@@ -265,12 +265,18 @@ def _postprocess(prm: StripParams, D, Dq, hl, qlen, tlen):
     Ds = jnp.transpose(D, (1, 0, 2)).reshape(B, S, W)
     Dqs = jnp.transpose(Dq, (1, 0, 2)).reshape(B, S, W)
     ND = 127 * (S - 1) + W
-    Dg = jnp.full((B, ND), SENT, I32)
-    Dqg = jnp.full((B, ND), SENT, I32)
-    for s in range(S):
-        lo = 127 * s
-        Dg = Dg.at[:, lo:lo + W].max(Ds[:, s])
-        Dqg = Dqg.at[:, lo:lo + W].max(Dqs[:, s])
+    if S == 1:
+        Dg = Ds[:, 0]
+        Dqg = Dqs[:, 0]
+    else:
+        # strip s covers global diagonals [127s, 127s + W): one padded
+        # stack + max-reduce (no update-slice chains)
+        Dg = jnp.max(jnp.stack([
+            jnp.pad(Ds[:, s], ((0, 0), (127 * s, ND - W - 127 * s)),
+                    constant_values=SENT) for s in range(S)]), axis=0)
+        Dqg = jnp.max(jnp.stack([
+            jnp.pad(Dqs[:, s], ((0, 0), (127 * s, ND - W - 127 * s)),
+                    constant_values=SENT) for s in range(S)]), axis=0)
 
     qlc = qlen[:, None].astype(I32)
     tlc = tlen[:, None].astype(I32)
@@ -286,19 +292,26 @@ def _postprocess(prm: StripParams, D, Dq, hl, qlen, tlen):
                      jnp.where(kstar <= 4 * prm.tv, j1,
                                kstar - 1 - 4 * prm.tv))
 
-    # running-max automaton (strict >, earliest diagonal wins ties):
-    # key packs (clamped M, 8191 - r); max_t recovered by gather at the
-    # winning diagonal.  ND < 8192 and |M| < 2^17 by the host guard.
+    # running-max automaton (strict >, earliest diagonal wins ties): an
+    # associative scan over (key, maxt) pairs — key packs (clamped M,
+    # 8191 - r), the value channel carries max_t along, so no gathers.
+    # ND < 8192 and |M| < 2^17 by the host guard.
     Mc = jnp.maximum(M, -(1 << 17))
     key = jnp.where(valid, Mc * 8192 + (8191 - r), SENT)
-    cm = jax.lax.cummax(key, axis=1)
-    bestM = cm >> 13
-    rstar = 8191 - (cm & 8191)
+
+    def _comb(a, b):
+        ka, va = a
+        kb, vb = b
+        tb = kb > ka
+        return jnp.where(tb, kb, ka), jnp.where(tb, vb, va)
+
+    ks, vs = jax.lax.associative_scan(_comb, (key, maxt), axis=1)
+    bestM = ks >> 13
+    rstar = 8191 - (ks & 8191)
     pos = bestM > 0
-    mt_all = jnp.take_along_axis(maxt, jnp.clip(rstar, 0, ND - 1), axis=1)
     mx = jnp.where(pos, bestM, 0)
-    mt = jnp.where(pos, mt_all, -1)
-    mq = jnp.where(pos, rstar - mt_all, -1)
+    mt = jnp.where(pos, vs, -1)
+    mq = jnp.where(pos, rstar - vs, -1)
     # state *before* each diagonal
     mxp = jnp.concatenate([jnp.zeros((B, 1), I32), mx[:, :-1]], axis=1)
     mtp = jnp.concatenate([jnp.full((B, 1), -1, I32), mt[:, :-1]], axis=1)
@@ -318,16 +331,18 @@ def _postprocess(prm: StripParams, D, Dq, hl, qlen, tlen):
     rc = jnp.where(dropped, rdrop, ndc[:, 0] - 1)
     rcc = rc[:, None]
 
-    kmask = (r <= rcc) & valid
-    bkc = jnp.max(jnp.where(kmask, key, SENT), axis=1)
-    bestMc = bkc >> 13
-    rstarc = 8191 - (bkc & 8191)
+    # automaton state after diagonal rc = the scan state at column rc
+    # (one (B,1) element pick, not a (B,ND) gather)
+    rci = jnp.clip(rcc, 0, ND - 1)
+    kc = jnp.take_along_axis(ks, rci, axis=1)[:, 0]
+    vc = jnp.take_along_axis(vs, rci, axis=1)[:, 0]
+    bestMc = kc >> 13
+    rstarc = 8191 - (kc & 8191)
     posc = bestMc > 0
-    mtc = jnp.take_along_axis(
-        maxt, jnp.clip(rstarc[:, None], 0, ND - 1), axis=1)[:, 0]
     vmax = jnp.where(posc, bestMc, 0)
-    vmaxt = jnp.where(posc, mtc, -1)
-    vmaxq = jnp.where(posc, rstarc - mtc, -1)
+    vmaxt = jnp.where(posc, vc, -1)
+    vmaxq = jnp.where(posc, rstarc - vc, -1)
+    kmask = (r <= rcc) & valid
 
     # mqe: raw query-end H per diagonal; earliest diagonal wins ties
     hasdq = Dqg > SENT // 2
@@ -415,12 +430,15 @@ def _cached_strips_run(prm: StripParams, interpret: bool):
                                           jnp.where(Qp == y, mch, mis)))
             prof = jnp.stack(rows)
 
-        # skewed symbol stream, bit-packed into per-chunk words
-        Tsk = jnp.zeros((B, S, G * CH), I32)
+        # skewed symbol stream, bit-packed into per-chunk words: strip s
+        # reads T shifted right by s, built as S static slices of one
+        # left-padded buffer (one concatenate, no update-slice chains)
         Tp = jnp.zeros((B, prm.t_pad), I32).at[
             :, :target.shape[1]].set(target.astype(I32))
-        for s in range(S):
-            Tsk = Tsk.at[:, s, s:s + prm.t_pad].set(Tp)
+        Tbig = jnp.pad(Tp, ((0, 0), (S, G * CH - prm.t_pad)))
+        Tsk = jnp.stack([
+            jax.lax.slice_in_dim(Tbig, S - s, S - s + G * CH, axis=1)
+            for s in range(S)], axis=1)
         pw = (1 << jnp.arange(CH, dtype=I32))
         bits = Tsk.reshape(B, S, G, CH)
         words = jnp.stack([
