@@ -385,8 +385,11 @@ def _cached_strips_run(prm: StripParams, interpret: bool):
     G = prm.t_pad // CH + 4
     generic = bool(prm.flag & int(Flag.GENERIC_SC))
 
-    def run(query, target, qlen, tlen):
-        """query (B,<=S*128) int8, target (B,<=t_pad) int8, lens (B,)."""
+    def run(qpk, tpk, qlen, tlen):
+        """qpk/tpk: 4-bit packed sequences (ops/packio); lens (B,)."""
+        from .packio import unpack_bases
+        query = unpack_bases(qpk, S * 128)
+        target = unpack_bases(tpk, prm.tv)
         qlen = qlen.astype(I32)
         tlen = tlen.astype(I32)
         lane = jax.lax.broadcasted_iota(I32, (R, 128), 1)
@@ -539,13 +542,15 @@ def strips_records(query, target, qlen, tlen, m, mat, q, e,
         sc_N=sc_N, zdrop=int(zdrop), flag=int(flag),
         matt=tuple(int(v) for v in mat) if generic else ())
     run = _cached_strips_run(prm, interpret)
-    qpad = np.zeros((Bp, min(Lq, S * 128)), np.int8)
-    qpad[:B] = np.asarray(query, np.int8)[:, :S * 128]
-    tpad = np.zeros((Bp, min(target.shape[1], tlenp)), np.int8)
-    tpad[:B] = np.asarray(target, np.int8)[:, :tlenp]
+    from .packio import pack_bases
+    qpad = np.zeros((Bp, S * 128), np.int8)
+    qpad[:B, :min(Lq, S * 128)] = np.asarray(query, np.int8)[:, :S * 128]
+    tpad = np.zeros((Bp, tlenp), np.int8)
+    tpad[:B, :min(target.shape[1], tlenp)] = \
+        np.asarray(target, np.int8)[:, :tlenp]
     lens = np.zeros((2, Bp), np.int32)
     lens[0, :B], lens[1, :B] = qlen, tlen
-    return [run(jnp.asarray(qpad), jnp.asarray(tpad),
+    return [run(jnp.asarray(pack_bases(qpad)), jnp.asarray(pack_bases(tpad)),
                 jnp.asarray(lens[0]), jnp.asarray(lens[1]))[:B]]
 
 
