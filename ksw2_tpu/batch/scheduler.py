@@ -135,7 +135,7 @@ def align_batch_scores(
         from ..ops.wavefront_strips import strips_eligible
         use_strips = (
             run_fn is None and engine in ("auto", "pallas")
-            and strips_eligible(qlen, tlen, wv, flag, m, mat, zdrop)
+            and strips_eligible(qlen, tlen, wv, flag, m, mat, zdrop, q, e)
         )
         use_band = (
             run_fn is None and engine in ("auto", "band") and Lt > 512

@@ -142,7 +142,7 @@ def extz_batch_records(
     # strip-tiled engine: tlen+S steps at full occupancy instead of
     # qlen+tlen-1 triangle-wasted diagonals, Z-drop replayed post-hoc
     from .wavefront_strips import strips_eligible, strips_records
-    if strips_eligible(qlen, tlen, w, flag, m, mat, zdrop):
+    if strips_eligible(qlen, tlen, w, flag, m, mat, zdrop, q, e):
         return strips_records(query, target, qlen, tlen, m, mat, q, e,
                               zdrop=zdrop, flag=flag, interpret=interpret)
     if zdrop >= 0 and not (flag & Flag.APPROX_MAX):

@@ -183,8 +183,13 @@ def _kernel_body(prm: StripParams, refs):
         dA[...] = jnp.maximum(dA[...], jnp.where(lm, rolled, SENT))
         dB[...] = jnp.maximum(dB[...], jnp.where(lm, SENT, rolled))
 
-        # ---- query-end stream (mqe), decoded from the same rolled plane
-        qsel = qrowv & (lane == ((qlanev + tm) & 127))
+        # ---- query-end stream (mqe), decoded from the same rolled plane.
+        # act must gate the select: the post-roll lane picks the pre-roll
+        # cell at qlanev, whose packed value is SENT on inactive steps and
+        # would decode to ~-(SENT>>KBITS), polluting diagonals r < qlen-1
+        # (vmv at qlanev is always true on qrow rows, so act alone —
+        # lane-uniform, hence roll-safe — is the full validity mask).
+        qsel = qrowv & act & (lane == ((qlanev + tm) & 127))
         hdec = rolled >> KBITS
         dqA[...] = jnp.maximum(dqA[...],
                                jnp.where(qsel & lm, hdec, SENT))
@@ -295,7 +300,9 @@ def _postprocess(prm: StripParams, D, Dq, hl, qlen, tlen):
     # running-max automaton (strict >, earliest diagonal wins ties): an
     # associative scan over (key, maxt) pairs — key packs (clamped M,
     # 8191 - r), the value channel carries max_t along, so no gathers.
-    # ND < 8192 and |M| < 2^17 by the host guard.
+    # ND < 8192 and |M| < 2^17 on BOTH sides by the host guard
+    # (strips_eligible bounds hmax and the all-gaps-path hneg), so the
+    # -(1<<17) clamps below are provably unreachable.
     Mc = jnp.maximum(M, -(1 << 17))
     key = jnp.where(valid, Mc * 8192 + (8191 - r), SENT)
 
@@ -456,10 +463,19 @@ def _cached_strips_run(prm: StripParams, interpret: bool):
     return jax.jit(run)
 
 
-def strips_eligible(qlen, tlen, w, flag, m, mat, zdrop) -> bool:
+def strips_eligible(qlen, tlen, w, flag, m, mat, zdrop,
+                    q: int = 0, e: int = 0) -> bool:
     """True when every pair can run on the strips engine: plain
     score-only exact mode, band never clips the matrix-shape bounds,
-    lengths within the packed-key range."""
+    lengths within the packed-key range.
+
+    ``q``/``e`` (gap open/extend) bound the *negative* H range: every DP
+    cell satisfies ``H(i,j) >= -(2(q+e) + e*(i+j))`` (the all-gaps path is
+    one of the maxed paths), so the in-kernel/postprocess -(1<<17) clamps
+    and the int32 ``Hn*KB`` packing are provably never reached when the
+    bound below holds.  Pass 0,0 only when the caller separately
+    guarantees the range.
+    """
     flag = int(flag)
     if flag & (int(Flag.APPROX_MAX) | int(Flag.APPROX_DROP)):
         return False
@@ -476,10 +492,16 @@ def strips_eligible(qlen, tlen, w, flag, m, mat, zdrop) -> bool:
     if qlen.min(initial=1) < 1 or tlen.min(initial=1) < 1:
         return False
     mat = np.asarray(mat).reshape(-1)
-    tv = int(tlen.max())
+    # the runtime packs records at the CH-rounded t capacity (tlenp),
+    # which can cross a key bit-length boundary vs the raw max
+    tv = max(round_up(int(tlen.max()), CH), CH)
     KB, _ = key_params(tv)
     hmax = int(mat.max()) * int(np.minimum(qlen, tlen).max())
-    if hmax >= (1 << 17) or (hmax + 1) * KB + KB >= (1 << 31):
+    hneg = 2 * (int(q) + int(e)) + int(e) * (int(qlen.max()) +
+                                             int(tlen.max()))
+    if hmax >= (1 << 17) or hneg >= (1 << 17):
+        return False
+    if (max(hmax, hneg) + 1) * KB + KB >= (1 << 31):
         return False
     w = np.asarray(w).astype(np.int64)
     ql = qlen.astype(np.int64)

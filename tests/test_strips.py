@@ -128,6 +128,72 @@ def test_piece_split():
     _check(pairs, out, MAT, 4, 2, 100, Flag.SCORE_ONLY)
 
 
+def test_zdrop_in_fake_record_window():
+    """Regression: Dq (query-end) records must be gated by the step
+    activity mask.  Without it, steps t < strip index record decoded-SENT
+    values on the s_q diagonals just before qlen-1; a Z-drop stopping
+    there turned mqe from NEG_INF into ~-(1<<17) with an impossible
+    negative mqe_t (round-3 advisor finding).  This config drops at
+    rc=509 for qlen=512 (s_q=3 -> fake window [508, 510])."""
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 4, 512).astype(np.int8)
+    q, t = base.copy(), base.copy()
+    t[220:] = (t[220:] + 1) % 4
+    B, L = 1, 512
+    Q = np.zeros((B, L), np.int32)
+    T = np.zeros((B, L), np.int32)
+    Q[0], T[0] = q, t
+    qlen = np.array([L], np.int32)
+    tlen = np.array([L], np.int32)
+    out = _run(Q, T, qlen, tlen, MAT, 4, 2, 32, Flag.SCORE_ONLY)
+    _check([(q, t)], out, MAT, 4, 2, 32, Flag.SCORE_ONLY)
+    assert int(out["zdropped"][0]) == 1
+    assert int(out["mqe_t"][0]) == -1          # no query-end cell reached
+
+
+def test_eligibility_negative_range():
+    """Configs whose all-gaps-path H can fall below -(1<<17) must be
+    rejected (the postprocess clamps would silently corrupt mqe)."""
+    ql = np.array([3072], np.int32)
+    tl = np.array([8], np.int32)
+    w = np.maximum(ql, tl)
+    # q=4, e=44: hneg = 2*48 + 44*3080 = 135616 >= 1<<17
+    assert not strips_eligible(ql, tl, w, Flag.SCORE_ONLY, 5, MAT, -1,
+                               q=4, e=44)
+    # same shape at sane costs is fine
+    assert strips_eligible(ql, tl, w, Flag.SCORE_ONLY, 5, MAT, -1,
+                           q=4, e=2)
+
+
+def test_eligibility_rounded_key_capacity():
+    """The packed-key overflow guard must use the CH-rounded t capacity
+    the runtime packs with (tmax=1638 -> tlenp=1664 crosses a bit-length
+    boundary; KB doubles)."""
+    from ksw2_tpu.ops.wavefront_strips import CH, key_params
+    from ksw2_tpu.ops.bands import round_up
+    tmax = 1638
+    KB_raw, _ = key_params(tmax)
+    KB_rt, _ = key_params(max(round_up(tmax, CH), CH))
+    assert KB_rt == 2 * KB_raw          # the boundary this test pins
+    # a match score whose hmax*KB fits the raw KB but not the runtime KB
+    hmax_limit_raw = (1 << 31) // KB_raw - 2
+    hmax_limit_rt = (1 << 31) // KB_rt - 2
+    sc = None
+    for mch in range(2, 128):
+        h = mch * tmax
+        if hmax_limit_rt < h <= hmax_limit_raw and h < (1 << 17):
+            sc = mch
+            break
+    if sc is None:
+        pytest.skip("no score hits the gap for this shape")
+    mat = simple_mat(5, sc, -4)
+    ql = np.array([3000], np.int32)
+    tl = np.array([tmax], np.int32)
+    w = np.maximum(ql, tl)
+    assert not strips_eligible(ql, tl, w, Flag.SCORE_ONLY, 5, mat, 100,
+                               q=4, e=2)
+
+
 def test_eligibility():
     ql = np.array([100, 3000], np.int32)
     tl = np.array([100, 3000], np.int32)
