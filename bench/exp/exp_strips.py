@@ -1,7 +1,11 @@
 """Debug: strips kernel (interpret) vs diagdiff spec. Scratch, not committed."""
 import numpy as np
 import sys
-sys.path.insert(0, "tests")
+import os as _os, sys as _sys
+_repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+_sys.path.insert(0, _repo)
+_sys.path.insert(0, _os.path.join(_repo, "tests"))
+
 import refcmp
 from ksw2_tpu.core.flags import Flag
 from ksw2_tpu.core.matrix import encode_dna, simple_mat

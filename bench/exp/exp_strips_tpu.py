@@ -2,7 +2,11 @@
 import time
 import numpy as np
 import sys
-sys.path.insert(0, "tests")
+import os as _os, sys as _sys
+_repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+_sys.path.insert(0, _repo)
+_sys.path.insert(0, _os.path.join(_repo, "tests"))
+
 import jax
 import jax.numpy as jnp
 from ksw2_tpu.utils.ccache import ensure_compile_cache

@@ -361,6 +361,56 @@ def main():
          (4 * mcells / 1e9) / best_of(run_mixed4, n=3),
          "Gcells/s", baseline=0.95)
 
+    # streaming variant: 8 batches submitted before the first collect.
+    # Amortizes this terminal's fixed per-call tunnel tax (~25 ms pallas
+    # launch RTT + ~25 ms fetch tail; a local v5e host pays ~1 ms) the
+    # way a production server would — per-batch wall converges to pure
+    # device compute.  Same per-pair checksum as the e2e row.
+    from ksw2_tpu.batch.scheduler import align_batch_scores_async
+
+    def run_mixed_stream():
+        hs = [align_batch_scores_async(jobs, 5, mat, 4, 2, zdrop=100,
+                                       flag=Flag.SCORE_ONLY)
+              for _ in range(8)]
+        for h in hs:
+            tot = sum(ez.max for ez in h.result())
+            assert tot == 165978, tot
+
+    emit("align_batch_mixed_512_stream8_gcells_per_s",
+         (8 * mcells / 1e9) / best_of(run_mixed_stream, n=3),
+         "Gcells/s", baseline=0.95)
+
+    # strips engine row: the 17x~3000 bp "whale" bucket (the mixed row's
+    # biggest compute block) on the strip-tiled engine, chained reps,
+    # per-rep parity checksum (precomputed from the byte-exact spec)
+    from ksw2_tpu.ops.wavefront_strips import strips_records
+
+    whale = [j for j in jobs if len(j.target) > 2048]
+    Bw = len(whale)
+    Lqw = max(len(j.query) for j in whale)
+    Ltw = max(len(j.target) for j in whale)
+    Qw = np.zeros((Bw, Lqw), np.int32)
+    Tw = np.zeros((Bw, Ltw), np.int32)
+    qlw = np.zeros(Bw, np.int32)
+    tlw = np.zeros(Bw, np.int32)
+    for k, j in enumerate(whale):
+        Qw[k, :len(j.query)] = j.query
+        Tw[k, :len(j.target)] = j.target
+        qlw[k], tlw[k] = len(j.query), len(j.target)
+    wcells = int((qlw.astype(np.int64) * tlw).sum())
+
+    def run_whale_strips():
+        ps = []
+        for _ in range(4):
+            ps.extend(strips_records(Qw, Tw, qlw, tlw, 5, mat, 4, 2,
+                                     zdrop=100, flag=Flag.SCORE_ONLY))
+        chk = sum(int(np.asarray(p)[:, 0].sum()) for p in ps)
+        assert chk == 4 * 32960, chk   # spec diagdiff checksum (seed 777)
+
+    emit("strips_whale_17x3000_gcells_per_s",
+         (4 * wcells / 1e9) / best_of(run_whale_strips, n=3),
+         "Gcells/s", baseline=0.95)
+
     # cross-process warm-up: a FRESH python process scoring a small mixed
     # batch (every kernel comes from the persistent compile cache — the
     # kalloc zero-per-call-setup contract; target < 10 s)

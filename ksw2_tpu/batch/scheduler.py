@@ -44,6 +44,25 @@ def _bucket_len(n: int, quantum: int = 128, coarse: bool = False) -> int:
     return b
 
 
+_SCORES_LT = (128, 256, 512, 768, 1024, 1280, 1536, 2048, 2560, 3072)
+
+
+def _bucket_key_scores(qn: int, tn: int):
+    """One-piece score-path buckets, aligned with the strips engine's
+    canonical ladders: coarser than :func:`_bucket_key` so a mixed
+    workload produces fewer, bigger launches (each pallas launch costs a
+    fixed dispatch latency, and each distinct shape is a compiled
+    variant the fresh-process warm-up pays ~5 s to load)."""
+    if tn <= 3072 and qn <= 4608:
+        Lq = 512
+        while Lq < qn:
+            Lq *= 2
+        for Lt in _SCORES_LT:
+            if Lt >= tn:
+                return (min(Lq, 4608), Lt)
+    return _bucket_key(qn, tn)
+
+
 def _bucket_key(qn: int, tn: int):
     """(Lq, Lt) bucket: Lt steps linearly when the target rides the batched
     engines (P = ceil(Lt/128) rows per pair, so every 128 matters); Lq is
@@ -64,6 +83,31 @@ class AlignJob:
     query: np.ndarray   # encoded uint8
     target: np.ndarray
     w: int = -1
+
+
+class PendingScores:
+    """Handle for an in-flight :func:`align_batch_scores_async` batch.
+
+    All device work is enqueued and device->host copies are started at
+    submit time; :meth:`result` blocks only on transfer completion.
+    Submitting several batches before collecting the first overlaps each
+    batch's tunnel/launch latency with the next batch's compute — the
+    production serving pattern (the reference's analogue is minimap2
+    calling ksw2 millions of times with zero per-call setup,
+    kalloc.c:41-62).
+    """
+
+    def __init__(self, results, pending, guard):
+        self._results = results
+        self._pending = pending
+        self._guard = guard
+        self._done = False
+
+    def result(self) -> List[ExtzResult]:
+        if not self._done:
+            _unpack_pending(self._pending, self._results, guard=self._guard)
+            self._done = True
+        return self._results
 
 
 def align_batch_scores(
@@ -88,6 +132,23 @@ def align_batch_scores(
     or "auto" (pallas where eligible, xla otherwise).  An explicit
     ``run_fn`` overrides the choice.
     """
+    return align_batch_scores_async(jobs, m, mat, q, e, zdrop=zdrop,
+                                    flag=flag, run_fn=run_fn,
+                                    engine=engine).result()
+
+
+def align_batch_scores_async(
+    jobs: Sequence[AlignJob],
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    zdrop: int = -1,
+    flag: Flag | int = Flag.SCORE_ONLY,
+    run_fn=None,
+    engine: str = "auto",
+) -> PendingScores:
+    """Submit a score batch without waiting; see :class:`PendingScores`."""
     flag = Flag(int(flag)) | Flag.SCORE_ONLY
     mat = np.asarray(mat, dtype=np.int8).reshape(-1)
     sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
@@ -102,7 +163,7 @@ def align_batch_scores(
             ez.reset()
             results[i] = ez
             continue
-        key = _bucket_key(len(job.query), len(job.target))
+        key = _bucket_key_scores(len(job.query), len(job.target))
         buckets.setdefault(key, []).append(i)
 
     # Phase 1 — dispatch every bucket WITHOUT waiting: each engine returns
@@ -167,12 +228,12 @@ def align_batch_scores(
 
     pending = _dispatch_all(dispatch, _heaviest_first(buckets, jobs))
 
-    # Phase 2 — per-piece async device->host copies, then host-side
-    # unpack (the copies overlap later buckets' compute; no device sync
-    # beyond the last launch's own transfer)
+    # Phase 2 — per-piece async device->host copies start now; the
+    # host-side unpack is deferred to PendingScores.result() (the copies
+    # overlap later buckets' compute AND any work submitted after this
+    # batch; no device sync beyond the last launch's own transfer)
     _start_host_copies(pending)
-    _unpack_pending(pending, results, guard=-min_sc > 2 * (q + e))
-    return results  # type: ignore[return-value]
+    return PendingScores(results, pending, guard=-min_sc > 2 * (q + e))
 
 
 def _pallas_zdrop_ok(Lt, mat, qlen, tlen, zdrop, flag) -> bool:
@@ -725,5 +786,5 @@ def _finish_splice_pending(splice_pending, results, m, mat, q, e, q2,
                 results[i] = out[k]
 
 
-__all__ = ["AlignJob", "align_batch_scores", "align_batch",
-           "align_batch_splice"]
+__all__ = ["AlignJob", "align_batch_scores", "align_batch_scores_async",
+           "PendingScores", "align_batch", "align_batch_splice"]

@@ -55,6 +55,8 @@ I32 = jnp.int32
 SENT = -(2 ** 31) + 1
 CH = 32                    # steps per grid chunk (words pack 32 bits)
 RMAX = 512                 # max plane rows per launch
+QMAX = 4608                # query cap (36 strips); tlen cap stays 3072
+TMAX = 3072
 
 
 class StripParams(NamedTuple):
@@ -487,14 +489,17 @@ def strips_eligible(qlen, tlen, w, flag, m, mat, zdrop,
     tlen = np.asarray(tlen)
     if qlen.size == 0:
         return False
-    if qlen.max(initial=0) > 3072 or tlen.max(initial=0) > 3072:
+    if qlen.max(initial=0) > QMAX or tlen.max(initial=0) > TMAX:
         return False
     if qlen.min(initial=1) < 1 or tlen.min(initial=1) < 1:
         return False
     mat = np.asarray(mat).reshape(-1)
-    # the runtime packs records at the CH-rounded t capacity (tlenp),
+    # the runtime packs records at the canonical-ladder t capacity,
     # which can cross a key bit-length boundary vs the raw max
-    tv = max(round_up(int(tlen.max()), CH), CH)
+    tv = _canon_tlenp(int(tlen.max()))
+    # postprocess packs the diagonal index in 13 bits
+    if _n_diag(_canon_s((int(qlen.max()) + 127) // 128), tv) > 8191:
+        return False
     KB, _ = key_params(tv)
     hmax = int(mat.max()) * int(np.minimum(qlen, tlen).max())
     hneg = 2 * (int(q) + int(e)) + int(e) * (int(qlen.max()) +
@@ -524,6 +529,82 @@ def _pad_counts(B: int, S: int):
     return min(-(-n // step) * step * unit, bmax)
 
 
+def _plan_rows(B: int, S: int, tlenp: int):
+    """Jointly choose (S_pad, B_pad): padding the STRIP count with dead
+    strips (vm-masked rows) costs S_pad/S - 1 (a few %), while padding
+    the PAIR count to the sublane unit 8/gcd(S,8) can cost up to ~40%
+    (e.g. 17 pairs at S=27 pad to 24).  Scan S..S+7 and take the plan
+    with the fewest plane rows R = B_pad * S_pad, subject to the
+    postprocess 13-bit diagonal-index budget."""
+    cands = []
+    for Sp in range(S, S + 8):
+        if _canon_s(Sp) != Sp:
+            continue                    # keep the variant space canonical
+        if _n_diag(Sp, tlenp) > 8191:
+            break                       # _n_diag grows with Sp
+        unit = 8 // int(np.gcd(Sp, 8))
+        n = -(-B // unit)
+        step4 = max(1, (1 << max(n - 1, 1).bit_length()) // 4)
+        # coarse-to-fine ladder: quarter steps of the next power of two,
+        # then eighths, then exact unit padding.  Coarser = fewer
+        # compiled variants; finer = less pad waste.
+        for fine, step in enumerate((step4, max(1, step4 // 2), 1)):
+            Bp = -(-n // step) * step * unit
+            R = Bp * Sp
+            if Bp >= B and R <= RMAX:
+                cands.append((R, fine, Sp, Bp))
+    if not cands:                       # fall back to the ladder cap
+        return S, _pad_counts(B, S)
+    rmin = min(c[0] for c in cands)
+    # prefer the coarsest (fewest-variants) plan within 10% of optimal
+    ok = [c for c in cands if c[0] <= rmin * 1.1 + 1e-9]
+    ok.sort(key=lambda c: (c[1], c[0]))
+    _, _, Sp, Bp = ok[0]
+    return Sp, Bp
+
+
+def _n_diag(S: int, tlenp: int) -> int:
+    """Record-stream diagonal capacity for a launch: 127*(S-1) + W."""
+    t_real = tlenp + S - 1
+    t_pad = round_up(t_real + 1, 128)
+    nf = (t_pad // CH + 4) // 4
+    return 127 * (S - 1) + nf * 128
+
+
+# canonical t capacities and strip counts: StripParams is keyed by the
+# DATA maxima (qlen.max, tlen.max), so without canonicalization every
+# workload jitter makes a fresh multi-minute compile.  Ladders bound the
+# variant space (and the fresh-process warm-up, which pays ~5 s tunnel
+# load per executable) at a few % padding.
+TLENP_LADDER = (32, 64, 128, 256, 384, 512, 768, 1024, 1280, 1536,
+                2048, 2560, 3072)
+
+
+def _canon_tlenp(tmax: int) -> int:
+    for v in TLENP_LADDER:
+        if v >= tmax:
+            return v
+    return round_up(tmax, CH)
+
+
+def _canon_s(s: int) -> int:
+    return s if s <= 8 else (s + 1) & ~1        # even above 8
+
+
+def _launch_bmax(S: int, tlenp: int) -> int:
+    """Largest pair count a single launch can hold for base strip count
+    S, considering dead-strip padding plans."""
+    bm = 1
+    for Sp in range(S, S + 8):
+        if _canon_s(Sp) != Sp:
+            continue
+        if _n_diag(Sp, tlenp) > 8191:
+            break
+        unit = 8 // int(np.gcd(Sp, 8))
+        bm = max(bm, (RMAX // Sp) // unit * unit)
+    return bm
+
+
 def strips_records(query, target, qlen, tlen, m, mat, q, e,
                    zdrop=-1, flag=Flag.SCORE_ONLY,
                    interpret: bool = False) -> list:
@@ -540,9 +621,10 @@ def strips_records(query, target, qlen, tlen, m, mat, q, e,
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     mat = np.asarray(mat, dtype=np.int8).reshape(-1)
-    S = max(1, (int(qlen.max()) + 127) // 128)
-    unit = 8 // int(np.gcd(S, 8))
-    BMAX = max((RMAX // S) // unit * unit, unit)
+    S0 = _canon_s(max(1, (int(qlen.max()) + 127) // 128))
+    tmax = int(tlen.max()) if B else 1
+    tlenp = _canon_tlenp(tmax)
+    BMAX = _launch_bmax(S0, tlenp)
     if B > BMAX:
         pieces = []
         for i in range(0, B, BMAX):
@@ -551,10 +633,8 @@ def strips_records(query, target, qlen, tlen, m, mat, q, e,
                 tlen[i:i + BMAX], m, mat, q, e, zdrop, flag, interpret))
         return pieces
     sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
-    Bp = _pad_counts(B, S)
+    S, Bp = _plan_rows(B, S0, tlenp)
     R = Bp * S
-    tmax = int(tlen.max()) if B else 1
-    tlenp = max(round_up(tmax, CH), CH)
     t_real = tlenp + S - 1
     t_pad = round_up(t_real + 1, 128)
     generic = bool(flag & Flag.GENERIC_SC)

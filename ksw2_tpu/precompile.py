@@ -28,10 +28,11 @@ import numpy as np
 
 
 def _ladder(quick: bool):
-    """(Lq, Lt) bucket shapes of the standard short-read ladder."""
+    """(Lq, Lt) bucket shapes of the standard short-read ladder (matches
+    the scheduler's score-path ladder, scheduler._SCORES_LT)."""
     lts = [128, 256, 512, 1024, 1536] if quick else \
-        [128, 256, 384, 512, 768, 1024, 1536, 2048, 3072]
-    return [(min(lt * 2, 4096), lt) for lt in lts]
+        [128, 256, 512, 768, 1024, 1280, 1536, 2048, 2560, 3072]
+    return [(min(max(lt * 2, 512), 4608), lt) for lt in lts]
 
 
 def main(argv=None) -> int:
@@ -44,7 +45,8 @@ def main(argv=None) -> int:
 
     from .core.flags import Flag
     from .core.matrix import simple_mat
-    from .ops.batch_pallas import extz_batch_device, extd_batch_device
+    from .ops.batch_pallas import extd_batch_device, extz_batch_records
+    from .ops.wavefront_strips import _canon_s, _canon_tlenp, _launch_bmax
 
     a, b, q, e = (int(v) for v in args.scores.split(","))
     mat = simple_mat(5, a, -b)
@@ -52,17 +54,24 @@ def main(argv=None) -> int:
     n = 0
     rng = np.random.default_rng(0)
     for Lq, Lt in _ladder(args.quick):
-        B = max(8, 512 // ((Lt + 127) // 128) // 8 * 8)
+        # warm the exact engine+shape the scheduler dispatches for this
+        # bucket: extz_batch_records routes through strips/rows/wavefront
+        # with the same eligibility logic as production, at the
+        # full-launch pair count (what BMAX slicing produces)
+        S0 = _canon_s(max(1, (Lq + 127) // 128))
+        B = min(max(8, _launch_bmax(S0, _canon_tlenp(Lt))), 256)
         Q = rng.integers(0, 4, size=(B, Lq)).astype(np.int8)
         T = rng.integers(0, 4, size=(B, Lt)).astype(np.int8)
         ql = np.full((B,), Lq, np.int32)
         tl = np.full((B,), Lt, np.int32)
         w = np.maximum(ql, tl)
         t0 = time.time()
-        extz_batch_device(Q, T, ql, tl, 5, mat, q, e, w=w, zdrop=200,
-                          flag=Flag.SCORE_ONLY)
+        ps = extz_batch_records(Q, T, ql, tl, 5, mat, q, e, w, zdrop=200,
+                                flag=Flag.SCORE_ONLY)
+        for p in ps:
+            np.asarray(p)
         n += 1
-        print(f"  extz bucket ({Lq},{Lt}): {time.time()-t0:.1f}s",
+        print(f"  extz bucket ({Lq},{Lt},B={B}): {time.time()-t0:.1f}s",
               file=sys.stderr)
         if not args.quick:
             t0 = time.time()

@@ -128,6 +128,35 @@ def test_piece_split():
     _check(pairs, out, MAT, 4, 2, 100, Flag.SCORE_ONLY)
 
 
+def test_long_query_over_3072():
+    """Queries in (3072, 4608] are eligible (the mixed-row whale bucket
+    lands at Lq=4096 because indels make queries ~3.2-3.4 kb) and run
+    with the dead-strip padding plan."""
+    rng = np.random.default_rng(5)
+    qlen_, tlen_ = 3300, 300
+    qs = rng.integers(0, 4, qlen_).astype(np.int8)
+    ts = qs[150:150 + tlen_].copy()
+    ts[rng.random(tlen_) < 0.1] = rng.integers(0, 4)
+    B = 1
+    Q = np.zeros((B, qlen_), np.int32)
+    T = np.zeros((B, tlen_), np.int32)
+    Q[0], T[0] = qs, ts
+    qlen = np.array([qlen_], np.int32)
+    tlen = np.array([tlen_], np.int32)
+    for zdrop in (-1, 100):
+        out = _run(Q, T, qlen, tlen, MAT, 4, 2, zdrop, Flag.SCORE_ONLY)
+        _check([(qs, ts)], out, MAT, 4, 2, zdrop, Flag.SCORE_ONLY)
+
+
+def test_plan_rows_prefers_dead_strips():
+    from ksw2_tpu.ops.wavefront_strips import _plan_rows
+    # 17 pairs at S=27 (the mixed-row whale): pair padding alone would
+    # need B=24 (unit 8); S=28 gets unit 2 -> 18 pairs, fewer rows
+    Sp, Bp = _plan_rows(17, 27, 3072)
+    assert Bp >= 17 and Sp * Bp <= 512
+    assert Sp * Bp < 27 * 24
+
+
 def test_zdrop_in_fake_record_window():
     """Regression: Dq (query-end) records must be gated by the step
     activity mask.  Without it, steps t < strip index record decoded-SENT
