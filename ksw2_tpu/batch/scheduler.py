@@ -363,7 +363,7 @@ def align_batch_scores2(
             ez.reset()
             results[i] = ez
             continue
-        key = _bucket_key(len(job.query), len(job.target))
+        key = _bucket_key_scores(len(job.query), len(job.target))
         buckets.setdefault(key, []).append(i)
 
     def dispatch(item):

@@ -809,6 +809,14 @@ def extd_batch_records(
     if w is None:
         w = np.maximum(qlen, tlen)
     w = np.asarray(w, np.int32)
+    # effectively-unbanded score-only buckets ride the strip-tiled
+    # two-piece engine (full occupancy, no per-diagonal butterfly)
+    from .wavefront_strips import strips_extd_eligible, strips_extd_records
+    if strips_extd_eligible(qlen, tlen, w, flag, m, mat, zdrop,
+                            q, e, q2, e2):
+        return strips_extd_records(query, target, qlen, tlen, m, mat,
+                                   q, e, q2, e2, zdrop=zdrop, flag=flag,
+                                   interpret=interpret)
     if zdrop >= 0 and not (flag & Flag.APPROX_MAX):
         KB = 1 << (5 * P * 128 + 2).bit_length()
         hmax = (int(np.asarray(mat).max())

@@ -74,6 +74,12 @@ class StripParams(NamedTuple):
     zdrop: int
     flag: int
     matt: tuple = ()       # flattened matrix when GENERIC_SC
+    two: int = 0           # two-piece (extd) mode
+    q2: int = 0
+    e2: int = 0
+    lt: int = 0            # long_thres (boundary-condition crossover)
+    ld: int = 0            # long_diff
+    off0: int = 0          # reference pre-swap H-seed offset (extd quirk)
 
 
 def key_params(tv: int):
@@ -82,21 +88,41 @@ def key_params(tv: int):
 
 
 def _kernel_body(prm: StripParams, refs):
-    (sp, s127, qlp, tlp, vm, qrow, qlane, bHi, Hinit, Einit, aoff, lnp,
-     prof, words, D_out, Dq_out, hl_out,
-     H, E, dA, dB, dqA, dqB, bh1, bh2, bf1) = refs
+    if prm.two:
+        (sp, s127, qlp, tlp, vm, qrow, qlane, bHi, Hinit, Einit, E2init,
+         aoff, aoff2, lnp, prof, words, D_out, Dq_out, hl_out,
+         H, E, E2, dA, dB, dqA, dqB, bh1, bh2, bf1, bf2) = refs
+    else:
+        (sp, s127, qlp, tlp, vm, qrow, qlane, bHi, Hinit, Einit, aoff, lnp,
+         prof, words, D_out, Dq_out, hl_out,
+         H, E, dA, dB, dqA, dqB, bh1, bh2, bf1) = refs
+        E2init = aoff2 = E2 = bf2 = None
     R = prm.n_rows
     shape = (R, 128)
     gapoe = prm.q + prm.e
+    gapoe2 = prm.q2 + prm.e2
     KB, KBITS = key_params(prm.tv)
     TV = prm.tv
     c = pl.program_id(0)
+
+    def col_h(i):
+        """Virtual-column H(i, -1): the reference's stepped boundary
+        (-e until long_thres, long_diff at it, -e2 after;
+        ksw2_extd2_sse.c:156-163).  One-piece: plain -e steps."""
+        if not prm.two:
+            return -(gapoe + prm.e * i)
+        early = -(gapoe + prm.e * i)
+        late = -(gapoe + prm.e * (prm.lt - 1)) + prm.ld \
+            - prm.e2 * (i - prm.lt)
+        return jnp.where(i < prm.lt, early, late)
 
     @pl.when(c == 0)
     def _init():
         for ref in (dA, dB, dqA, dqB):
             ref[...] = jnp.full(shape, SENT, I32)
-        for ref in (H, E, bh1, bh2, bf1):
+        regs = (H, E, E2, bh1, bh2, bf1, bf2) if prm.two else \
+            (H, E, bh1, bh2, bf1)
+        for ref in regs:
             ref[...] = jnp.zeros(shape, I32)
         hl_out[...] = jnp.full(shape, SENT, I32)
 
@@ -140,24 +166,46 @@ def _kernel_body(prm: StripParams, refs):
 
         # ---- diagonal term H(i-1, j-1): lane shift; lane 0 from the
         # boundary stream (lag 2) or the closed-form column bounds
-        hb0 = (t > 0).astype(I32) * -(gapoe + prm.e * (t - 1))
+        hb0 = jnp.where(t > 0, col_h(t - 1), 0)
         bhv = jnp.where(strip0, hb0,
                         jnp.where(first, bHiv, bh2[...]))
         Hd = jnp.where(lane0, bhv, pltpu.roll(Hprev, 1, axis=1))
         hnof = jnp.maximum(Hd + sc, Eprev)
+        if prm.two:
+            E2prev = jnp.where(first, E2init[...], E2[...])
+            hnof = jnp.maximum(hnof, E2prev)
         cv = Hd + prm.mat0
         hnofc = jnp.minimum(hnof, cv)
 
         # ---- F prefix scan with the incoming seed (lag 1)
         A = hnofc + aoffv
-        fb0 = -(2 * gapoe + prm.e * t)
+        fb0 = col_h(t) - gapoe
         bfv = jnp.where(strip0, fb0, bf1[...])
         S0 = jnp.where(lane0, bfv, pltpu.roll(A, 1, axis=1))
         for k in (1, 2, 4, 8, 16, 32, 64):
             S0 = jnp.where(lane >= k,
                            jnp.maximum(S0, pltpu.roll(S0, k, axis=1)), S0)
         F = S0 - aoffv - prm.q
-        Hn = jnp.minimum(jnp.maximum(hnof, F), cv)
+        if prm.two:
+            # ---- second (long-gap) chain opens from min(max(hnof,F),cv)
+            # — includes F: the two-piece crossover (F-from-F2 and both
+            # self-opens are dominated when q,q2 >= 0 and e >= e2, so
+            # the chains decouple; see spec/strips_extd.py)
+            Hc1 = jnp.minimum(jnp.maximum(hnof, F), cv)
+            A2 = Hc1 + aoff2[...]
+            fb20 = col_h(t) - gapoe2
+            bf2v = jnp.where(strip0, fb20, bf2[...])
+            S2 = jnp.where(lane0, bf2v, pltpu.roll(A2, 1, axis=1))
+            for k in (1, 2, 4, 8, 16, 32, 64):
+                S2 = jnp.where(lane >= k,
+                               jnp.maximum(S2, pltpu.roll(S2, k, axis=1)),
+                               S2)
+            F2 = S2 - aoff2[...] - prm.q2
+            Hn = jnp.minimum(jnp.maximum(Hc1, F2), cv)
+            E2n = jnp.maximum(E2prev - prm.e2, Hn - gapoe2)
+            E2[...] = E2n
+        else:
+            Hn = jnp.minimum(jnp.maximum(hnof, F), cv)
         En = jnp.maximum(Eprev - prm.e, Hn - gapoe)
         H[...] = Hn
         E[...] = En
@@ -165,6 +213,9 @@ def _kernel_body(prm: StripParams, refs):
         # ---- outgoing boundary streams for the next strip
         seed = jnp.maximum(F, hnofc - prm.q) - prm.e
         bf1[...] = pltpu.roll(pltpu.roll(seed, 1, axis=1), 1, axis=0)
+        if prm.two:
+            seed2 = jnp.maximum(F2, Hc1 - prm.q2) - prm.e2
+            bf2[...] = pltpu.roll(pltpu.roll(seed2, 1, axis=1), 1, axis=0)
         bh2[...] = bh1[...]
         bh1[...] = pltpu.roll(pltpu.roll(Hn, 1, axis=1), 1, axis=0)
 
@@ -222,6 +273,8 @@ def build_strips_call(prm: StripParams, interpret: bool = False):
     G = prm.t_pad // CH + 4            # +4 chunks drain the carry window
     NF = G // 4
     const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_const = 14 if prm.two else 12    # + E2init, aoff2
+    n_scratch = 11 if prm.two else 9   # + E2, bf2
 
     def wrap(*refs):
         _kernel_body(prm, refs)
@@ -229,7 +282,7 @@ def build_strips_call(prm: StripParams, interpret: bool = False):
     return pl.pallas_call(
         wrap,
         grid=(G,),
-        in_specs=[const] * 12 + [
+        in_specs=[const] * n_const + [
             pl.BlockSpec((prm.m, R, 128), lambda c: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, R, 1), lambda c: (c, 0, 0, 0),
@@ -247,7 +300,7 @@ def build_strips_call(prm: StripParams, interpret: bool = False):
                          memory_space=pltpu.VMEM),
             const,
         ],
-        scratch_shapes=[pltpu.VMEM((R, 128), I32)] * 9,
+        scratch_shapes=[pltpu.VMEM((R, 128), I32)] * n_scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -291,7 +344,7 @@ def _postprocess(prm: StripParams, D, Dq, hl, qlen, tlen):
     ndc = qlc + tlc - 1
     valid = (r < ndc) & (qlc > 0) & (tlc > 0)
 
-    M = Dg >> KBITS
+    M = (Dg >> KBITS) + prm.off0       # extd pre-swap H-seed offset
     kstar = (KB - 1) - (Dg & (KB - 1))
     en0 = jnp.minimum(tlc - 1, r)
     j1 = (kstar - 1) % prm.tv
@@ -327,11 +380,12 @@ def _postprocess(prm: StripParams, D, Dq, hl, qlen, tlen):
     mqp = jnp.concatenate([jnp.full((B, 1), -1, I32), mq[:, :-1]], axis=1)
 
     BIG = 2 ** 30
+    ze = prm.e2 if prm.two else prm.e  # extd Z-drop slope: e2 (:364)
     if prm.zdrop >= 0:
         l = jnp.abs((maxt - mtp) - ((r - maxt) - mqp))
         trig = (valid & jnp.logical_not(M > mxp) & (maxt >= mtp)
                 & ((r - maxt) >= mqp)
-                & ((mxp - M) > prm.zdrop + l * prm.e))
+                & ((mxp - M) > prm.zdrop + l * ze))
         rdrop = jnp.min(jnp.where(trig, r, BIG), axis=1)
         dropped = rdrop < BIG
     else:
@@ -354,7 +408,9 @@ def _postprocess(prm: StripParams, D, Dq, hl, qlen, tlen):
     kmask = (r <= rcc) & valid
 
     # mqe: raw query-end H per diagonal; earliest diagonal wins ties
+    # (off0 only on live records: SENT + off0 would wrap int32)
     hasdq = Dqg > SENT // 2
+    Dqg = jnp.where(hasdq, Dqg + prm.off0, Dqg)
     qpk = jnp.where(kmask & hasdq,
                     jnp.maximum(Dqg, -(1 << 17)) * 8192 + (8191 - r), SENT)
     qb = jnp.max(qpk, axis=1)
@@ -365,6 +421,7 @@ def _postprocess(prm: StripParams, D, Dq, hl, qlen, tlen):
     # mte from the last-target-row capture; mte_q keeps the 16-rounded
     # `r - en` quirk (ksw2_extz2_sse.c:264)
     hlg = hl.reshape(B, S * 128)
+    hlg = jnp.where(hlg > SENT // 2, hlg + prm.off0, hlg)
     jl = jnp.arange(S * 128, dtype=I32)[None, :]
     tmask = (jl <= rcc - (tlc - 1)) & (jl < qlc) & (tlc > 0) & \
         (hlg > SENT // 2)
@@ -412,10 +469,23 @@ def _cached_strips_run(prm: StripParams, interpret: bool):
         qrow = ((qlpv - 1) // 128 == spv).astype(I32)
         qlane = (qlpv - 1) & 127
         gapoe = prm.q + prm.e
-        Hinit = -(gapoe + prm.e * jgl)
+
+        def row_h(j):
+            """Virtual-row H(-1, j): stepped like the column boundary."""
+            early = -(gapoe + prm.e * j)
+            if not prm.two:
+                return early
+            late = -(gapoe + prm.e * (prm.lt - 1)) + prm.ld \
+                - prm.e2 * (j - prm.lt)
+            return jnp.where(j < prm.lt, early, late)
+
+        Hinit = row_h(jgl)
         Einit = Hinit - gapoe
-        bHi = -(gapoe + prm.e * (spv * 128 - 1))
+        bHi = row_h(spv * 128 - 1)
         aoff = lane * prm.e - prm.q
+        if prm.two:
+            E2init = Hinit - (prm.q2 + prm.e2)
+            aoff2 = lane * prm.e2 - prm.q2
 
         # profiles: score of (target symbol y, this plane cell's query)
         Qp = jnp.zeros((B, S * 128), jnp.int8).at[
@@ -458,8 +528,13 @@ def _cached_strips_run(prm: StripParams, interpret: bool):
             for b in range(3)], axis=0)              # (3, B, S, G)
         words = jnp.transpose(words, (3, 0, 1, 2)).reshape(G, 3, R, 1)
 
-        D, Dq, hl = call(spv, s127, qlpv, tlpv, vm, qrow, qlane, bHi,
-                         Hinit, Einit, aoff, lane, prof, words)
+        if prm.two:
+            D, Dq, hl = call(spv, s127, qlpv, tlpv, vm, qrow, qlane, bHi,
+                             Hinit, Einit, E2init, aoff, aoff2, lane,
+                             prof, words)
+        else:
+            D, Dq, hl = call(spv, s127, qlpv, tlpv, vm, qrow, qlane, bHi,
+                             Hinit, Einit, aoff, lane, prof, words)
         return _postprocess(prm, D, Dq, hl, qlen, tlen)
 
     return jax.jit(run)
@@ -605,15 +680,17 @@ def _launch_bmax(S: int, tlenp: int) -> int:
     return bm
 
 
-def strips_records(query, target, qlen, tlen, m, mat, q, e,
-                   zdrop=-1, flag=Flag.SCORE_ONLY,
-                   interpret: bool = False) -> list:
-    """Strip-tiled batched one-piece extension, score-only, async records.
+def _strips_plan(B, Lq, qlen, tlen):
+    """(S0, tlenp, BMAX) launch planning shared by both gap models."""
+    S0 = _canon_s(max(1, (int(qlen.max()) + 127) // 128))
+    tmax = int(tlen.max()) if B else 1
+    tlenp = _canon_tlenp(tmax)
+    return S0, tlenp, _launch_bmax(S0, tlenp)
 
-    Same contract as :func:`ops.batch_pallas.extz_batch_records` (a list
-    of device (B_i, NFIELDS) int32 records in FIELD_ORDER); callers must
-    have checked :func:`strips_eligible`.
-    """
+
+def _records_impl(query, target, qlen, tlen, m, mat, q, e, zdrop, flag,
+                  interpret, two=False, q2=0, e2=0, lt=0, ld=0,
+                  off0=0) -> list:
     flag = Flag(int(flag))
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
@@ -621,18 +698,17 @@ def strips_records(query, target, qlen, tlen, m, mat, q, e,
     qlen = np.asarray(qlen, np.int32)
     tlen = np.asarray(tlen, np.int32)
     mat = np.asarray(mat, dtype=np.int8).reshape(-1)
-    S0 = _canon_s(max(1, (int(qlen.max()) + 127) // 128))
-    tmax = int(tlen.max()) if B else 1
-    tlenp = _canon_tlenp(tmax)
-    BMAX = _launch_bmax(S0, tlenp)
+    S0, tlenp, BMAX = _strips_plan(B, Lq, qlen, tlen)
     if B > BMAX:
         pieces = []
         for i in range(0, B, BMAX):
-            pieces.extend(strips_records(
+            pieces.extend(_records_impl(
                 query[i:i + BMAX], target[i:i + BMAX], qlen[i:i + BMAX],
-                tlen[i:i + BMAX], m, mat, q, e, zdrop, flag, interpret))
+                tlen[i:i + BMAX], m, mat, q, e, zdrop, flag, interpret,
+                two, q2, e2, lt, ld, off0))
         return pieces
-    sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+    eN = e2 if two else e
+    sc_N = -eN if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
     S, Bp = _plan_rows(B, S0, tlenp)
     R = Bp * S
     t_real = tlenp + S - 1
@@ -642,7 +718,9 @@ def strips_records(query, target, qlen, tlen, m, mat, q, e,
         n_rows=R, s=S, tv=tlenp, t_pad=t_pad, t_real=t_real, m=m,
         q=int(q), e=int(e), mat0=int(mat[0]), sc_mis=int(mat[1]),
         sc_N=sc_N, zdrop=int(zdrop), flag=int(flag),
-        matt=tuple(int(v) for v in mat) if generic else ())
+        matt=tuple(int(v) for v in mat) if generic else (),
+        two=int(two), q2=int(q2), e2=int(e2), lt=int(lt), ld=int(ld),
+        off0=int(off0))
     run = _cached_strips_run(prm, interpret)
     from .packio import pack_bases
     qpad = np.zeros((Bp, S * 128), np.int8)
@@ -656,5 +734,54 @@ def strips_records(query, target, qlen, tlen, m, mat, q, e,
                 jnp.asarray(lens[0]), jnp.asarray(lens[1]))[:B]]
 
 
+def strips_records(query, target, qlen, tlen, m, mat, q, e,
+                   zdrop=-1, flag=Flag.SCORE_ONLY,
+                   interpret: bool = False) -> list:
+    """Strip-tiled batched one-piece extension, score-only, async records.
+
+    Same contract as :func:`ops.batch_pallas.extz_batch_records` (a list
+    of device (B_i, NFIELDS) int32 records in FIELD_ORDER); callers must
+    have checked :func:`strips_eligible`.
+    """
+    return _records_impl(query, target, qlen, tlen, m, mat, q, e, zdrop,
+                         flag, interpret)
+
+
+def strips_extd_eligible(qlen, tlen, w, flag, m, mat, zdrop,
+                         q, e, q2, e2) -> bool:
+    """Two-piece (extd) strips eligibility: the one-piece conditions plus
+    e >= e2 post-swap (the F/F2 chain-decoupling lemma; all production
+    two-piece costs satisfy it — see spec/strips_extd.py)."""
+    q, e, q2, e2 = int(q), int(e), int(q2), int(e2)
+    if q2 + e2 < q + e:
+        q, q2, e, e2 = q2, q, e2, e
+    if e < e2 or min(q, q2) < 0 or min(e, e2) < 1:
+        return False
+    return strips_eligible(qlen, tlen, w, flag, m, mat, zdrop, q, e)
+
+
+def strips_extd_records(query, target, qlen, tlen, m, mat, q, e, q2, e2,
+                        zdrop=-1, flag=Flag.SCORE_ONLY,
+                        interpret: bool = False) -> list:
+    """Strip-tiled batched TWO-PIECE (extd) extension, score-only.
+
+    Same record contract as :func:`strips_records`; callers must have
+    checked :func:`strips_extd_eligible`.  Applies the reference's
+    canonicalization swap and pre-swap H-seed quirk
+    (ksw2_extd2_sse.c:78,358); Z-drop replays with the e2 slope.
+    """
+    from ..spec.strips_extd import long_params
+    q, e, q2, e2 = int(q), int(e), int(q2), int(e2)
+    qe_pre = q + e
+    if q2 + e2 < q + e:
+        q, q2 = q2, q
+        e, e2 = e2, e
+    lt, ld = long_params(q, e, q2, e2)
+    return _records_impl(query, target, qlen, tlen, m, mat, q, e, zdrop,
+                         flag, interpret, two=True, q2=q2, e2=e2, lt=lt,
+                         ld=ld, off0=(q + e) - qe_pre)
+
+
 __all__ = ["StripParams", "build_strips_call", "strips_eligible",
-           "strips_records", "CH", "RMAX"]
+           "strips_records", "strips_extd_eligible", "strips_extd_records",
+           "CH", "RMAX", "QMAX", "TMAX"]
