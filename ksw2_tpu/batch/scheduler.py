@@ -97,15 +97,24 @@ class PendingScores:
     kalloc.c:41-62).
     """
 
-    def __init__(self, results, pending, guard):
+    def __init__(self, results, pending, guard, fused=None):
         self._results = results
         self._pending = pending
         self._guard = guard
+        self._fused = fused            # stacked device records, one fetch
         self._done = False
 
     def result(self) -> List[ExtzResult]:
         if not self._done:
-            _unpack_pending(self._pending, self._results, guard=self._guard)
+            pending = self._pending
+            if self._fused is not None:
+                h = np.asarray(self._fused)     # the single fused fetch
+                pending = [
+                    (idxs, [h[p[1]:p[1] + p[2]]
+                            if isinstance(p, tuple) and p[0] == "fused"
+                            else p for p in ps])
+                    for idxs, ps in pending]
+            _unpack_pending(pending, self._results, guard=self._guard)
             self._done = True
         return self._results
 
@@ -177,34 +186,45 @@ def align_batch_scores_async(
     def dispatch(item):
         (Lq, Lt), idxs = item
         B = len(idxs)
+        qlen = np.array([len(jobs[i].query) for i in idxs], np.int32)
+        tlen = np.array([len(jobs[i].target) for i in idxs], np.int32)
+        wv = np.array([jobs[i].w if jobs[i].w >= 0
+                       else max(len(jobs[i].query), len(jobs[i].target))
+                       for i in idxs], np.int32)
+        # effectively-unbanded score-only buckets of any length ride the
+        # strip-tiled engine; strips buckets are PREPARED here (host-side
+        # pad+pack only) and later run as ONE fused jitted execution with
+        # one stacked fetch — on this environment's tunnel every separate
+        # execution costs a ~29 ms non-pipelining round trip, so fusing
+        # the whole bucketed workload into one program is the difference
+        # between launch-count x 29 ms and compute-bound walls.  The tiny
+        # row-major engine keeps priority for its envelope.  Sequences
+        # pass as the raw job list so the engine packs each job ONCE into
+        # its padded int8 layout (no intermediate (B, Lq) int32 stage).
+        from ..ops.wavefront_rows import rows_eligible
+        from ..ops.wavefront_strips import strips_eligible, strips_prep
+        use_strips = (
+            run_fn is None and engine in ("auto", "pallas")
+            and not rows_eligible(qlen, tlen, wv, flag, zdrop, m, mat)
+            and strips_eligible(qlen, tlen, wv, flag, m, mat, zdrop, q, e)
+        )
+        if use_strips:
+            return idxs, ("strips", strips_prep(
+                [jobs[i].query for i in idxs],
+                [jobs[i].target for i in idxs], qlen, tlen, m, mat,
+                q, e, zdrop, flag))
         Q = np.zeros((B, Lq), np.int32)
         T = np.zeros((B, Lt), np.int32)
-        qlen = np.zeros(B, np.int32)
-        tlen = np.zeros(B, np.int32)
-        wv = np.zeros(B, np.int32)
         for k, i in enumerate(idxs):
             job = jobs[i]
             Q[k, : len(job.query)] = job.query
             T[k, : len(job.target)] = job.target
-            qlen[k] = len(job.query)
-            tlen[k] = len(job.target)
-            wv[k] = job.w if job.w >= 0 else max(len(job.query), len(job.target))
-        # effectively-unbanded score-only buckets of any length ride the
-        # strip-tiled engine (via extz_batch_records' internal dispatch);
-        # it beats both the band-relative and the P-row wavefront engines
-        # on those shapes (no triangle waste, no per-diagonal butterfly)
-        from ..ops.wavefront_strips import strips_eligible
-        use_strips = (
-            run_fn is None and engine in ("auto", "pallas")
-            and strips_eligible(qlen, tlen, wv, flag, m, mat, zdrop, q, e)
-        )
         use_band = (
             run_fn is None and engine in ("auto", "band") and Lt > 512
-            and not use_strips
             and wv.min() >= 1 and wv.max() <= 1472
             and int(mat[0]) * int(min(qlen.max(), tlen.max())) < (1 << 17)
         )
-        use_pallas = use_strips or (
+        use_pallas = (
             run_fn is None and engine in ("auto", "pallas") and Lt <= 3072
             and not use_band and _pallas_zdrop_ok(Lt, mat, qlen, tlen,
                                                   zdrop, flag)
@@ -227,13 +247,43 @@ def align_batch_scores_async(
         return idxs, pieces
 
     pending = _dispatch_all(dispatch, _heaviest_first(buckets, jobs))
+    pending, fused = _fuse_strips(pending)
 
     # Phase 2 — per-piece async device->host copies start now; the
     # host-side unpack is deferred to PendingScores.result() (the copies
     # overlap later buckets' compute AND any work submitted after this
     # batch; no device sync beyond the last launch's own transfer)
     _start_host_copies(pending)
-    return PendingScores(results, pending, guard=-min_sc > 2 * (q + e))
+    return PendingScores(results, pending, guard=-min_sc > 2 * (q + e),
+                         fused=fused)
+
+
+def _fuse_strips(pending):
+    """Replace ('strips', launches) markers with ('fused', off, n) row
+    spans of ONE jitted execution over every strips launch in the batch
+    (one program, one stacked record array, one fetch)."""
+    from ..ops.wavefront_strips import strips_fused_call
+
+    launches_all = []
+    for _, ps in pending:
+        if isinstance(ps, tuple) and ps and ps[0] == "strips":
+            launches_all.extend(ps[1])
+    if not launches_all:
+        return pending, None
+    arr = strips_fused_call(launches_all)
+    cp = getattr(arr, "copy_to_host_async", None)
+    if cp is not None:
+        cp()
+    new_pending = []
+    off = 0
+    for idxs, ps in pending:
+        if isinstance(ps, tuple) and ps and ps[0] == "strips":
+            n = sum(B for _, _, B in ps[1])
+            new_pending.append((idxs, [("fused", off, n)]))
+            off += n
+        else:
+            new_pending.append((idxs, ps))
+    return new_pending, arr
 
 
 def _pallas_zdrop_ok(Lt, mat, qlen, tlen, zdrop, flag) -> bool:
@@ -369,19 +419,26 @@ def align_batch_scores2(
     def dispatch(item):
         (Lq, Lt), idxs = item
         B = len(idxs)
+        qlen = np.array([len(jobs[i].query) for i in idxs], np.int32)
+        tlen = np.array([len(jobs[i].target) for i in idxs], np.int32)
+        wv = np.array([jobs[i].w if jobs[i].w >= 0
+                       else max(len(jobs[i].query), len(jobs[i].target))
+                       for i in idxs], np.int32)
+        # fused strips path first (see align_batch_scores_async)
+        from ..ops.wavefront_strips import (strips_extd_eligible,
+                                            strips_prep)
+        if strips_extd_eligible(qlen, tlen, wv, flag, m, mat, zdrop,
+                                q, e, q2, e2):
+            return idxs, ("strips", strips_prep(
+                [jobs[i].query for i in idxs],
+                [jobs[i].target for i in idxs], qlen, tlen, m, mat,
+                q, e, zdrop, flag, two=True, q2=q2, e2=e2))
         Q = np.zeros((B, Lq), np.int32)
         T = np.zeros((B, Lt), np.int32)
-        qlen = np.zeros(B, np.int32)
-        tlen = np.zeros(B, np.int32)
-        wv = np.zeros(B, np.int32)
         for k, i in enumerate(idxs):
             job = jobs[i]
             Q[k, : len(job.query)] = job.query
             T[k, : len(job.target)] = job.target
-            qlen[k] = len(job.query)
-            tlen[k] = len(job.target)
-            wv[k] = job.w if job.w >= 0 else max(len(job.query),
-                                                 len(job.target))
         use_band = (
             Lt > 512 and wv.min() >= 1 and wv.max() <= 1472
             and int(mat[0]) * int(min(qlen.max(), tlen.max())) < (1 << 17)
@@ -410,10 +467,11 @@ def align_batch_scores2(
         return idxs, []
 
     pending = _dispatch_all(dispatch, _heaviest_first(buckets, jobs))
+    pending, fused = _fuse_strips(pending)
     _start_host_copies(pending)
     qc, ec = (q, e) if q + e <= q2 + e2 else (q2, e2)
-    _unpack_pending(pending, results, guard=-min_sc > 2 * (qc + ec))
-    return results  # type: ignore[return-value]
+    return PendingScores(results, pending, guard=-min_sc > 2 * (qc + ec),
+                         fused=fused).result()
 
 
 

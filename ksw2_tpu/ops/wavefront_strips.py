@@ -442,8 +442,11 @@ def _postprocess(prm: StripParams, D, Dq, hl, qlen, tlen):
                       dropped.astype(I32)], axis=1)
 
 
-@functools.lru_cache(maxsize=64)
-def _cached_strips_run(prm: StripParams, interpret: bool):
+@functools.lru_cache(maxsize=128)
+def _strips_run_fn(prm: StripParams, interpret: bool):
+    """Unjitted launch function for one StripParams variant (composable:
+    several of these fused inside ONE jit share a single execution —
+    the per-execution tunnel round trip is paid once)."""
     call = build_strips_call(prm, interpret=interpret)
     R, S = prm.n_rows, prm.s
     B = R // S
@@ -537,7 +540,117 @@ def _cached_strips_run(prm: StripParams, interpret: bool):
                              Hinit, Einit, aoff, lane, prof, words)
         return _postprocess(prm, D, Dq, hl, qlen, tlen)
 
-    return jax.jit(run)
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_strips_run(prm: StripParams, interpret: bool):
+    return jax.jit(_strips_run_fn(prm, interpret))
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_fused_run(items: tuple, interpret: bool):
+    """One jitted program running several strips launches and returning
+    their records stacked into a single (sum B_i, NFIELDS) array: one
+    execution + one fetch for a whole bucketed workload.
+
+    ``items`` is a tuple of (prm, B) pairs in launch order; each
+    launch's pad rows are dropped before the stack.
+    """
+    fns = [(_strips_run_fn(prm, interpret), B) for prm, B in items]
+
+    def fused(flat):
+        outs = []
+        for k, (fn, B) in enumerate(fns):
+            qpk, tpk, ql, tl = flat[4 * k:4 * k + 4]
+            outs.append(fn(qpk, tpk, ql, tl)[:B])
+        return jnp.concatenate(outs, axis=0)
+
+    return jax.jit(fused)
+
+
+def strips_prep(query, target, qlen, tlen, m, mat, q, e, zdrop, flag,
+                two=False, q2=0, e2=0):
+    """Host-side prep for fused dispatch: plan + pad + 4-bit pack every
+    launch of this bucket WITHOUT touching the device.  Returns a list
+    of (prm, (qpk, tpk, ql, tl) numpy arrays, B).  Callers must have
+    checked eligibility.
+
+    ``query``/``target`` are either (B, L) arrays or LISTS of per-job
+    1-D arrays; the list form packs each job once, directly into the
+    padded int8 launch layout.
+    """
+    from ..spec.strips_extd import long_params
+    from .packio import pack_bases
+
+    flag = Flag(int(flag))
+    q, e = int(q), int(e)
+    lt = ld = off0 = 0
+    if two:
+        q2, e2 = int(q2), int(e2)
+        qe_pre = q + e
+        if q2 + e2 < q + e:
+            q, q2 = q2, q
+            e, e2 = e2, e
+        lt, ld = long_params(q, e, q2, e2)
+        off0 = (q + e) - qe_pre
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    is_list = isinstance(query, (list, tuple))
+    B = len(query) if is_list else query.shape[0]
+    Lq = int(qlen.max()) if is_list else query.shape[1]
+    S0, tlenp, BMAX = _strips_plan(B, Lq, qlen, tlen)
+    launches = []
+    for i0 in range(0, B, BMAX):
+        ql = qlen[i0:i0 + BMAX]
+        tl = tlen[i0:i0 + BMAX]
+        Bs = len(ql)
+        S0s, tlenps, _ = _strips_plan(Bs, Lq, ql, tl)
+        eN = e2 if two else e
+        sc_N = -eN if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+        S, Bp = _plan_rows(Bs, S0s, tlenps)
+        t_real = tlenps + S - 1
+        t_pad = round_up(t_real + 1, 128)
+        generic = bool(flag & Flag.GENERIC_SC)
+        prm = StripParams(
+            n_rows=Bp * S, s=S, tv=tlenps, t_pad=t_pad, t_real=t_real,
+            m=m, q=q, e=e, mat0=int(mat[0]), sc_mis=int(mat[1]),
+            sc_N=sc_N, zdrop=int(zdrop), flag=int(flag),
+            matt=tuple(int(v) for v in mat) if generic else (),
+            two=int(two), q2=int(q2), e2=int(e2), lt=lt, ld=ld, off0=off0)
+        qpad = np.zeros((Bp, S * 128), np.int8)
+        tpad = np.zeros((Bp, tlenps), np.int8)
+        if is_list:
+            for k in range(Bs):
+                qv = query[i0 + k]
+                tv_ = target[i0 + k]
+                qpad[k, :min(len(qv), S * 128)] = qv[:S * 128]
+                tpad[k, :min(len(tv_), tlenps)] = tv_[:tlenps]
+        else:
+            qs = np.asarray(query[i0:i0 + BMAX], np.int8)
+            ts = np.asarray(target[i0:i0 + BMAX], np.int8)
+            qpad[:Bs, :min(Lq, S * 128)] = qs[:, :S * 128]
+            tpad[:Bs, :min(ts.shape[1], tlenps)] = ts[:, :tlenps]
+        lens = np.zeros((2, Bp), np.int32)
+        lens[0, :Bs], lens[1, :Bs] = ql, tl
+        launches.append((prm, (pack_bases(qpad), pack_bases(tpad),
+                               lens[0], lens[1]), Bs))
+    return launches
+
+
+def strips_fused_call(launches, interpret: bool = False):
+    """Run every prepared launch inside ONE jitted execution; returns a
+    single stacked (sum B_i, NFIELDS) device array (rows in launch
+    order)."""
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    key = tuple((prm, B) for prm, _, B in launches)
+    fn = _cached_fused_run(key, interpret)
+    flat = []
+    for _, arrs, _ in launches:
+        flat.extend(jnp.asarray(a) for a in arrs)
+    return fn(flat)
 
 
 def strips_eligible(qlen, tlen, w, flag, m, mat, zdrop,

@@ -196,18 +196,18 @@ def test_strips_route_engages():
         jobs.append(AlignJob(encode_dna(q), encode_dna(t)))
     mat = simple_mat(5, 2, 4)
     calls = []
-    orig = ws.strips_records
+    orig = ws.strips_prep
 
     def spy(*a, **k):
         calls.append(a[0].shape)
         return orig(*a, **k)
 
-    ws.strips_records = spy
+    ws.strips_prep = spy
     try:
         align_batch_scores(jobs, 5, mat, 4, 2, zdrop=100,
                            flag=Flag.SCORE_ONLY)
     finally:
-        ws.strips_records = orig
+        ws.strips_prep = orig
     assert calls, "eligible buckets no longer route to the strips engine"
 
 

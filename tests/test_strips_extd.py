@@ -131,18 +131,19 @@ def test_scheduler2_routes_to_strips():
         raw.append((encode_dna(qy), encode_dna(t)))
         jobs.append(AlignJob(raw[-1][0], raw[-1][1]))
     calls = []
-    orig = ws.strips_extd_records
+    orig = ws.strips_prep
 
     def spy(*a, **k):
-        calls.append(a[0].shape)
+        if k.get("two"):
+            calls.append(a[0].shape)
         return orig(*a, **k)
 
-    ws.strips_extd_records = spy
+    ws.strips_prep = spy
     try:
         res = align_batch_scores2(jobs, 5, MAT, 4, 2, 13, 1, zdrop=100,
                                   flag=Flag.SCORE_ONLY)
     finally:
-        ws.strips_extd_records = orig
+        ws.strips_prep = orig
     assert calls, "eligible extd buckets must route to the strips engine"
     for (qs, ts), ez in zip(raw, res):
         want = _want(qs, ts, (4, 2, 13, 1), 100)
