@@ -199,7 +199,7 @@ def test_strips_route_engages():
     orig = ws.strips_prep
 
     def spy(*a, **k):
-        calls.append(a[0].shape)
+        calls.append(len(a[0]))
         return orig(*a, **k)
 
     ws.strips_prep = spy

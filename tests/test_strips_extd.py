@@ -135,7 +135,7 @@ def test_scheduler2_routes_to_strips():
 
     def spy(*a, **k):
         if k.get("two"):
-            calls.append(a[0].shape)
+            calls.append(len(a[0]))
         return orig(*a, **k)
 
     ws.strips_prep = spy
