@@ -241,8 +241,9 @@ def align_batch_scores_async(
             spec = BatchSpec(Lq=Lq, Lt=Lt, m=m, sc_mch=int(mat[0]),
                              sc_mis=int(mat[1]), sc_N=sc_N, q=int(q),
                              e=int(e), zdrop=int(zdrop), flag=int(flag))
-            out = run(spec, jnp.asarray(Q), jnp.asarray(T), jnp.asarray(qlen),
-                      jnp.asarray(tlen), jnp.asarray(wv))
+            # host arrays through run_fn: a sharded run_fn needs them on
+            # the host for its own prep (a device round trip otherwise)
+            out = run(spec, Q, T, qlen, tlen, wv)
             pieces = [_stack_records(out)]
         return idxs, pieces
 

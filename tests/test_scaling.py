@@ -48,10 +48,11 @@ def test_scaling_efficiency_runs():
     # on shared host cores n shards cannot be faster, but a large wall
     # REGRESSION at n > 1 means fixed per-call overhead.  The bug this
     # guards (per-call shard_map retrace+recompile, fixed by the cached
-    # wrappers in parallel.mesh) was a ~45x blowup (1.9 s/call); the
-    # bound is generous because 8 threads on loaded shared cores jitter
-    # 2-3x under a full parallel suite run
-    assert tn <= t1 * 3.0 + 0.1, (t1, tn)
+    # wrappers in parallel.mesh) was a ~45x blowup (1.9 s/call).  The
+    # retrace fix holds wall_ratio ~1.2-1.9 in dryruns; 2x + slack
+    # tolerates shared-core jitter under a full parallel suite run while
+    # still catching any retrace-class regression
+    assert tn <= t1 * 2.0 + 0.05, (t1, tn)
 
 
 def test_scaling_trend_1_2_4_8():
