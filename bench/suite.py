@@ -405,12 +405,12 @@ def main():
     wl = strips_prep(Qw, Tw, qlw, tlw, 5, mat, 4, 2, 100, Flag.SCORE_ONLY)
 
     def run_whale_strips():
-        arr = np.asarray(strips_fused_call(wl * 4))
+        arr = np.asarray(strips_fused_call(wl * 10))
         chk = int(arr[:, 0].sum())
-        assert chk == 4 * 32960, chk   # spec diagdiff checksum (seed 777)
+        assert chk == 10 * 32960, chk  # spec diagdiff checksum (seed 777)
 
     emit("strips_whale_17x3000_gcells_per_s",
-         (4 * wcells / 1e9) / best_of(run_whale_strips, n=3),
+         (10 * wcells / 1e9) / best_of(run_whale_strips, n=3),
          "Gcells/s", baseline=0.95)
 
     # cross-process warm-up: a FRESH python process scoring a small mixed

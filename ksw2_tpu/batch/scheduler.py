@@ -610,13 +610,13 @@ def align_batch(
                 from ..ops.batch_pallas import extd_batch_align_dispatch
                 slices = extd_batch_align_dispatch(
                     Q, T, qlen, tlen, m, mat, q, e, q2, e2, wv, zdrop=zdrop,
-                    end_bonus=end_bonus, flag=flag)
+                    end_bonus=end_bonus, flag=flag, defer=True)
                 cigar_pending.append((idxs, slices, True))
             else:
                 from ..ops.batch_pallas import extz_batch_align_dispatch
                 slices = extz_batch_align_dispatch(
                     Q, T, qlen, tlen, m, mat, q, e, wv, zdrop=zdrop,
-                    end_bonus=end_bonus, flag=flag)
+                    end_bonus=end_bonus, flag=flag, defer=True)
                 cigar_pending.append((idxs, slices, False))
         else:
             for i in idxs:
@@ -631,16 +631,39 @@ def align_batch(
                                          end_bonus=end_bonus, flag=flag)
                 results[i] = ez
 
-    # Phase 2 — one fetch for every batchable CIGAR bucket (forward
-    # kernels, device start-cell selection, device walkers, and RLE
-    # compaction were all dispatched without a single sync above)
+    # Phase 2 — ONE fused jitted execution for every deferred CIGAR
+    # slice of the whole workload (forward kernels, device start cells,
+    # device walkers, RLE compaction), then one truncated-slab fetch
+    fused = _fuse_cigar_slices(cigar_pending)
     _finish_cigar_pending(cigar_pending, results, m, mat, q, e, q2, e2,
-                          zdrop, end_bonus, flag)
+                          zdrop, end_bonus, flag, fused)
     return results  # type: ignore[return-value]
 
 
+def _fuse_cigar_slices(groups):
+    """Run every deferred CIGAR slice inside one jitted execution;
+    attaches each slice's span in the flat output."""
+    from ..ops.batch_pallas import cigar_fused_call
+
+    pendings = [s["pending"] for _, slices, _ in groups
+                for s in slices if "pending" in s]
+    if not pendings:
+        return None
+    flat, spans = cigar_fused_call(pendings)
+    cp = getattr(flat, "copy_to_host_async", None)
+    if cp is not None:
+        cp()
+    k = 0
+    for _, slices, _ in groups:
+        for s in slices:
+            if "pending" in s:
+                s["span"] = spans[k]
+                k += 1
+    return flat
+
+
 def _finish_cigar_pending(cigar_pending, results, m, mat, q, e, q2, e2,
-                          zdrop, end_bonus, flag):
+                          zdrop, end_bonus, flag, fused=None):
     """Fetch all pending CIGAR slices in one transfer and assemble.
 
     Each slice's packed slab is (B, NFIELDS+3+MAXR); widths differ per
@@ -662,6 +685,7 @@ def _finish_cigar_pending(cigar_pending, results, m, mat, q, e, q2, e2,
                 cp = getattr(s["packed"], "copy_to_host_async", None)
                 if cp is not None:
                     cp()
+    h = np.asarray(fused) if fused is not None else None   # the one fetch
     for idxs, slices, twop in cigar_pending:
         pos = 0                                # job offset inside bucket
         for s in slices:
@@ -674,9 +698,15 @@ def _finish_cigar_pending(cigar_pending, results, m, mat, q, e, q2, e2,
                     ez.reset()
                     results[i] = ez
                 continue
-            slab = np.asarray(s["packed"])[:B]
+            if "span" in s:
+                off, Bs_, W, maxr_eff = s["span"]
+                slab = h[off:off + Bs_ * W].reshape(Bs_, W)[:B]
+                maxr = maxr_eff
+            else:
+                slab = np.asarray(s["packed"])[:B]
+                maxr = s["MAXR"]
             Qs, Ts, qls, tls, ws = s["args"]
-            out = _cigar_batch_finish(slab, s["MAXR"], B, Qs, Ts, qls, tls,
+            out = _cigar_batch_finish(slab, maxr, B, Qs, Ts, qls, tls,
                                       flag, end_bonus)
             if out is None:          # RLE overflow: sync re-run, full fetch
                 if twop:
@@ -766,7 +796,8 @@ def align_batch_splice(
             if with_cigar:
                 slices = exts_batch_align_dispatch(
                     Q, T, qlen, tlen, m, mat, q, e, q2, noncan,
-                    zdrop=zdrop, junc_bonus=junc_bonus, flag=flag, junc=jb)
+                    zdrop=zdrop, junc_bonus=junc_bonus, flag=flag, junc=jb,
+                    defer=True)
             else:
                 slices = exts_batch_records(
                     Q, T, qlen, tlen, m, mat, q, e, q2, noncan,
@@ -780,13 +811,35 @@ def align_batch_splice(
                     zdrop=zdrop, junc_bonus=junc_bonus, flag=flag,
                     junc=None if juncs is None else juncs[i])
                 results[i] = ez
+    fused = _fuse_splice_slices(splice_pending)
     _finish_splice_pending(splice_pending, results, m, mat, q, e, q2,
-                           noncan, zdrop, junc_bonus, flag)
+                           noncan, zdrop, junc_bonus, flag, fused)
     return results  # type: ignore[return-value]
 
 
+def _fuse_splice_slices(groups):
+    """One jitted execution for every deferred splice CIGAR slice."""
+    from ..ops.batch_pallas import cigar_fused_call
+
+    pendings = [s["pending"] for _, slices in groups
+                for s in slices if "pending" in s]
+    if not pendings:
+        return None
+    flat, spans = cigar_fused_call(pendings)
+    cp = getattr(flat, "copy_to_host_async", None)
+    if cp is not None:
+        cp()
+    k = 0
+    for _, slices in groups:
+        for s in slices:
+            if "pending" in s:
+                s["span"] = spans[k]
+                k += 1
+    return flat
+
+
 def _finish_splice_pending(splice_pending, results, m, mat, q, e, q2,
-                           noncan, zdrop, junc_bonus, flag):
+                           noncan, zdrop, junc_bonus, flag, fused=None):
     """Fetch all pending splice CIGAR slices in one transfer and assemble.
 
     Mirrors :func:`_finish_cigar_pending`; an RLE-overflow slice re-runs
@@ -806,6 +859,7 @@ def _finish_splice_pending(splice_pending, results, m, mat, q, e, q2,
                 cp = getattr(arr, "copy_to_host_async", None)
                 if cp is not None:
                     cp()
+    h = np.asarray(fused) if fused is not None else None   # the one fetch
     for idxs, slices in splice_pending:
         pos = 0                                # job offset inside bucket
         for s in slices:
@@ -818,7 +872,12 @@ def _finish_splice_pending(splice_pending, results, m, mat, q, e, q2,
                     ez.reset()
                     results[i] = ez
                 continue
-            slab = np.asarray(s["_slab"])[:B]
+            if "span" in s:
+                off, Bs_, W, maxr_eff = s["span"]
+                slab = h[off:off + Bs_ * W].reshape(Bs_, W)[:B]
+                s["MAXR"] = maxr_eff
+            else:
+                slab = np.asarray(s["_slab"])[:B]
             if "res" in s:                     # score-only records
                 for k, i in enumerate(sub):
                     ez = ExtzResult()

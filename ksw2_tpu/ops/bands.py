@@ -85,3 +85,16 @@ __all__ = [
     "round_up",
     "pad_rows",
 ]
+
+
+def stable_kernel_name(tag: str, prm) -> str:
+    """Deterministic pallas kernel name for a params variant.
+
+    The default (function __name__ + a process-global uniquifying
+    counter) leaks kernel-BUILD order into the serialized program, so
+    identical workloads hash to different persistent-cache keys
+    depending on what compiled earlier in the process.  A name derived
+    from the params tuple is stable across processes and build orders.
+    """
+    import hashlib
+    return tag + "_" + hashlib.md5(repr(prm).encode()).hexdigest()[:10]

@@ -136,6 +136,11 @@ def build_local_call(prm: LocalParams, interpret: bool = False):
     def wrap(*refs):
         kernel(refs)
 
+    from .bands import stable_kernel_name as _skn
+    try:
+        wrap.__name__ = _skn('batch_local', prm)
+    except NameError:
+        pass
     return pl.pallas_call(
         wrap,
         grid=(n_steps,),

@@ -300,21 +300,135 @@ def _cached_cigar_pipeline(prm: wb.BatchParams, B: int, flag_int: int,
 
 
 def _cigar_batch_dispatch(prm, qpad, tpad, lens, B, flag, end_bonus,
-                          interpret):
+                          interpret, defer=False):
     """Forward kernel -> device start cells -> device walker, NO fetch.
 
     Returns ``(packed_device_records, MAXR)``; the records carry
     [res | walk-end i,j | run count | RLE runs] per pair.  Used by the
     scheduler to overlap every bucket's CIGAR pipeline and fetch once.
+
+    ``defer=True`` executes nothing: it returns a pending descriptor the
+    scheduler hands to :func:`cigar_fused_call`, which runs EVERY slice
+    of a workload inside one jitted execution (one tunnel round trip)
+    with one truncated-slab fetch.
     """
     rmax = max(int((lens[0] + lens[1]).max()) - 2, 0)
     rmax_round = -(-(rmax + 1) // 1024) * 1024   # bound compiled variants
+    if defer:
+        _, MAXR = _cached_cigar_pipeline(prm, B, int(flag),
+                                         int(end_bonus), rmax_round,
+                                         interpret)
+        key = ("z", prm, B, int(flag), int(end_bonus), rmax_round,
+               qpad.shape[1], tpad.shape[1])
+        return {"pipe_key": key, "arrs": (qpad, tpad, lens)}, MAXR
     pipe, MAXR = _cached_cigar_pipeline(prm, B, int(flag), int(end_bonus),
                                         rmax_round, interpret)
     packed = pipe(jnp.asarray(qpad), jnp.asarray(tpad),
                   jnp.asarray(lens[0]), jnp.asarray(lens[1]),
                   jnp.asarray(lens[2]))
     return packed, MAXR
+
+
+RUNS_FETCH_CAP = 512     # fused-path slab fetch keeps at most this many
+                         # RLE runs per pair (~30 MB/s tunnel: bytes are
+                         # a first-order cost); cnt > cap falls back to
+                         # the synchronous full-fetch path
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_fused_cigar(keys: tuple, interpret: bool):
+    """ONE jitted program running every CIGAR slice of a workload.
+
+    ``keys`` are the descriptors from the deferring dispatchers.  Inputs
+    arrive as one flat uint8 buffer (sequences 4-bit packed); the output
+    is one flat int32 array of per-slice (B, NFIELDS+3+cap) slabs."""
+    from .packio import unpack_bases
+
+    def fused(buf):
+        outs = []
+        off = 0
+
+        def take(n):
+            nonlocal off
+            part = jax.lax.dynamic_slice(buf, (off,), (n,))
+            off += n
+            return part
+
+        for key in keys:
+            kind, prm = key[0], key[1]
+            Bp = prm.n_rows // prm.p
+            Lq, Lt = key[-2], key[-1]
+            nqb = Bp * ((Lq + 1) // 2)
+            ntb = Bp * ((Lt + 1) // 2)
+            qpad = unpack_bases(take(nqb).reshape(Bp, -1), Lq)
+            tpad = unpack_bases(take(ntb).reshape(Bp, -1), Lt)
+            if kind == "s":
+                _, prm_, B, rmax_round, _, _ = key
+                R = prm.n_rows
+                # donor/acceptor planes are biased to 0..255: ride as u8
+                donb = take(R * 128).reshape(R, 128).astype(jnp.int32)
+                accb = take(R * 128).reshape(R, 128).astype(jnp.int32)
+                l0 = jax.lax.bitcast_convert_type(
+                    take(4 * Bp).reshape(Bp, 4), jnp.int32).reshape(Bp)
+                l1 = jax.lax.bitcast_convert_type(
+                    take(4 * Bp).reshape(Bp, 4), jnp.int32).reshape(Bp)
+                pipe, MAXR = _cached_cigar_pipeline_exts(
+                    prm, B, rmax_round, interpret)
+                slab = pipe(qpad, tpad, donb, accb, l0, l1)
+            else:
+                _, prm_, B, flag_int, eb, rmax_round, _, _ = key
+                l0 = jax.lax.bitcast_convert_type(
+                    take(4 * Bp).reshape(Bp, 4), jnp.int32).reshape(Bp)
+                l1 = jax.lax.bitcast_convert_type(
+                    take(4 * Bp).reshape(Bp, 4), jnp.int32).reshape(Bp)
+                l2 = jax.lax.bitcast_convert_type(
+                    take(4 * Bp).reshape(Bp, 4), jnp.int32).reshape(Bp)
+                pipe, MAXR = _cached_cigar_pipeline(
+                    prm, B, flag_int, eb, rmax_round, interpret)
+                slab = pipe(qpad, tpad, l0, l1, l2)
+            W = NFIELDS_REC + 3 + min(MAXR, RUNS_FETCH_CAP)
+            outs.append(slab[:, :W].reshape(-1))
+        return jnp.concatenate(outs)
+
+    return jax.jit(fused)
+
+
+def cigar_fused_call(pendings, interpret: bool = False):
+    """Run every pending CIGAR slice inside ONE jitted execution.
+
+    ``pendings`` is a list of the descriptors produced by the deferring
+    dispatchers (in a fixed order).  Returns (device flat int32 array,
+    per-slice (offset, B, W, MAXR_eff) spans in the same order)."""
+    from .packio import pack_bases
+
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    keys = tuple(p["pipe_key"] for p in pendings)
+    fn = _cached_fused_cigar(keys, interpret)
+    parts = []
+    spans = []
+    off = 0
+    for p in pendings:
+        key = p["pipe_key"]
+        kind, prm = key[0], key[1]
+        B = key[2]
+        if kind == "s":
+            qpad, tpad, donb, accb, lens = p["arrs"]
+        else:
+            qpad, tpad, lens = p["arrs"]
+        parts.append(pack_bases(qpad).reshape(-1))
+        parts.append(pack_bases(tpad).reshape(-1))
+        if kind == "s":
+            parts.append(np.ascontiguousarray(donb, np.uint8).reshape(-1))
+            parts.append(np.ascontiguousarray(accb, np.uint8).reshape(-1))
+        for row in lens:
+            parts.append(np.ascontiguousarray(row, np.int32)
+                         .view(np.uint8))
+        MAXR = p["MAXR"]
+        W = NFIELDS_REC + 3 + min(MAXR, RUNS_FETCH_CAP)
+        spans.append((off, B, W, min(MAXR, RUNS_FETCH_CAP)))
+        off += B * W
+    return fn(jnp.asarray(np.concatenate(parts))), spans
 
 
 def _cigar_batch_finish(fetched, MAXR, B, query, target, qlen, tlen,
@@ -383,7 +497,7 @@ NFIELDS_REC = wb.NFIELDS   # record width of the packed CIGAR slabs
 
 def extz_batch_align_dispatch(
     query, target, qlen, tlen, m, mat, q, e, w=None, zdrop=-1,
-    end_bonus=0, flag=Flag.NONE, interpret=False,
+    end_bonus=0, flag=Flag.NONE, interpret=False, defer=False,
 ):
     """Async CIGAR batch (extz): dispatch all device work, fetch nothing.
 
@@ -415,7 +529,7 @@ def extz_batch_align_dispatch(
             slices.extend(extz_batch_align_dispatch(
                 query[i:i + RMAX], target[i:i + RMAX], qlen[i:i + RMAX],
                 tlen[i:i + RMAX], m, mat, q, e, w[i:i + RMAX], zdrop,
-                end_bonus, flag, interpret))
+                end_bonus, flag, interpret, defer))
         return slices
     mat = np.asarray(mat, dtype=np.int8).reshape(-1)
     sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
@@ -443,15 +557,18 @@ def extz_batch_align_dispatch(
     tpad[:B] = np.asarray(target, np.int8)
     lens = np.zeros((3, Bp), np.int32)
     lens[0, :B], lens[1, :B], lens[2, :B] = qlen, tlen, w
-    packed, MAXR = _cigar_batch_dispatch(
-        prm, qpad, tpad, lens, B, flag, end_bonus, interpret)
-    return [{"packed": packed, "MAXR": MAXR, "B": B,
-             "args": (query, target, qlen, tlen, w)}]
+    out, MAXR = _cigar_batch_dispatch(
+        prm, qpad, tpad, lens, B, flag, end_bonus, interpret, defer)
+    d = {"MAXR": MAXR, "B": B, "args": (query, target, qlen, tlen, w)}
+    d["pending" if defer else "packed"] = out
+    if defer:
+        d["pending"]["MAXR"] = MAXR
+    return [d]
 
 
 def extd_batch_align_dispatch(
     query, target, qlen, tlen, m, mat, q, e, q2, e2, w=None, zdrop=-1,
-    end_bonus=0, flag=Flag.NONE, interpret=False,
+    end_bonus=0, flag=Flag.NONE, interpret=False, defer=False,
 ):
     """Async CIGAR batch (extd, two-piece): see extz_batch_align_dispatch."""
     flag = Flag(int(flag))
@@ -475,7 +592,7 @@ def extd_batch_align_dispatch(
             slices.extend(extd_batch_align_dispatch(
                 query[i:i + RMAX], target[i:i + RMAX], qlen[i:i + RMAX],
                 tlen[i:i + RMAX], m, mat, q, e, q2, e2, w[i:i + RMAX],
-                zdrop, end_bonus, flag, interpret))
+                zdrop, end_bonus, flag, interpret, defer))
         return slices
     matf = np.asarray(mat, dtype=np.int8).reshape(-1)
     min_sc = int(matf[1:].min())
@@ -492,10 +609,13 @@ def extd_batch_align_dispatch(
     tpad[:B] = np.asarray(target, np.int8)
     lens = np.zeros((3, Bp), np.int32)
     lens[0, :B], lens[1, :B], lens[2, :B] = qlen, tlen, w
-    packed, MAXR = _cigar_batch_dispatch(
-        prm, qpad, tpad, lens, B, flag, end_bonus, interpret)
-    return [{"packed": packed, "MAXR": MAXR, "B": B,
-             "args": (query, target, qlen, tlen, w)}]
+    out, MAXR = _cigar_batch_dispatch(
+        prm, qpad, tpad, lens, B, flag, end_bonus, interpret, defer)
+    d = {"MAXR": MAXR, "B": B, "args": (query, target, qlen, tlen, w)}
+    d["pending" if defer else "packed"] = out
+    if defer:
+        d["pending"]["MAXR"] = MAXR
+    return [d]
 
 
 __all__ = ["extz_batch_device", "extz_batch_align",
@@ -1301,7 +1421,7 @@ def _cached_cigar_pipeline_exts(prm, B: int, rmax_round: int,
 
 def exts_batch_align_dispatch(
     query, target, qlen, tlen, m, mat, q, e, q2, noncan, zdrop=-1,
-    junc_bonus=0, flag=Flag.NONE, junc=None, interpret=False,
+    junc_bonus=0, flag=Flag.NONE, junc=None, interpret=False, defer=False,
 ):
     """Async splice CIGAR batch: dispatch all device work, fetch nothing.
 
@@ -1331,7 +1451,8 @@ def exts_batch_align_dispatch(
                 query[i:i + RMAX], target[i:i + RMAX], qlen[i:i + RMAX],
                 tlen[i:i + RMAX], m, mat, q, e, q2, noncan, zdrop,
                 junc_bonus, flag,
-                None if junc is None else junc[i:i + RMAX], interpret))
+                None if junc is None else junc[i:i + RMAX], interpret,
+                defer))
         return slices
 
     q, e, q2, noncan = int(q), int(e), int(q2), int(noncan)
@@ -1364,12 +1485,18 @@ def exts_batch_align_dispatch(
     tpad[:B] = np.asarray(target, np.int8)
     lens = np.zeros((2, Bp), np.int32)
     lens[0, :B], lens[1, :B] = qlen, tlen
+    d = {"MAXR": MAXR, "B": B, "min_intron": int(long_thres),
+         "args": (query, target, qlen, tlen, junc)}
+    if defer:
+        d["pending"] = {
+            "pipe_key": ("s", prm, B, rmax_round, Lq, Lt),
+            "arrs": (qpad, tpad, donb, accb, lens), "MAXR": MAXR}
+        return [d]
     packed = pipe(jnp.asarray(qpad), jnp.asarray(tpad), jnp.asarray(donb),
                   jnp.asarray(accb), jnp.asarray(lens[0]),
                   jnp.asarray(lens[1]))
-    return [{"packed": packed, "MAXR": MAXR, "B": B,
-             "min_intron": int(long_thres),
-             "args": (query, target, qlen, tlen, junc)}]
+    d["packed"] = packed
+    return [d]
 
 
 def exts_batch_records(

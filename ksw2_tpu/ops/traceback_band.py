@@ -158,6 +158,11 @@ def build_band_tb_call(prm: BandTbParams, interpret: bool = False):
     def wrap(*refs):
         kernel(refs)
 
+    from .bands import stable_kernel_name as _skn
+    try:
+        wrap.__name__ = _skn('traceback_band', prm)
+    except NameError:
+        pass
     return pl.pallas_call(
         wrap,
         grid=(n_steps,),

@@ -142,6 +142,11 @@ def build_traceback_call(prm: TbParams, interpret: bool = False):
     def wrap(*refs):
         kernel(refs)
 
+    from .bands import stable_kernel_name as _skn
+    try:
+        wrap.__name__ = _skn('traceback_device', prm)
+    except NameError:
+        pass
     return pl.pallas_call(
         wrap,
         grid=(prm.n_blocks,),

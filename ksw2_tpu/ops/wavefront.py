@@ -626,6 +626,11 @@ def build_extz_call(prm: ExtzParams, with_cigar: bool, interpret: bool = False):
     def wrap(*refs):
         kernel(refs)
 
+    from .bands import stable_kernel_name as _skn
+    try:
+        wrap.__name__ = _skn('wavefront', prm)
+    except NameError:
+        pass
     out_shape = [jax.ShapeDtypeStruct((NSTATE,), jnp.int32)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     import os as _os
@@ -1096,6 +1101,11 @@ def build_extz_phased(prm: ExtzParams, interpret: bool = False,
         def wrap(*refs, _k=kernel):
             _k(refs)
 
+        from .bands import stable_kernel_name as _skn
+        try:
+            wrap.__name__ = _skn('wavefront', prm)
+        except NameError:
+            pass
         out_shape = list(state_t)
         out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * NS
         scratch = [pltpu.SMEM((NSTATE,), jnp.int32)]

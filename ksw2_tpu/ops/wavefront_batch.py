@@ -511,6 +511,11 @@ def build_batch_call(prm: BatchParams, with_cigar: bool = False,
     def wrap(*refs):
         kernel(refs)
 
+    from .bands import stable_kernel_name as _skn
+    try:
+        wrap.__name__ = _skn('wavefront_batch', prm)
+    except NameError:
+        pass
     out_shape = [jax.ShapeDtypeStruct(shape, jnp.int32)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
     if with_cigar:

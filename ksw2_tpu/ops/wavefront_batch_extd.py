@@ -455,6 +455,11 @@ def build_batch_extd_call(prm: BatchExtdParams, with_cigar: bool = False,
     def wrap(*refs):
         kernel(refs)
 
+    from .bands import stable_kernel_name as _skn
+    try:
+        wrap.__name__ = _skn('wavefront_batch_extd', prm)
+    except NameError:
+        pass
     out_shape = [jax.ShapeDtypeStruct(shape, jnp.int32)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
     if with_cigar:

@@ -198,6 +198,11 @@ def build_batch_gg2_call(prm: BatchGg2Params, with_cigar: bool = True,
     def wrap(*refs):
         kernel(refs)
 
+    from .bands import stable_kernel_name as _skn
+    try:
+        wrap.__name__ = _skn('wavefront_batch_gg2', prm)
+    except NameError:
+        pass
     out_shape = [jax.ShapeDtypeStruct(shape, jnp.int32)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
     if with_cigar:

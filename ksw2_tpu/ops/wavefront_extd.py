@@ -437,6 +437,11 @@ def build_extd_call(prm: ExtdParams, with_cigar: bool, interpret: bool = False):
     def wrap(*refs):
         kernel(refs)
 
+    from .bands import stable_kernel_name as _skn
+    try:
+        wrap.__name__ = _skn('wavefront_extd', prm)
+    except NameError:
+        pass
     out_shape = [jax.ShapeDtypeStruct((NSTATE,), jnp.int32)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     if with_cigar:
@@ -703,6 +708,11 @@ def build_extd_phased(prm: ExtdParams, interpret: bool = False):
         def wrap(*refs, _k=kernel):
             _k(refs)
 
+        from .bands import stable_kernel_name as _skn
+        try:
+            wrap.__name__ = _skn('wavefront_extd', prm)
+        except NameError:
+            pass
         out_shape = list(state_t)
         out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
         scratch = [pltpu.SMEM((NSTATE,), jnp.int32)]

@@ -193,6 +193,11 @@ def build_extf_call(prm: ExtfParams, interpret: bool = False):
     def wrap(*refs):
         kernel(refs)
 
+    from .bands import stable_kernel_name as _skn
+    try:
+        wrap.__name__ = _skn('wavefront_extf', prm)
+    except NameError:
+        pass
     return pl.pallas_call(
         wrap,
         grid=(n_steps,),

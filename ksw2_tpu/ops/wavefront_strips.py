@@ -279,6 +279,14 @@ def build_strips_call(prm: StripParams, interpret: bool = False):
     def wrap(*refs):
         _kernel_body(prm, refs)
 
+    # deterministic kernel name per variant: the default name plus a
+    # global uniquifying counter leaks kernel-BUILD order into the
+    # program bytes, so the same workload hashed to different persistent
+    # cache keys depending on what compiled earlier in the process
+    import hashlib
+    wrap.__name__ = "strips_" + hashlib.md5(
+        repr(prm).encode()).hexdigest()[:10]
+
     return pl.pallas_call(
         wrap,
         grid=(G,),
