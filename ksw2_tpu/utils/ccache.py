@@ -47,6 +47,19 @@ def ensure_compile_cache() -> None:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        # Mosaic payloads embed op tracebacks; a jax-internal sub-jaxpr
+        # cache can splice another kernel's frames into this one's
+        # module, so the SAME workload hashes to different persistent
+        # keys depending on what compiled earlier in the process.
+        # Stripping tracebacks/source files from locations removes the
+        # string-level instability (a small structural residue remains;
+        # identical fresh processes still produce identical keys, so
+        # steady-state restarts always hit).
+        jax.config.update("jax_include_full_tracebacks_in_locations",
+                          False)
+        jax.config.update("jax_traceback_in_locations_limit", 0)
+        jax.config.update("jax_hlo_source_file_canonicalization_regex",
+                          ".*")
     except Exception:
         pass                                   # never break the caller
 
