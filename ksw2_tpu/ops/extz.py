@@ -41,6 +41,57 @@ def _cached_tb(prm, interpret: bool):
     return jax.jit(tbd.build_traceback_call(prm, interpret=interpret))
 
 
+@functools.lru_cache(maxsize=256)
+def _cached_fused_single(prm: "wf.ExtzParams", flag_int: int,
+                         end_bonus: int, full_rows: int, interpret: bool):
+    """ONE jitted program for a single-pair CIGAR alignment: forward
+    wavefront -> device start-cell selection (ksw2_extz2_sse.c:292-301)
+    -> device walker -> 2-bit op packing.
+
+    On this environment's tunnel each separate execution costs ~29 ms
+    and each fetch ~28 ms + bytes/30MB/s; the unfused path paid
+    exec+fetch+exec+fetch (~120 ms of tax on the 16.5k MT pair).  Fused:
+    one execution and one small fetch (res | walk end | ops at 2
+    bits/op — 16x fewer bytes than the raw op stream).
+    """
+    from . import traceback_device as tbd
+    fwd = wf.build_extz_call(prm, True, interpret=interpret)
+    flag = Flag(flag_int)
+    perlane = not (flag & Flag.APPROX_MAX) and prm.zdrop < 0
+    n_live = (wf._static_stop(prm.qlen, prm.tlen, prm.w, prm.n_diag)
+              if perlane else prm.n_diag)
+    n_steps = (n_live + prm.chunk - 1) // prm.chunk
+    tprm = tbd.TbParams(
+        qlen=prm.qlen, tlen=prm.tlen, w=int(prm.w),
+        n_diag=prm.qlen + prm.tlen - 1, p_rows=prm.p_rows,
+        blk=prm.chunk, n_blocks=n_steps, min_intron=0, upper_force=1,
+        full_rows=int(full_rows))
+    tb = tbd.build_traceback_call(tprm, interpret=interpret)
+    qlen, tlen = prm.qlen, prm.tlen
+    extz_only = bool(flag & Flag.EXTZ_ONLY)
+
+    def pipe(*args):
+        res, p = fwd(*args)
+        mx, mxt, mxq = res[wf.MAX], res[wf.MAXT], res[wf.MAXQ]
+        mqe, mqet = res[wf.MQE], res[wf.MQET]
+        zdr = res[wf.ZDROP] != 0
+        if not extz_only:
+            i0 = jnp.where(zdr, mxt, tlen - 1)
+            j0 = jnp.where(zdr, mxq, qlen - 1)
+        else:
+            re_ = jnp.logical_not(zdr) & (mqe + end_bonus > mx)
+            i0 = jnp.where(jnp.logical_not(zdr) & re_, mqet, mxt)
+            j0 = jnp.where(jnp.logical_not(zdr) & re_, qlen - 1, mxq)
+        start = jnp.stack([i0, j0]).astype(jnp.int32)
+        tres, ops = tb(start, p)
+        o = (ops.reshape(-1).astype(jnp.uint32) & 3).reshape(-1, 16)
+        sh = jnp.arange(16, dtype=jnp.uint32) * 2
+        packed = jnp.sum(o << sh[None, :], axis=1).astype(jnp.int32)
+        return jnp.concatenate([res, tres, packed])
+
+    return jax.jit(pipe), n_steps
+
+
 def device_backtrack(p_dev, n_steps, chunk, p_rows, qlen, tlen, w,
                      i0, j0, min_intron, is_rev, interpret, upper_force=1,
                      full_rows=0):
@@ -66,6 +117,21 @@ def _pad_seq(seq: np.ndarray, n: int) -> np.ndarray:
     out = np.zeros((n // 128, 128), np.int32)
     out.reshape(-1)[: len(seq)] = seq.astype(np.int32)
     return out
+
+
+def _generic_prof(mat, target, m, q, e, N, tlen):
+    """m query-symbol profile planes, pre-biased like the in-kernel
+    specialized fill (ksw2_extz2_sse.c:141-144 semantics)."""
+    R0 = N // 128
+    qe = q + e
+    tpv = np.zeros(N, np.int64)
+    tpv[:tlen] = np.asarray(target, np.int64)
+    prof = np.empty((m * R0, 128), np.int32)
+    for c in range(m):
+        vals = mat[(tpv * m + c)].astype(np.int64)
+        prof[c * R0:(c + 1) * R0] = (
+            ((vals + 2 * qe) & 255) ^ 128).reshape(R0, 128)
+    return prof
 
 
 def extz2_device(
@@ -132,28 +198,34 @@ def extz2_device(
     perlane = not approx and zdrop < 0
     qpad = _pad_seq(np.asarray(query), max(round_up(qlen, 128), 1024))
     tpad = _pad_seq(np.asarray(target), N)
+    full_rows_s = 1 if (with_cigar
+                        and p_rows >= N // 128) else 0
+    fused_tb = None
     if (perlane or approx) and not with_cigar and not generic:
         # row-windowed phase chain (see wavefront.build_extz_phased);
         # approx (-g) runs the H0-walk variant of the same chain
         call = _cached_phased(prm, interpret, approx)
         res = call(jnp.asarray(qpad), jnp.asarray(tpad))
         p = None
+    elif with_cigar and device_tb and not (flag & Flag.REV_CIGAR):
+        # fused forward+walker: one execution, one packed fetch
+        pipe, _n_steps = _cached_fused_single(
+            prm, int(flag), int(end_bonus), full_rows_s, interpret)
+        args = [jnp.asarray(qpad), jnp.asarray(tpad)]
+        if generic:
+            args.append(jnp.asarray(_generic_prof(mat, target, m, q, e,
+                                                  N, tlen)))
+        flat = np.asarray(pipe(*args))
+        res = flat[:wf.NSTATE]
+        fused_tb = (flat[wf.NSTATE:wf.NSTATE + 4],
+                    flat[wf.NSTATE + 4:])
+        p = None
     else:
         call = _cached_call(prm, with_cigar, interpret)
         args = [jnp.asarray(qpad), jnp.asarray(tpad)]
         if generic:
-            # m query-symbol profile planes, pre-biased like the in-kernel
-            # specialized fill (ksw2_extz2_sse.c:141-144 semantics)
-            R0 = N // 128
-            qe = q + e
-            tpv = np.zeros(N, np.int64)
-            tpv[:tlen] = np.asarray(target, np.int64)
-            prof = np.empty((m * R0, 128), np.int32)
-            for c in range(m):
-                vals = mat[(tpv * m + c)].astype(np.int64)
-                prof[c * R0:(c + 1) * R0] = (
-                    ((vals + 2 * qe) & 255) ^ 128).reshape(R0, 128)
-            args.append(jnp.asarray(prof))
+            args.append(jnp.asarray(_generic_prof(mat, target, m, q, e,
+                                                  N, tlen)))
         out = call(*args)
         if with_cigar:
             res, p = out            # p stays on device for the traceback
@@ -186,7 +258,27 @@ def extz2_device(
         else:
             i0 = None
         full_rows = 1 if p_rows >= N // 128 else 0
-        if i0 is not None and device_tb:
+        if i0 is not None and fused_tb is not None:
+            from . import traceback_device as tbd
+            tres, packed = fused_tb
+            if tres[3]:
+                # walk escaped the stored rows (rare): re-run the
+                # forward to materialize p and replay on the host
+                call = _cached_call(prm, True, interpret)
+                args = [jnp.asarray(qpad), jnp.asarray(tpad)]
+                if generic:
+                    args.append(jnp.asarray(_generic_prof(
+                        mat, target, m, q, e, N, tlen)))
+                _, p = call(*args)
+                device_tb = False
+            else:
+                u = packed.astype(np.uint32)
+                ops_flat = ((u[:, None] >> (2 * np.arange(16,
+                            dtype=np.uint32))) & 3).reshape(-1)
+                ez.cigar = tbd.finish_cigar(
+                    ops_flat.astype(np.int32), int(tres[2]),
+                    int(tres[0]), int(tres[1]), 0, rev)
+        elif i0 is not None and device_tb:
             # walk on device: only the op string crosses to the host
             n_steps = p.shape[0] // chunk
             ez.cigar = device_backtrack(
