@@ -30,6 +30,23 @@ def _cached_phased(prm: wfd.ExtdParams, interpret: bool):
     return jax.jit(wfd.build_extd_phased(prm, interpret=interpret))
 
 
+@functools.lru_cache(maxsize=256)
+def _cached_fused_single(prm: wfd.ExtdParams, flag_int: int,
+                         end_bonus: int, full_rows: int, interpret: bool):
+    """Fused forward+walker for one extd pair (see extz's twin): one
+    execution, one packed fetch — the unfused path also fetched the
+    WHOLE direction matrix to the host."""
+    from .extz import compose_forward_tb, make_ext_start_fn
+    fwd = wfd.build_extd_call(prm, True, interpret=interpret)
+    n_steps = (prm.n_diag + prm.chunk - 1) // prm.chunk
+    start_fn = make_ext_start_fn(flag_int, end_bonus, prm.qlen, prm.tlen,
+                                 with_reach=True)
+    pipe = compose_forward_tb(fwd, prm.qlen, prm.tlen, prm.w, prm.p_rows,
+                              prm.chunk, n_steps, 0, 1, full_rows,
+                              start_fn, interpret)
+    return jax.jit(pipe)
+
+
 def extd2_device(
     query: np.ndarray,
     target: np.ndarray,
@@ -99,26 +116,28 @@ def extd2_device(
     perlane = not (flag & Flag.APPROX_MAX) and zdrop < 0
     qpad = _pad_seq(np.asarray(query), max(round_up(qlen, 128), 1024))
     tpad = _pad_seq(np.asarray(target), N)
+    full_rows_s = 1 if p_rows >= N // 128 else 0
+    fused_tb = None
     if perlane and not with_cigar and not generic:
         # row-windowed phase chain (see wavefront_extd.build_extd_phased)
         call = _cached_phased(prm, interpret)
         res = call(jnp.asarray(qpad.reshape(-1)), jnp.asarray(tpad))
         p = None
+    elif with_cigar and device_tb and not (flag & Flag.REV_CIGAR):
+        pipe = _cached_fused_single(prm, int(flag), int(end_bonus),
+                                    full_rows_s, interpret)
+        args = [jnp.asarray(qpad), jnp.asarray(tpad)]
+        if generic:
+            args.append(jnp.asarray(_extd_prof(mat, target, m, N, tlen)))
+        flat = np.asarray(pipe(*args))
+        res = flat[:wf.NSTATE]
+        fused_tb = flat
+        p = None
     else:
         call = _cached_call(prm, with_cigar, interpret)
         args = [jnp.asarray(qpad), jnp.asarray(tpad)]
         if generic:
-            # biased profile planes (extd stores raw scores + sign bias;
-            # no 2(q+e) shift in the extd canon)
-            R0 = N // 128
-            tpv = np.zeros(N, np.int64)
-            tpv[:tlen] = np.asarray(target, np.int64)
-            prof = np.empty((m * R0, 128), np.int32)
-            for c in range(m):
-                vals = mat[(tpv * m + c)].astype(np.int64)
-                prof[c * R0:(c + 1) * R0] = (
-                    (vals + 128) & 255).reshape(R0, 128)
-            args.append(jnp.asarray(prof))
+            args.append(jnp.asarray(_extd_prof(mat, target, m, N, tlen)))
         out = call(*args)
         if with_cigar:
             res, p = out
@@ -151,7 +170,22 @@ def extd2_device(
         else:
             i0 = None
         full_rows = 1 if p_rows >= N // 128 else 0
-        if i0 is not None and device_tb:
+        if i0 is not None and fused_tb is not None:
+            from .extz import fused_tb_parse
+            cig, _tres = fused_tb_parse(fused_tb, wf.NSTATE, 0, rev)
+            if cig is None:
+                # escaped (rare): materialize p and replay on the host
+                call = _cached_call(prm, True, interpret)
+                args = [jnp.asarray(qpad), jnp.asarray(tpad)]
+                if generic:
+                    args.append(jnp.asarray(_extd_prof(mat, target, m, N,
+                                                       tlen)))
+                _, p = call(*args)
+                p = np.asarray(p)
+                device_tb = False
+            else:
+                ez.cigar = cig
+        elif i0 is not None and device_tb:
             from .extz import device_backtrack
             ez.cigar = device_backtrack(
                 p, p.shape[0] // chunk, chunk, p_rows, qlen, tlen, w,
@@ -174,3 +208,16 @@ def extd2_device(
 
 
 __all__ = ["extd2_device"]
+
+
+def _extd_prof(mat, target, m, N, tlen):
+    """Biased profile planes (extd stores raw scores + sign bias; no
+    2(q+e) shift in the extd canon)."""
+    R0 = N // 128
+    tpv = np.zeros(N, np.int64)
+    tpv[:tlen] = np.asarray(target, np.int64)
+    prof = np.empty((m * R0, 128), np.int32)
+    for c in range(m):
+        vals = mat[(tpv * m + c)].astype(np.int64)
+        prof[c * R0:(c + 1) * R0] = ((vals + 128) & 255).reshape(R0, 128)
+    return prof

@@ -36,6 +36,26 @@ def _cached_phased(prm: wfs.ExtsParams, interpret: bool):
     return jax.jit(wfs.build_exts_phased(prm, interpret=interpret))
 
 
+@functools.lru_cache(maxsize=256)
+def _cached_fused_single(prm: wfs.ExtsParams, flag_int: int,
+                         full_rows: int, interpret: bool):
+    """Fused forward+walker for one exts pair: one execution, one
+    packed fetch; the walker emits N ops for long target gaps
+    (min_intron = long_thres, ksw2_exts2_sse.c:410)."""
+    from .extz import compose_forward_tb, make_ext_start_fn
+    fwd = wfs.build_exts_call(prm, True, interpret=interpret)
+    n_steps = (prm.n_diag + prm.chunk - 1) // prm.chunk
+    start_fn = make_ext_start_fn(flag_int, 0, prm.qlen, prm.tlen,
+                                 with_reach=False)
+    # exts has no band support (ksw2_exts2_sse.c:179-181): w is the
+    # matrix-shape bound, as the host path passes to device_backtrack
+    pipe = compose_forward_tb(fwd, prm.qlen, prm.tlen,
+                              max(prm.qlen, prm.tlen), prm.p_rows,
+                              prm.chunk, n_steps, prm.long_thres, 1,
+                              full_rows, start_fn, interpret)
+    return jax.jit(pipe)
+
+
 def exts2_device(
     query: np.ndarray,
     target: np.ndarray,
@@ -106,11 +126,23 @@ def exts2_device(
     tpad = _pad_seq(np.asarray(target), N)
     generic = bool(flag & Flag.GENERIC_SC)
     perlane = not (flag & Flag.APPROX_MAX) and zdrop < 0
+    full_rows_s = 1 if p_rows >= N // 128 else 0
+    fused_tb = None
     if perlane and not with_cigar and not generic:
         # row-windowed phase chain (see wavefront_exts.build_exts_phased)
         call = _cached_phased(prm, interpret)
         res = call(jnp.asarray(qpad.reshape(-1)), jnp.asarray(tpad),
                    jnp.asarray(donb), jnp.asarray(accb))
+        p = None
+    elif with_cigar and device_tb and not (flag & Flag.REV_CIGAR) \
+            and not generic:
+        pipe = _cached_fused_single(prm, int(flag), full_rows_s,
+                                    interpret)
+        flat = np.asarray(pipe(jnp.asarray(qpad.reshape(-1)),
+                               jnp.asarray(tpad), jnp.asarray(donb),
+                               jnp.asarray(accb)))
+        res = flat[:wf.NSTATE]
+        fused_tb = flat
         p = None
     else:
         call = _cached_call(prm, with_cigar, interpret)
@@ -156,7 +188,19 @@ def exts2_device(
         else:
             i0 = None
         full_rows = 1 if p_rows >= N // 128 else 0
-        if i0 is not None and device_tb:
+        if i0 is not None and fused_tb is not None:
+            from .extz import fused_tb_parse
+            cig, _tres = fused_tb_parse(fused_tb, wf.NSTATE, long_thres,
+                                        rev)
+            if cig is None:
+                call = _cached_call(prm, True, interpret)
+                _, p = call(jnp.asarray(qpad.reshape(-1)),
+                            jnp.asarray(tpad), jnp.asarray(donb),
+                            jnp.asarray(accb))
+                device_tb = False
+            else:
+                ez.cigar = cig
+        elif i0 is not None and device_tb:
             from .extz import device_backtrack
             ez.cigar = device_backtrack(
                 p, p.shape[0] // chunk, chunk, p_rows, qlen, tlen, w,

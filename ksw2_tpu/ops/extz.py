@@ -54,42 +54,85 @@ def _cached_fused_single(prm: "wf.ExtzParams", flag_int: int,
     one execution and one small fetch (res | walk end | ops at 2
     bits/op — 16x fewer bytes than the raw op stream).
     """
-    from . import traceback_device as tbd
     fwd = wf.build_extz_call(prm, True, interpret=interpret)
     flag = Flag(flag_int)
     perlane = not (flag & Flag.APPROX_MAX) and prm.zdrop < 0
     n_live = (wf._static_stop(prm.qlen, prm.tlen, prm.w, prm.n_diag)
               if perlane else prm.n_diag)
     n_steps = (n_live + prm.chunk - 1) // prm.chunk
-    tprm = tbd.TbParams(
-        qlen=prm.qlen, tlen=prm.tlen, w=int(prm.w),
-        n_diag=prm.qlen + prm.tlen - 1, p_rows=prm.p_rows,
-        blk=prm.chunk, n_blocks=n_steps, min_intron=0, upper_force=1,
-        full_rows=int(full_rows))
-    tb = tbd.build_traceback_call(tprm, interpret=interpret)
-    qlen, tlen = prm.qlen, prm.tlen
+    start_fn = make_ext_start_fn(flag_int, end_bonus, prm.qlen, prm.tlen,
+                                 with_reach=True)
+    pipe = compose_forward_tb(fwd, prm.qlen, prm.tlen, prm.w, prm.p_rows,
+                              prm.chunk, n_steps, 0, 1, full_rows,
+                              start_fn, interpret)
+    return jax.jit(pipe), n_steps
+
+
+def make_ext_start_fn(flag_int: int, end_bonus: int, qlen: int, tlen: int,
+                      with_reach: bool):
+    """Device start-cell rule mirroring ksw2_extz2_sse.c:292-301 /
+    ksw2_exts2_sse.c:407-410 (``with_reach=False`` drops the
+    EXTZ_ONLY+end_bonus reach-end case, which exts lacks)."""
+    flag = Flag(flag_int)
     extz_only = bool(flag & Flag.EXTZ_ONLY)
 
-    def pipe(*args):
-        res, p = fwd(*args)
+    def start_fn(res):
         mx, mxt, mxq = res[wf.MAX], res[wf.MAXT], res[wf.MAXQ]
         mqe, mqet = res[wf.MQE], res[wf.MQET]
         zdr = res[wf.ZDROP] != 0
         if not extz_only:
-            i0 = jnp.where(zdr, mxt, tlen - 1)
-            j0 = jnp.where(zdr, mxq, qlen - 1)
-        else:
-            re_ = jnp.logical_not(zdr) & (mqe + end_bonus > mx)
-            i0 = jnp.where(jnp.logical_not(zdr) & re_, mqet, mxt)
-            j0 = jnp.where(jnp.logical_not(zdr) & re_, qlen - 1, mxq)
+            return (jnp.where(zdr, mxt, tlen - 1),
+                    jnp.where(zdr, mxq, qlen - 1))
+        if not with_reach:
+            return mxt, mxq
+        re_ = jnp.logical_not(zdr) & (mqe + end_bonus > mx)
+        return (jnp.where(re_, mqet, mxt),
+                jnp.where(re_, qlen - 1, mxq))
+
+    return start_fn
+
+
+def compose_forward_tb(fwd, qlen, tlen, w, p_rows, chunk, n_steps,
+                       min_intron, upper_force, full_rows, start_fn,
+                       interpret):
+    """Unjitted single-pair pipeline: forward -> device start cell ->
+    device walker -> 2-bit op packing, returning one flat int32 vector
+    [res | walk end | packed ops] so the caller pays one execution and
+    one small fetch."""
+    from . import traceback_device as tbd
+    tprm = tbd.TbParams(
+        qlen=qlen, tlen=tlen, w=int(w), n_diag=qlen + tlen - 1,
+        p_rows=p_rows, blk=chunk, n_blocks=n_steps,
+        min_intron=int(min_intron), upper_force=int(upper_force),
+        full_rows=int(full_rows))
+    tb = tbd.build_traceback_call(tprm, interpret=interpret)
+
+    def pipe(*args):
+        res, p = fwd(*args)
+        i0, j0 = start_fn(res)
         start = jnp.stack([i0, j0]).astype(jnp.int32)
         tres, ops = tb(start, p)
         o = (ops.reshape(-1).astype(jnp.uint32) & 3).reshape(-1, 16)
         sh = jnp.arange(16, dtype=jnp.uint32) * 2
         packed = jnp.sum(o << sh[None, :], axis=1).astype(jnp.int32)
-        return jnp.concatenate([res, tres, packed])
+        return jnp.concatenate([res.astype(jnp.int32), tres, packed])
 
-    return jax.jit(pipe), n_steps
+    return pipe
+
+
+def fused_tb_parse(flat, nres: int, min_intron: int, rev: bool):
+    """Host side of :func:`compose_forward_tb`'s output: (cigar | None
+    when the walk escaped, walk-end record)."""
+    from . import traceback_device as tbd
+    tres = flat[nres:nres + 4]
+    if tres[3]:
+        return None, tres
+    u = flat[nres + 4:].astype(np.uint32)
+    ops_flat = ((u[:, None] >> (2 * np.arange(16, dtype=np.uint32))) & 3) \
+        .reshape(-1)
+    return tbd.finish_cigar(ops_flat.astype(np.int32), int(tres[2]),
+                            int(tres[0]), int(tres[1]), min_intron,
+                            rev), tres
 
 
 def device_backtrack(p_dev, n_steps, chunk, p_rows, qlen, tlen, w,

@@ -22,6 +22,27 @@ from .extz import _pad_seq
 
 
 @functools.lru_cache(maxsize=256)
+def _cached_fused_single(prm: "wfg.Gg2Params", full_rows: int,
+                         interpret: bool):
+    """Fused gg2 forward + corner-start walker: one execution, one
+    packed fetch (gg2 always produces a CIGAR; upper_force=0 mirrors
+    device_backtrack's gg2 call)."""
+    import jax.numpy as jnp
+    from .extz import compose_forward_tb
+    from . import wavefront_gg2 as _wfg
+    fwd = _wfg.build_gg2_call(prm, interpret=interpret)
+    n_steps = (prm.n_diag + prm.chunk - 1) // prm.chunk
+
+    def start_fn(res):
+        return (jnp.int32(prm.tlen - 1), jnp.int32(prm.qlen - 1))
+
+    pipe = compose_forward_tb(fwd, prm.qlen, prm.tlen, prm.w, prm.p_rows,
+                              prm.chunk, n_steps, 0, 0, full_rows,
+                              start_fn, interpret)
+    return jax.jit(pipe)
+
+
+@functools.lru_cache(maxsize=256)
 def _cached_call(prm: wfg.Gg2Params, interpret: bool):
     return jax.jit(wfg.build_gg2_call(prm, interpret=interpret))
 
@@ -78,21 +99,27 @@ def gg2_device(
 
     qpad = _pad_seq(np.asarray(query), max(round_up(qlen, 128), 1024))
     tpad = _pad_seq(np.asarray(target), N)
-    res, p = call(jnp.asarray(qpad.reshape(-1)), jnp.asarray(tpad),
-                  jnp.asarray(prof))
-    res = np.asarray(res)
-
-    score = int(res[0])
     if device_tb:
-        from .extz import device_backtrack
-        cig = device_backtrack(
-            p, p.shape[0] // chunk, chunk, p_rows, qlen, tlen, w,
-            tlen - 1, qlen - 1, 0, False, interpret, upper_force=0,
-            full_rows=1 if p_rows >= R else 0)
+        # fused forward+walker: one execution, one packed fetch
+        from . import wavefront_gg2 as _wfg2
+        from .extz import fused_tb_parse
+        pipe = _cached_fused_single(prm, 1 if p_rows >= R else 0,
+                                    interpret)
+        flat = np.asarray(pipe(jnp.asarray(qpad.reshape(-1)),
+                               jnp.asarray(tpad), jnp.asarray(prof)))
+        score = int(flat[0])
+        cig, _tres = fused_tb_parse(flat, _wfg2.NSTATE_GG, 0, False)
         if cig is not None:
             return score, cig, None
-        # the walk escaped the band upward: replay with the reference's
-        # exact flat row layout (its reads run into the next diagonal)
+        # the walk escaped the band upward: materialize p and replay
+        # with the reference's exact flat row layout (its reads run
+        # into the next diagonal)
+        res, p = call(jnp.asarray(qpad.reshape(-1)), jnp.asarray(tpad),
+                      jnp.asarray(prof))
+    else:
+        res, p = call(jnp.asarray(qpad.reshape(-1)), jnp.asarray(tpad),
+                      jnp.asarray(prof))
+        score = int(np.asarray(res)[0])
     p = np.asarray(p)
     st0, en0, st, en = band_bounds_rounded(n_diag, qlen, tlen, w)
     store_off = (np.zeros_like(st) if p_rows >= R
