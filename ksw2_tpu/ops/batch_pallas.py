@@ -329,10 +329,13 @@ def _cigar_batch_dispatch(prm, qpad, tpad, lens, B, flag, end_bonus,
     return packed, MAXR
 
 
-RUNS_FETCH_CAP = 512     # fused-path slab fetch keeps at most this many
+RUNS_FETCH_CAP = 384     # fused-path slab fetch keeps at most this many
                          # RLE runs per pair (~30 MB/s tunnel: bytes are
                          # a first-order cost); cnt > cap falls back to
-                         # the synchronous full-fetch path
+                         # the synchronous full-fetch path.  Splice reads
+                         # have few runs (exons + one N), so exts slices
+                         # cap lower.
+RUNS_FETCH_CAP_EXTS = 128
 
 
 @functools.lru_cache(maxsize=32)
@@ -386,7 +389,8 @@ def _cached_fused_cigar(keys: tuple, interpret: bool):
                 pipe, MAXR = _cached_cigar_pipeline(
                     prm, B, flag_int, eb, rmax_round, interpret)
                 slab = pipe(qpad, tpad, l0, l1, l2)
-            W = NFIELDS_REC + 3 + min(MAXR, RUNS_FETCH_CAP)
+            cap = RUNS_FETCH_CAP_EXTS if kind == "s" else RUNS_FETCH_CAP
+            W = NFIELDS_REC + 3 + min(MAXR, cap)
             outs.append(slab[:, :W].reshape(-1))
         return jnp.concatenate(outs)
 
@@ -425,8 +429,9 @@ def cigar_fused_call(pendings, interpret: bool = False):
             parts.append(np.ascontiguousarray(row, np.int32)
                          .view(np.uint8))
         MAXR = p["MAXR"]
-        W = NFIELDS_REC + 3 + min(MAXR, RUNS_FETCH_CAP)
-        spans.append((off, B, W, min(MAXR, RUNS_FETCH_CAP)))
+        cap = RUNS_FETCH_CAP_EXTS if kind == "s" else RUNS_FETCH_CAP
+        W = NFIELDS_REC + 3 + min(MAXR, cap)
+        spans.append((off, B, W, min(MAXR, cap)))
         off += B * W
     return fn(jnp.asarray(np.concatenate(parts))), spans
 
