@@ -360,21 +360,31 @@ def _cached_fused_cigar(keys: tuple, interpret: bool):
         for key in keys:
             kind, prm = key[0], key[1]
             Bp = prm.n_rows // prm.p
-            Lq, Lt = key[-2], key[-1]
+            # key layouts: ("z"|"d", prm, B, flag, eb, rmax, Lq, Lt)
+            #              ("s", prm, B, rmax, Lq, Lt, noncan, jb, junc?)
+            Lq, Lt = (key[4], key[5]) if kind == "s" else (key[6], key[7])
             nqb = Bp * ((Lq + 1) // 2)
             ntb = Bp * ((Lt + 1) // 2)
             qpad = unpack_bases(take(nqb).reshape(Bp, -1), Lq)
             tpad = unpack_bases(take(ntb).reshape(Bp, -1), Lt)
             if kind == "s":
-                _, prm_, B, rmax_round, _, _ = key
+                _, prm_, B, rmax_round, _, _, noncan, jb, has_junc = key
                 R = prm.n_rows
-                # donor/acceptor planes are biased to 0..255: ride as u8
-                donb = take(R * 128).reshape(R, 128).astype(jnp.int32)
-                accb = take(R * 128).reshape(R, 128).astype(jnp.int32)
+                P = prm.p
+                Bp_ = R // P
+                junc = None
+                if has_junc:
+                    junc = take(Bp_ * Lt).reshape(Bp_, Lt)
                 l0 = jax.lax.bitcast_convert_type(
                     take(4 * Bp).reshape(Bp, 4), jnp.int32).reshape(Bp)
                 l1 = jax.lax.bitcast_convert_type(
                     take(4 * Bp).reshape(Bp, 4), jnp.int32).reshape(Bp)
+                # donor/acceptor profiles derive from the target ON
+                # device (no two-plane upload per slice)
+                dn, ac = splice_profiles_device(
+                    tpad, l1, P * 128, noncan, prm.flag, jb, junc)
+                donb = ((dn + 128) & 255).reshape(Bp_ * P, 128)
+                accb = ((ac + 128) & 255).reshape(Bp_ * P, 128)
                 pipe, MAXR = _cached_cigar_pipeline_exts(
                     prm, B, rmax_round, interpret)
                 slab = pipe(qpad, tpad, donb, accb, l0, l1)
@@ -417,14 +427,13 @@ def cigar_fused_call(pendings, interpret: bool = False):
         kind, prm = key[0], key[1]
         B = key[2]
         if kind == "s":
-            qpad, tpad, donb, accb, lens = p["arrs"]
+            qpad, tpad, lens, junc = p["arrs"]
         else:
             qpad, tpad, lens = p["arrs"]
         parts.append(pack_bases(qpad).reshape(-1))
         parts.append(pack_bases(tpad).reshape(-1))
-        if kind == "s":
-            parts.append(np.ascontiguousarray(donb, np.uint8).reshape(-1))
-            parts.append(np.ascontiguousarray(accb, np.uint8).reshape(-1))
+        if kind == "s" and junc is not None:
+            parts.append(np.ascontiguousarray(junc, np.uint8).reshape(-1))
         for row in lens:
             parts.append(np.ascontiguousarray(row, np.int32)
                          .view(np.uint8))
@@ -1204,6 +1213,69 @@ def splice_profiles_batch(target, tlen, N, noncan, flag, junc, junc_bonus):
     return wrap(don), wrap(acc)
 
 
+def splice_profiles_device(tgt, tlen, N, noncan, flag_int, junc_bonus,
+                           junc=None):
+    """In-jit port of :func:`splice_profiles_batch`: (B, Lt) int target
+    -> raw (B, N) donor/acceptor int32 (pre-bias).  Lets the fused splice
+    pipeline derive the profiles from the (4-bit packed) target on
+    device instead of uploading two full int8 planes per slice (~1 MB
+    per 1024-job workload over a ~30 MB/s link)."""
+    from ..spec.common import c_div
+
+    flag = Flag(int(flag_int))
+    B, Lt = tgt.shape
+    tgt = tgt.astype(jnp.int32)
+    if not (flag & (Flag.SPLICE_FOR | Flag.SPLICE_REV)):
+        z = jnp.zeros((B, N), jnp.int32)
+        return z, z
+    fwd = bool(flag & Flag.SPLICE_FOR)
+    rev = bool(flag & Flag.SPLICE_REV)
+    revc = bool(flag & Flag.REV_CIGAR)
+    semi = c_div(-noncan, 2) if (flag & Flag.SPLICE_FLANK) else 0
+    idx = jnp.arange(N, dtype=jnp.int32)[None, :]
+    tl = tlen.astype(jnp.int32)[:, None]
+    tp = jnp.full((B, N + 4), -1, jnp.int32).at[:, :Lt].set(tgt)
+    tm = jnp.full((B, N + 2), -1, jnp.int32).at[:, 2:Lt + 2].set(tgt)
+    t0, t1, t2, t3 = (tp[:, k:k + N] for k in range(4))
+    tm1, tm2 = tm[:, 1:N + 1], tm[:, 0:N]
+    if not revc:
+        dcan1 = ((fwd & (t1 == 2) & (t2 == 3))
+                 | (rev & (t1 == 1) & (t2 == 3)))
+        dcan2 = dcan1 & ((t3 == 0) | (t3 == 2))
+        acan1 = ((fwd & (tm1 == 0) & (t0 == 2))
+                 | (rev & (tm1 == 0) & (t0 == 1)))
+        acan2 = acan1 & ((tm2 == 1) | (tm2 == 3))
+        dbit_f, dbit_r, abit_f, abit_r = 1, 8, 2, 4
+    else:
+        dcan1 = ((fwd & (t1 == 2) & (t2 == 0))
+                 | (rev & (t1 == 1) & (t2 == 0)))
+        dcan2 = dcan1 & ((t3 == 1) | (t3 == 3))
+        acan1 = ((fwd & (tm1 == 3) & (t0 == 2))
+                 | (rev & (tm1 == 3) & (t0 == 1)))
+        acan2 = acan1 & ((tm2 == 0) | (tm2 == 2))
+        dbit_f, dbit_r, abit_f, abit_r = 2, 4, 1, 8
+    base = jnp.full((B, N), -noncan, jnp.int32)
+    din = idx < (tl - 4)
+    don = jnp.where(din & dcan2, 0,
+                    jnp.where(din & dcan1, semi, base))
+    ain = (idx >= 2) & (idx < tl)
+    acc = jnp.where(ain & acan2, 0,
+                    jnp.where(ain & acan1, semi, base))
+    if junc is not None:
+        jp = jnp.zeros((B, N + 1), jnp.int32).at[:, :Lt].set(
+            junc.astype(jnp.int32))
+        j1, j0 = jp[:, 1:N + 1], jp[:, 0:N]
+        dj = ((fwd & ((j1 & dbit_f) != 0))
+              | (rev & ((j1 & dbit_r) != 0))) & (idx < tl - 1)
+        aj = ((fwd & ((j0 & abit_f) != 0))
+              | (rev & ((j0 & abit_r) != 0))) & (idx < tl)
+        don = jnp.where(dj, don + junc_bonus, don)
+        acc = jnp.where(aj, acc + junc_bonus, acc)
+    # int8 wraparound as the spec's _i8, kept in int32 lanes
+    w8 = lambda x: ((x + 128) & 255) - 128
+    return w8(don), w8(acc)
+
+
 def _exts_batch_prep(B, target, tlen, m, mat, q, e, q2, noncan, flag, junc,
                      junc_bonus, R, P=1):
     """Per-pair donor/acceptor planes (biased) + canonicalized params."""
@@ -1493,9 +1565,14 @@ def exts_batch_align_dispatch(
     d = {"MAXR": MAXR, "B": B, "min_intron": int(long_thres),
          "args": (query, target, qlen, tlen, junc)}
     if defer:
+        jpad = None
+        if junc is not None:
+            jpad = np.zeros((Bp, Lt), np.uint8)
+            jpad[:B] = np.asarray(junc, np.uint8)
         d["pending"] = {
-            "pipe_key": ("s", prm, B, rmax_round, Lq, Lt),
-            "arrs": (qpad, tpad, donb, accb, lens), "MAXR": MAXR}
+            "pipe_key": ("s", prm, B, rmax_round, Lq, Lt, int(noncan),
+                         int(junc_bonus), junc is not None),
+            "arrs": (qpad, tpad, lens, jpad), "MAXR": MAXR}
         return [d]
     packed = pipe(jnp.asarray(qpad), jnp.asarray(tpad), jnp.asarray(donb),
                   jnp.asarray(accb), jnp.asarray(lens[0]),
