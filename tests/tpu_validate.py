@@ -263,6 +263,62 @@ def sweep_batch(n, rng):
     return fails
 
 
+def sweep_strips(rng):
+    """Round-4 strips engines on the real chip: one-piece + two-piece
+    fused scheduler dispatch (strips_prep -> strips_fused_call) on a
+    mixed bucket, byte-compared per pair against the spec."""
+    from ksw2_tpu.ops.wavefront_strips import (strips_prep,
+                                               strips_fused_call)
+    from ksw2_tpu.ops.batch_pallas import unpack_records
+
+    mat = simple_mat(5, 2, 4)
+    pairs = []
+    for _ in range(9):
+        tlen = int(rng.choice([150, 400, 900, 2800]))
+        t, q = refcmp.random_pair(rng, tlen,
+                                  divergence=float(rng.uniform(0, 0.3)),
+                                  indel=float(rng.uniform(0, 0.1)),
+                                  with_n=bool(rng.integers(0, 2)))
+        pairs.append((encode_dna(q), encode_dna(t)))
+    qs = [q for q, t in pairs]
+    ts = [t for q, t in pairs]
+    qlen = np.array([len(q) for q in qs], np.int32)
+    tlen = np.array([len(t) for t in ts], np.int32)
+    fails = 0
+    # one-piece + two-piece launches fused into ONE execution
+    launches = strips_prep(qs, ts, qlen, tlen, 5, mat, 4, 2, 100,
+                           Flag.SCORE_ONLY)
+    launches += strips_prep(qs, ts, qlen, tlen, 5, mat, 4, 2, 100,
+                            Flag.SCORE_ONLY, two=True, q2=13, e2=1)
+    rec = np.asarray(strips_fused_call(launches))
+    B = len(pairs)
+    out1 = unpack_records(rec[:B], -4, 4, 2)
+    out2 = unpack_records(rec[B:2 * B], -4, 4, 2)
+    for i, (q, t) in enumerate(pairs):
+        want, _ = diagdiff.extz2(q, t, 5, mat, 4, 2, zdrop=100,
+                                 flag=Flag.SCORE_ONLY)
+        wantd, _ = diagdiff.extd2(q, t, 5, mat, 4, 2, 13, 1, zdrop=100,
+                                  flag=Flag.SCORE_ONLY)
+        got1 = tuple(int(out1[k][i]) for k in
+                     ("max", "max_t", "max_q", "mqe", "mqe_t", "mte",
+                      "mte_q", "score", "zdropped"))
+        w1 = (want.max, want.max_t, want.max_q, want.mqe, want.mqe_t,
+              want.mte, want.mte_q, want.score, int(want.zdropped))
+        got2 = tuple(int(out2[k][i]) for k in
+                     ("max", "max_t", "max_q", "mqe", "mqe_t", "mte",
+                      "mte_q", "score", "zdropped"))
+        w2 = (wantd.max, wantd.max_t, wantd.max_q, wantd.mqe,
+              wantd.mqe_t, wantd.mte, wantd.mte_q, wantd.score,
+              int(wantd.zdropped))
+        if got1 != w1:
+            print(f"strips extz FAIL i={i}: {got1} != {w1}")
+            fails += 1
+        if got2 != w2:
+            print(f"strips extd FAIL i={i}: {got2} != {w2}")
+            fails += 1
+    return fails
+
+
 def sweep_newpaths(rng):
     """High-P packing (P=10 batch, P=9 band), all-pairs early exit, and the
     trimmed device walker on zdropped CIGARs -- one launch each."""
@@ -442,6 +498,9 @@ if __name__ == "__main__":
     fr2 = sweep_round2(rng)
     f += fr2
     print(f"round-2 sweep done ({fr2} fails)")
+    fst = sweep_strips(rng)
+    f += fst
+    print(f"strips sweep done ({fst} fails)")
     f += mt_anchors()
     print("TPU VALIDATION", "FAILED" if f else "PASSED")
     sys.exit(1 if f else 0)
