@@ -477,6 +477,48 @@ def align_batch_scores2(
 
 
 
+class PendingAligns:
+    """Handle for an in-flight :func:`align_batch_async` batch (scores +
+    CIGARs).  All device work (forward kernels, start cells, walkers,
+    RLE pack — one fused execution for every deferred slice) is enqueued
+    at submit time; :meth:`result` fetches once and assembles."""
+
+    def __init__(self, finish):
+        self._finish = finish
+        self._results = None
+
+    def result(self) -> List[ExtzResult]:
+        if self._results is None:
+            self._results = self._finish()
+        return self._results
+
+
+def align_batch_async(
+    jobs: Sequence[AlignJob],
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    q2: Optional[int] = None,
+    e2: Optional[int] = None,
+    zdrop: int = -1,
+    end_bonus: int = 0,
+    flag: Flag | int = Flag.NONE,
+) -> "PendingAligns":
+    """Submit a full-alignment batch without waiting; the serving twin
+    of :func:`align_batch` (see :class:`PendingScores` for why
+    several-in-flight matters on latency-taxed links)."""
+    flag = Flag(int(flag))
+    score_only = bool(flag & Flag.SCORE_ONLY)
+    two_piece = q2 is not None
+    if score_only and not two_piece:
+        h = align_batch_scores_async(jobs, m, mat, q, e, zdrop=zdrop,
+                                     flag=flag)
+        return PendingAligns(h.result)
+    return align_batch(jobs, m, mat, q, e, q2, e2, zdrop=zdrop,
+                       end_bonus=end_bonus, flag=flag, _defer=True)
+
+
 def align_batch(
     jobs: Sequence[AlignJob],
     m: int,
@@ -488,6 +530,7 @@ def align_batch(
     zdrop: int = -1,
     end_bonus: int = 0,
     flag: Flag | int = Flag.NONE,
+    _defer: bool = False,
 ) -> List[ExtzResult]:
     """Full alignment (scores + CIGARs) for a batch of jobs.
 
@@ -507,10 +550,13 @@ def align_batch(
 
     score_only = bool(flag & Flag.SCORE_ONLY)
     if score_only and not two_piece:
-        return align_batch_scores(jobs, m, mat, q, e, zdrop=zdrop, flag=flag)
+        out = align_batch_scores(jobs, m, mat, q, e, zdrop=zdrop,
+                                 flag=flag)
+        return PendingAligns(lambda: out) if _defer else out
     if score_only and end_bonus == 0 and not (flag & Flag.EXTZ_ONLY):
-        return align_batch_scores2(jobs, m, mat, q, e, q2, e2, zdrop=zdrop,
-                                   flag=flag)
+        out = align_batch_scores2(jobs, m, mat, q, e, q2, e2, zdrop=zdrop,
+                                  flag=flag)
+        return PendingAligns(lambda: out) if _defer else out
 
     buckets: Dict[Tuple[int, int], List[int]] = {}
     for i, job in enumerate(jobs):
@@ -635,9 +681,15 @@ def align_batch(
     # slice of the whole workload (forward kernels, device start cells,
     # device walkers, RLE compaction), then one truncated-slab fetch
     fused = _fuse_cigar_slices(cigar_pending)
-    _finish_cigar_pending(cigar_pending, results, m, mat, q, e, q2, e2,
-                          zdrop, end_bonus, flag, fused)
-    return results  # type: ignore[return-value]
+
+    def _finish():
+        _finish_cigar_pending(cigar_pending, results, m, mat, q, e, q2,
+                              e2, zdrop, end_bonus, flag, fused)
+        return results
+
+    if _defer:
+        return PendingAligns(_finish)  # type: ignore[return-value]
+    return _finish()  # type: ignore[return-value]
 
 
 def _fuse_cigar_slices(groups):
@@ -905,4 +957,5 @@ def _finish_splice_pending(splice_pending, results, m, mat, q, e, q2,
 
 
 __all__ = ["AlignJob", "align_batch_scores", "align_batch_scores_async",
-           "PendingScores", "align_batch", "align_batch_splice"]
+           "PendingScores", "PendingAligns", "align_batch",
+           "align_batch_async", "align_batch_splice"]

@@ -237,3 +237,29 @@ def test_async_submit_collect_overlap():
         got = h.result()
         assert [e.__dict__ for e in got] == [e.__dict__ for e in sync]
         assert h.result() is got      # idempotent
+
+
+def test_align_batch_async_cigars():
+    """Two CIGAR batches in flight at once must both match the sync path
+    (the serving twin of the score-path async test)."""
+    from ksw2_tpu.batch.scheduler import align_batch, align_batch_async
+
+    rng = np.random.default_rng(29)
+    mat = simple_mat(5, 2, 4)
+    batches = []
+    for _ in range(2):
+        jobs = []
+        for _ in range(6):
+            tlen = int(rng.integers(30, 250))
+            t, q = refcmp.random_pair(rng, tlen, divergence=0.25,
+                                      indel=0.1)
+            jobs.append(AlignJob(encode_dna(q), encode_dna(t)))
+        batches.append(jobs)
+    handles = [align_batch_async(jobs, 5, mat, 4, 2, zdrop=60)
+               for jobs in batches]
+    for jobs, h in zip(batches, handles):
+        sync = align_batch(jobs, 5, mat, 4, 2, zdrop=60)
+        got = h.result()
+        assert [e.tsv_fields() for e in got] == \
+               [e.tsv_fields() for e in sync]
+        assert h.result() is got
