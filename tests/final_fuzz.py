@@ -32,6 +32,22 @@ N = int(sys.argv[2]) if len(sys.argv) > 2 else 80
 fails = total = 0
 mat = simple_mat(5, 2, 4)
 for i in range(N):
+    if i and i % 8 == 0:
+        # each random shape compiles fresh XLA:CPU executables (the fused
+        # forward+walker pipelines are ~2x the old programs); hundreds of
+        # them exhaust the LLVM JIT's allocator in one process, so drop
+        # compiled programs periodically (they are never reused here) and
+        # the engines' builder caches with them
+        import jax as _jax
+        import functools as _ft
+        _jax.clear_caches()
+        from ksw2_tpu.ops import extz as _oz, extd as _od, exts as _os_, \
+            gg2 as _og
+        for _mod in (_oz, _od, _os_, _og):
+            for _name in dir(_mod):
+                _fn = getattr(_mod, _name)
+                if hasattr(_fn, "cache_clear"):
+                    _fn.cache_clear()
     tlen = int(rng.integers(5, 250))
     t, q = refcmp.random_pair(rng, tlen, divergence=float(rng.uniform(0, 0.5)),
                               indel=float(rng.uniform(0, 0.25)),
