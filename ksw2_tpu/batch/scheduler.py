@@ -297,11 +297,6 @@ def _pallas_zdrop_ok(Lt, mat, qlen, tlen, zdrop, flag) -> bool:
     return (hmax + 1) * KB + KB < (1 << 31)
 
 
-@jax.jit
-def _concat_records(*pieces):
-    return jnp.concatenate(pieces, axis=0)
-
-
 def _dispatch_all(dispatch, items):
     """Run per-bucket dispatch, in threads when there are several buckets.
 
@@ -771,14 +766,6 @@ def _finish_cigar_pending(cigar_pending, results, m, mat, q, e, q2, e2,
                                            end_bonus=end_bonus, flag=flag)
             for k, i in enumerate(sub):
                 results[i] = out[k]
-
-
-@jax.jit
-def _concat_pad_records(*slabs):
-    wmax = max(s.shape[1] for s in slabs)
-    return jnp.concatenate(
-        [jnp.pad(s, ((0, 0), (0, wmax - s.shape[1]))) for s in slabs],
-        axis=0)
 
 
 
