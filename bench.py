@@ -156,6 +156,16 @@ def main() -> None:
         dt = time.time() - t0
         gcells = (L * L / 1e9) / dt
 
+    # tunnel-health diagnostic: best trivial-exec round trip right now.
+    # The shared tunnel has multi-hour congestion phases (quiet ~25-30 ms,
+    # degraded 0.5-400 s); a large value here marks the headline number
+    # as environment-bound, not code-bound.
+    import jax.numpy as jnp
+    rtts = []
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(jax.jit(lambda v: v + 1)(jnp.arange(64)))
+        rtts.append(time.time() - t0)
     print(json.dumps({
         "metric": "extz_50k_exact_score_gcells_per_s",
         "value": round(gcells, 3),
@@ -164,6 +174,7 @@ def main() -> None:
         # labels degraded runs honestly: "cpu" means the TPU tunnel was
         # down and this number is NOT comparable to the TPU baseline
         "backend": jax.default_backend(),
+        "tunnel_exec_ms": round(min(rtts) * 1e3, 1),
     }))
 
 
