@@ -1,0 +1,163 @@
+"""Executable spec: row-major direction bytes for a strips CIGAR mode.
+
+Round-5 groundwork (BENCH_NOTES round-5 leads #3).  The strip-tiled
+engine computes absolute H/E/F row-major; this spec shows that the
+reference's per-cell direction bytes (ksw2_extz2_sse.c:150-223's ``d``)
+are pure functions of the LOCAL absolute values, so a row-major sweep
+can emit a (tlen, qlen) byte matrix that ``ksw_backtrack(is_rot=0)``
+walks to the reference's exact CIGAR:
+
+* argmax code (bits 0-2): left-align ``d = 1 if E > M else 0; d = 2 if
+  F > max(M, E)`` with M = H(i-1,j-1) + sc UNclamped (the reference
+  compares before its clamp); right-align flips strict/equal.
+* continuation bits: 0x08 iff E > H_c - q (>= for right), 0x10 iff
+  F > H_c - q, with H_c the CLAMPED cell value (the reference derives
+  them from ``a - (z - q)`` after the clamp).
+* the prefix-chain F (opened from clamped H-without-F) equals the DP's
+  F identically — an F opened from an F-valued H never exceeds the
+  extension term when q >= 0 — so chain values feed the byte rules
+  unchanged.
+
+Scope: one-piece extz, effectively unbanded, left/right align; the ez
+fields come from the same record streams as the score-only spec
+(``spec.strips``), so Z-drop start-cell selection is unchanged.
+Validated byte-exact against ``diagdiff.extz2`` CIGARs (which are
+byte-validated against the compiled reference).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..core.flags import Flag
+from .backtrack import backtrack
+from .strips import SENT, key_params, merge_key, replay_records
+
+
+def strips_forward_cigar(
+    query: np.ndarray,
+    target: np.ndarray,
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    right: bool = False,
+    generic: bool = False,
+) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
+    """Row-major forward sweep emitting record streams + direction bytes.
+
+    Returns ``(records, dmat)`` with ``dmat`` (tlen, qlen) uint8 in the
+    reference's byte encoding.  The sweep is written full-width for
+    clarity; cell values (hence bytes) are identical to the 128-column
+    strip pipeline's, which this module specifies.
+    """
+    query = np.asarray(query, np.int64)
+    target = np.asarray(target, np.int64)
+    qlen, tlen = len(query), len(target)
+    mat = np.asarray(mat, np.int64).reshape(m, m)
+    sc_N = -e if mat[m - 1, m - 1] == 0 else int(mat[m - 1, m - 1])
+    gapoe = q + e
+    mat0 = int(mat[0, 0])
+    n_diag = qlen + tlen - 1
+    tv = tlen
+    KB, _ = key_params(tv)
+
+    D = np.full(n_diag, SENT, np.int64)
+    Dq = np.full(n_diag, SENT, np.int64)
+    hl = np.full(qlen, SENT, np.int64)
+    dmat = np.zeros((tlen, qlen), np.uint8)
+
+    jj = np.arange(qlen, dtype=np.int64)
+    H = -(gapoe + e * jj)              # H(-1, j)
+    E = H - gapoe                      # E(0, j)
+    for i in range(tlen):
+        if generic:
+            sc = mat[target[i], query]
+        else:
+            sc = np.where((target[i] == m - 1) | (query == m - 1), sc_N,
+                          np.where(query == target[i], mat0,
+                                   int(mat[0, 1])))
+        hb = 0 if i == 0 else -(gapoe + e * (i - 1))
+        Hd = np.concatenate(([hb], H[:-1]))
+        M = Hd + sc
+        cv = Hd + mat0
+        hnof = np.maximum(M, E)
+        hnof_c = np.minimum(hnof, cv)
+        # F prefix chain (== the DP's F; see module docstring)
+        A = hnof_c + jj * e - q
+        S0 = np.empty(qlen, np.int64)
+        S0[0] = -(2 * gapoe + e * i)
+        for k in range(1, qlen):
+            S0[k] = max(S0[k - 1], A[k - 1])
+        F = S0 - jj * e
+        Hn = np.minimum(np.maximum(hnof, F), cv)
+        # ---- direction bytes (reference tie rules)
+        if not right:
+            d = np.where(E > M, 1, 0).astype(np.uint8)
+            d = np.where(F > np.maximum(M, E), np.uint8(2), d)
+            ca = E > Hn - q
+            cb = F > Hn - q
+        else:
+            d = np.where(M > E, 0, 1).astype(np.uint8)
+            d = np.where(np.maximum(M, E) > F, d, np.uint8(2))
+            ca = E >= Hn - q
+            cb = F >= Hn - q
+        d |= np.where(ca, np.uint8(0x08), np.uint8(0))
+        d |= np.where(cb, np.uint8(0x10), np.uint8(0))
+        dmat[i] = d
+        # ---- record streams (as spec.strips)
+        En = np.maximum(E - e, Hn - gapoe)
+        H, E = Hn, En
+        r = i + jj
+        st0 = np.maximum(0, r - qlen + 1)
+        en0 = np.minimum(tlen - 1, r)
+        for x in range(qlen):
+            rr = int(r[x])
+            kf = merge_key(i, int(st0[x]), int(en0[x]), tv)
+            packed = Hn[x] * KB + (KB - 1 - kf)
+            if packed > D[rr]:
+                D[rr] = packed
+        Dq[i + qlen - 1] = Hn[qlen - 1]
+        if i == tlen - 1:
+            hl[:] = Hn
+    return {"D": D, "Dq": Dq, "hl": hl}, dmat
+
+
+def strips_extz_cigar(
+    query: np.ndarray,
+    target: np.ndarray,
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    zdrop: int = -1,
+    end_bonus: int = 0,
+    flag: Flag | int = Flag.NONE,
+) -> Tuple[Dict[str, int], List[int]]:
+    """Full strips-CIGAR extz for one pair: records replay (ez fields)
+    + row-major byte-matrix walk (ksw2_extz2_sse.c:292-301 start-cell
+    rules, ksw2.h:129-161 walk with is_rot=0)."""
+    flag = Flag(int(flag))
+    qlen, tlen = len(query), len(target)
+    rec, dmat = strips_forward_cigar(query, target, m, mat, q, e,
+                                     right=bool(flag & Flag.RIGHT))
+    ez = replay_records(rec["D"], rec["Dq"], rec["hl"], qlen, tlen, e,
+                        zdrop)
+    cigar: List[int] = []
+    if not ez["zdropped"] and not (flag & Flag.EXTZ_ONLY):
+        i0, j0 = tlen - 1, qlen - 1
+    elif not ez["zdropped"] and (flag & Flag.EXTZ_ONLY) \
+            and ez["mqe"] + end_bonus > ez["max"]:
+        i0, j0 = ez["mqe_t"], qlen - 1
+    elif ez["max_t"] >= 0 and ez["max_q"] >= 0:
+        i0, j0 = ez["max_t"], ez["max_q"]
+    else:
+        return ez, cigar
+    off = np.zeros(tlen, np.int32)
+    cigar = backtrack(dmat, off, None, qlen, i0, j0, is_rot=False,
+                      is_rev=bool(flag & Flag.REV_CIGAR))
+    return ez, cigar
+
+
+__all__ = ["strips_forward_cigar", "strips_extz_cigar"]
