@@ -160,4 +160,159 @@ def strips_extz_cigar(
     return ez, cigar
 
 
-__all__ = ["strips_forward_cigar", "strips_extz_cigar"]
+
+
+
+def strips_forward_cigar_extd(
+    query: np.ndarray,
+    target: np.ndarray,
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    q2: int,
+    e2: int,
+    right: bool = False,
+) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
+    """Two-piece row-major forward + the reference's 7-bit bytes.
+
+    Byte rules (ksw2_extd2_sse.c:191-322): argmax codes in candidate
+    order M, E(1), F(2), E2(3), F2(4) with UNclamped comparisons and the
+    clamp applied before the continuation thresholds (E/F vs H_c - q,
+    E2/F2 vs H_c - q2).  NOTE the bytes need the DP's OWN F values — the
+    score-path chain under-reports F where it opened from an F2-valued
+    cell (H is unaffected, the byte's 0x10 bit would not be): a kernel
+    CIGAR mode therefore needs a second F chain opened from the full
+    clamped H (one extra prefix scan per row); this spec computes the
+    row DP sequentially for clarity.  Caller passes POST-swap costs.
+    """
+    from .strips_extd import boundary_h, long_params
+
+    query = np.asarray(query, np.int64)
+    target = np.asarray(target, np.int64)
+    qlen, tlen = len(query), len(target)
+    mat = np.asarray(mat, np.int64).reshape(m, m)
+    sc_N = -e2 if mat[m - 1, m - 1] == 0 else int(mat[m - 1, m - 1])
+    qe, qe2 = q + e, q2 + e2
+    mat0 = int(mat[0, 0])
+    lt, ld = long_params(q, e, q2, e2)
+    n_diag = qlen + tlen - 1
+    tv = tlen
+    KB, _ = key_params(tv)
+
+    D = np.full(n_diag, SENT, np.int64)
+    Dq = np.full(n_diag, SENT, np.int64)
+    hl = np.full(qlen, SENT, np.int64)
+    dmat = np.zeros((tlen, qlen), np.uint8)
+
+    colH = boundary_h(tlen, qe, e, e2, lt, ld)
+    rowH = boundary_h(qlen, qe, e, e2, lt, ld)
+    H = rowH.copy()                    # H(-1, j)
+    E = rowH - qe                      # E(0, j)
+    E2 = rowH - qe2
+    for i in range(tlen):
+        sc = np.where((target[i] == m - 1) | (query == m - 1), sc_N,
+                      np.where(query == target[i], mat0, int(mat[0, 1])))
+        hb = 0 if i == 0 else int(colH[i - 1])
+        Hd = np.concatenate(([hb], H[:-1]))
+        Fv = int(colH[i]) - qe         # F(i, 0)
+        F2v = int(colH[i]) - qe2
+        Hn = np.empty(qlen, np.int64)
+        for j in range(qlen):
+            M = int(Hd[j]) + int(sc[j])
+            cv = int(Hd[j]) + mat0
+            z = M
+            d = 0
+            for cand, code in ((int(E[j]), 1), (Fv, 2),
+                               (int(E2[j]), 3), (F2v, 4)):
+                if (cand > z) if not right else (cand >= z):
+                    d = code
+                z = max(z, cand)
+            z = min(z, cv)
+            if not right:
+                ca = int(E[j]) > z - q
+                cb = Fv > z - q
+                ca2 = int(E2[j]) > z - q2
+                cb2 = F2v > z - q2
+            else:
+                ca = int(E[j]) >= z - q
+                cb = Fv >= z - q
+                ca2 = int(E2[j]) >= z - q2
+                cb2 = F2v >= z - q2
+            d |= (0x08 if ca else 0) | (0x10 if cb else 0) \
+                | (0x20 if ca2 else 0) | (0x40 if cb2 else 0)
+            dmat[i, j] = d
+            Hn[j] = z
+            Fv = max(Fv - e, z - qe)       # F(i, j+1)
+            F2v = max(F2v - e2, z - qe2)
+        En = np.maximum(E - e, Hn - qe)
+        E2n = np.maximum(E2 - e2, Hn - qe2)
+        H, E, E2 = Hn, En, E2n
+        r = i + np.arange(qlen, dtype=np.int64)
+        st0 = np.maximum(0, r - qlen + 1)
+        en0 = np.minimum(tlen - 1, r)
+        for x in range(qlen):
+            rr = int(r[x])
+            kf = merge_key(i, int(st0[x]), int(en0[x]), tv)
+            packed = Hn[x] * KB + (KB - 1 - kf)
+            if packed > D[rr]:
+                D[rr] = packed
+        Dq[i + qlen - 1] = Hn[qlen - 1]
+        if i == tlen - 1:
+            hl[:] = Hn
+    return {"D": D, "Dq": Dq, "hl": hl}, dmat
+
+
+def strips_extd_cigar(
+    query: np.ndarray,
+    target: np.ndarray,
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    q2: int,
+    e2: int,
+    zdrop: int = -1,
+    end_bonus: int = 0,
+    flag: Flag | int = Flag.NONE,
+) -> Tuple[Dict[str, int], List[int]]:
+    """Full strips-CIGAR extd: swap + pre-swap H-surface offset + e2
+    Z-drop slope (as spec.strips_extd) + row-major byte walk."""
+    flag = Flag(int(flag))
+    q, e, q2, e2 = int(q), int(e), int(q2), int(e2)
+    qe_pre = q + e
+    if q2 + e2 < q + e:
+        q, q2 = q2, q
+        e, e2 = e2, e
+    qlen, tlen = len(query), len(target)
+    rec, dmat = strips_forward_cigar_extd(
+        query, target, m, mat, q, e, q2, e2,
+        right=bool(flag & Flag.RIGHT))
+    off0 = (q + e) - qe_pre
+    if off0:
+        rec = {k: v.copy() for k, v in rec.items()}
+        for k in ("D",):
+            live = rec[k] != SENT
+            rec[k][live] += off0 * key_params(tlen)[0]
+        for k in ("Dq", "hl"):
+            live = rec[k] != SENT
+            rec[k][live] += off0
+    ez = replay_records(rec["D"], rec["Dq"], rec["hl"], qlen, tlen, e2,
+                        zdrop)
+    cigar: List[int] = []
+    if not ez["zdropped"] and not (flag & Flag.EXTZ_ONLY):
+        i0, j0 = tlen - 1, qlen - 1
+    elif not ez["zdropped"] and (flag & Flag.EXTZ_ONLY) \
+            and ez["mqe"] + end_bonus > ez["max"]:
+        i0, j0 = ez["mqe_t"], qlen - 1
+    elif ez["max_t"] >= 0 and ez["max_q"] >= 0:
+        i0, j0 = ez["max_t"], ez["max_q"]
+    else:
+        return ez, cigar
+    off = np.zeros(tlen, np.int32)
+    cigar = backtrack(dmat, off, None, qlen, i0, j0, is_rot=False,
+                      is_rev=bool(flag & Flag.REV_CIGAR))
+    return ez, cigar
+
+__all__ = ["strips_forward_cigar", "strips_extz_cigar",
+           "strips_forward_cigar_extd", "strips_extd_cigar"]

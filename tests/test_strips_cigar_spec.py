@@ -50,3 +50,27 @@ def test_gap_costs_and_edges():
             ez, _ = diagdiff.extz2(qs, ts, 5, MAT, q_, e_, w=-1, zdrop=60)
             got, cig = strips_extz_cigar(qs, ts, 5, MAT, q_, e_, zdrop=60)
             assert cig == ez.cigar and got["score"] == ez.score
+
+
+@pytest.mark.parametrize("prm", [(4, 2, 13, 1), (13, 1, 4, 2),
+                                 (6, 2, 24, 1)])
+def test_extd_cigar_matches_diagdiff(prm):
+    from ksw2_tpu.spec.strips_cigar import strips_extd_cigar
+
+    rng = np.random.default_rng(sum(prm) * 3)
+    for trial in range(8):
+        tlen = int(rng.integers(2, 220))
+        t, qy = refcmp.random_pair(
+            rng, tlen, divergence=float(rng.uniform(0, .4)),
+            indel=float(rng.uniform(0, .25)),
+            with_n=bool(rng.integers(0, 2)))
+        qs, ts = encode_dna(qy), encode_dna(t)
+        zdrop = [-1, 30, 100][trial % 3]
+        right = bool(trial % 2)
+        flag = Flag.RIGHT if right else Flag.NONE
+        ez, _ = diagdiff.extd2(qs, ts, 5, MAT, *prm, w=-1, zdrop=zdrop,
+                               flag=flag)
+        got, cig = strips_extd_cigar(qs, ts, 5, MAT, *prm, zdrop=zdrop,
+                                     flag=flag)
+        assert cig == ez.cigar, (prm, trial)
+        assert (got["score"], got["max"]) == (ez.score, ez.max)
