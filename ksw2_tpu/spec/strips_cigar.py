@@ -314,5 +314,141 @@ def strips_extd_cigar(
                       is_rev=bool(flag & Flag.REV_CIGAR))
     return ez, cigar
 
+
+def strips_exts_cigar(
+    query: np.ndarray,
+    target: np.ndarray,
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    q2: int,
+    noncan: int,
+    zdrop: int = -1,
+    junc_bonus: int = 0,
+    flag: Flag | int = Flag.NONE,
+    junc=None,
+) -> Tuple[Dict[str, int], List[int]]:
+    """Spliced strips-CIGAR (exts): row-major absolute recurrence with
+    the intron state carried VERTICALLY with no per-row decay —
+
+        N(i+1, j)   = max(N(i, j), H(i, j) + donor(i) - q2)
+        cand3(i, j) = N(i, j) + acceptor(i)
+
+    (donor paid at open, acceptor at close, free intron length), byte
+    codes M,E,F,N(3) with the 0x20 continuation bit from
+    ``N + q2 - H > donor(i)`` and NO per-cell clamp (exts has none);
+    boundaries step -e until long_thres, long_diff at it, then FLAT
+    (``boundary_h`` with e2 = 0); Z-drop gap slope 0
+    (ksw2_exts2_sse.c:398's apply_zdrop e).  Walk with
+    min_intron_len = long_thres emits N ops for long target gaps.
+    """
+    from ..spec.common import c_div
+    from .diagdiff import _splice_profiles
+    from .strips_extd import boundary_h
+
+    flag = Flag(int(flag))
+    right = bool(flag & Flag.RIGHT)
+    query = np.asarray(query, np.int64)
+    target = np.asarray(target, np.int64)
+    qlen, tlen = len(query), len(target)
+    mat = np.asarray(mat, np.int64).reshape(m, m)
+    sc_N = -e if mat[m - 1, m - 1] == 0 else int(mat[m - 1, m - 1])
+    qe = q + e
+    mat0 = int(mat[0, 0])
+    lt = c_div(q2 - q, e) - 1
+    if q2 > q + e + lt * e:
+        lt += 1
+    ld = lt * e - (q2 - q)
+    n_diag = qlen + tlen - 1
+    tv = tlen
+    KB, _ = key_params(tv)
+    donor, acceptor = _splice_profiles(target, tlen, tlen, noncan, flag,
+                                       junc, junc_bonus)
+    donor = donor.astype(np.int64)
+    acceptor = acceptor.astype(np.int64)
+
+    D = np.full(n_diag, SENT, np.int64)
+    Dq = np.full(n_diag, SENT, np.int64)
+    hl = np.full(qlen, SENT, np.int64)
+    dmat = np.zeros((tlen, qlen), np.uint8)
+
+    colH = boundary_h(tlen, qe, e, 0, lt, ld)
+    rowH = boundary_h(qlen, qe, e, 0, lt, ld)
+    jj = np.arange(qlen, dtype=np.int64)
+    H = rowH.copy()
+    E = rowH - qe
+    NI = rowH - q2                     # intron state entering row 0
+    for i in range(tlen):
+        sc = np.where((target[i] == m - 1) | (query == m - 1), sc_N,
+                      np.where(query == target[i], mat0, int(mat[0, 1])))
+        hb = 0 if i == 0 else int(colH[i - 1])
+        Hd = np.concatenate(([hb], H[:-1]))
+        M = Hd + sc
+        cand3 = NI + int(acceptor[i])
+        hnof = np.maximum(M, np.maximum(E, cand3))
+        # F prefix chain (no clamp in exts; chain == DP-F, q >= 0)
+        A = hnof + jj * e - q
+        S0 = np.empty(qlen, np.int64)
+        S0[0] = int(colH[i]) - qe
+        for k in range(1, qlen):
+            S0[k] = max(S0[k - 1], A[k - 1])
+        F = S0 - jj * e
+        Hn = np.maximum(hnof, F)
+        # ---- 7-bit bytes: codes M,E(1),F(2),N(3); order a, b, a2a
+        if not right:
+            d = np.where(E > M, 1, 0).astype(np.uint8)
+            z2 = np.maximum(M, E)
+            d = np.where(F > z2, np.uint8(2), d)
+            d = np.where(cand3 > np.maximum(z2, F), np.uint8(3), d)
+            ca = E > Hn - q
+            cb = F > Hn - q
+            cd = NI + q2 - Hn > int(donor[i])
+        else:
+            d = np.where(M > E, 0, 1).astype(np.uint8)
+            z2 = np.maximum(M, E)
+            d = np.where(z2 > F, d, np.uint8(2))
+            d = np.where(np.maximum(z2, F) > cand3, d, np.uint8(3))
+            ca = E >= Hn - q
+            cb = F >= Hn - q
+            cd = NI + q2 - Hn >= int(donor[i])
+        d |= np.where(ca, np.uint8(0x08), np.uint8(0))
+        d |= np.where(cb, np.uint8(0x10), np.uint8(0))
+        d |= np.where(cd, np.uint8(0x20), np.uint8(0))
+        dmat[i] = d
+        # ---- state updates + records
+        En = np.maximum(E - e, Hn - qe)
+        NIn = np.maximum(NI, Hn + int(donor[i]) - q2)
+        H, E, NI = Hn, En, NIn
+        r = i + jj
+        st0 = np.maximum(0, r - qlen + 1)
+        en0 = np.minimum(tlen - 1, r)
+        for x in range(qlen):
+            rr = int(r[x])
+            kf = merge_key(i, int(st0[x]), int(en0[x]), tv)
+            packed = Hn[x] * KB + (KB - 1 - kf)
+            if packed > D[rr]:
+                D[rr] = packed
+        Dq[i + qlen - 1] = Hn[qlen - 1]
+        if i == tlen - 1:
+            hl[:] = Hn
+    # exts d-byte order note: the reference evaluates a2a BETWEEN b?  No:
+    # candidate order is a, b, a2a (diagdiff.exts2) — matched above.
+    ez = replay_records(D, Dq, hl, qlen, tlen, 0, zdrop)
+    cigar: List[int] = []
+    if not ez["zdropped"] and not (flag & Flag.EXTZ_ONLY):
+        i0, j0 = tlen - 1, qlen - 1
+    elif ez["max_t"] >= 0 and ez["max_q"] >= 0:
+        i0, j0 = ez["max_t"], ez["max_q"]
+    else:
+        return ez, cigar
+    off = np.zeros(tlen, np.int32)
+    cigar = backtrack(dmat, off, None, qlen, i0, j0, is_rot=False,
+                      is_rev=bool(flag & Flag.REV_CIGAR),
+                      min_intron_len=lt)
+    return ez, cigar
+
+
 __all__ = ["strips_forward_cigar", "strips_extz_cigar",
-           "strips_forward_cigar_extd", "strips_extd_cigar"]
+           "strips_forward_cigar_extd", "strips_extd_cigar",
+           "strips_exts_cigar"]

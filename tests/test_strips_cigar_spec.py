@@ -74,3 +74,35 @@ def test_extd_cigar_matches_diagdiff(prm):
                                      flag=flag)
         assert cig == ez.cigar, (prm, trial)
         assert (got["score"], got["max"]) == (ez.score, ez.max)
+
+
+@pytest.mark.parametrize("fl,jb", [
+    (Flag.SPLICE_FOR, 0),
+    (Flag.SPLICE_FOR | Flag.SPLICE_FLANK, 0),
+    (Flag.SPLICE_REV, 0),
+    (Flag.SPLICE_FOR, 5),
+])
+def test_exts_cigar_matches_diagdiff(fl, jb):
+    from ksw2_tpu.spec.strips_cigar import strips_exts_cigar
+
+    smat = simple_mat(5, 1, -2)
+    rng = np.random.default_rng(int(fl) + jb)
+    for trial in range(8):
+        tlen = int(rng.integers(5, 200))
+        t, qy = refcmp.random_pair(
+            rng, tlen, divergence=float(rng.uniform(0, .35)),
+            indel=float(rng.uniform(0, .2)),
+            with_n=bool(rng.integers(0, 2)))
+        qs, ts = encode_dna(qy), encode_dna(t)
+        zdrop = [-1, 40, 150][trial % 3]
+        junc = None
+        if jb:
+            junc = rng.integers(0, 16, len(ts)).astype(np.uint8)
+        flag = fl | (Flag.RIGHT if trial % 2 else Flag.NONE)
+        ez, _ = diagdiff.exts2(qs, ts, 5, smat, 2, 1, 32, 4, zdrop=zdrop,
+                               junc_bonus=jb, flag=flag, junc=junc)
+        got, cig = strips_exts_cigar(qs, ts, 5, smat, 2, 1, 32, 4,
+                                     zdrop=zdrop, junc_bonus=jb,
+                                     flag=flag, junc=junc)
+        assert cig == ez.cigar, (fl, jb, trial)
+        assert (got["score"], got["max"]) == (ez.score, ez.max)
