@@ -80,6 +80,7 @@ class StripParams(NamedTuple):
     lt: int = 0            # long_thres (boundary-condition crossover)
     ld: int = 0            # long_diff
     off0: int = 0          # reference pre-swap H-seed offset (extd quirk)
+    cig: int = 0           # emit per-cell direction bytes (spec/strips_cigar)
 
 
 def key_params(tv: int):
@@ -88,14 +89,23 @@ def key_params(tv: int):
 
 
 def _kernel_body(prm: StripParams, refs):
+    n_in = 14 if prm.two else 12       # const planes before prof/words
+    ins, outs_scratch = refs[:n_in + 2], refs[n_in + 2:]
+    d8_out = None
+    if prm.cig:
+        D_out, Dq_out, hl_out, d8_out = outs_scratch[:4]
+        scratch = outs_scratch[4:]
+    else:
+        D_out, Dq_out, hl_out = outs_scratch[:3]
+        scratch = outs_scratch[3:]
     if prm.two:
         (sp, s127, qlp, tlp, vm, qrow, qlane, bHi, Hinit, Einit, E2init,
-         aoff, aoff2, lnp, prof, words, D_out, Dq_out, hl_out,
-         H, E, E2, dA, dB, dqA, dqB, bh1, bh2, bf1, bf2) = refs
+         aoff, aoff2, lnp, prof, words) = ins
+        (H, E, E2, dA, dB, dqA, dqB, bh1, bh2, bf1, bf2) = scratch
     else:
-        (sp, s127, qlp, tlp, vm, qrow, qlane, bHi, Hinit, Einit, aoff, lnp,
-         prof, words, D_out, Dq_out, hl_out,
-         H, E, dA, dB, dqA, dqB, bh1, bh2, bf1) = refs
+        (sp, s127, qlp, tlp, vm, qrow, qlane, bHi, Hinit, Einit, aoff,
+         lnp, prof, words) = ins
+        (H, E, dA, dB, dqA, dqB, bh1, bh2, bf1) = scratch
         E2init = aoff2 = E2 = bf2 = None
     R = prm.n_rows
     shape = (R, 128)
@@ -170,7 +180,8 @@ def _kernel_body(prm: StripParams, refs):
         bhv = jnp.where(strip0, hb0,
                         jnp.where(first, bHiv, bh2[...]))
         Hd = jnp.where(lane0, bhv, pltpu.roll(Hprev, 1, axis=1))
-        hnof = jnp.maximum(Hd + sc, Eprev)
+        Mv = Hd + sc
+        hnof = jnp.maximum(Mv, Eprev)
         if prm.two:
             E2prev = jnp.where(first, E2init[...], E2[...])
             hnof = jnp.maximum(hnof, E2prev)
@@ -209,6 +220,22 @@ def _kernel_body(prm: StripParams, refs):
         En = jnp.maximum(Eprev - prm.e, Hn - gapoe)
         H[...] = Hn
         E[...] = En
+
+        # ---- per-cell direction bytes (spec/strips_cigar rules: argmax
+        # code from UNclamped compares, continuation bits vs clamped Hn)
+        if prm.cig:
+            if prm.flag & int(Flag.RIGHT):
+                dby = jnp.where(Mv > Eprev, 0, 1)
+                dby = jnp.where(jnp.maximum(Mv, Eprev) > F, dby, 2)
+                ca = Eprev >= Hn - prm.q
+                cb = F >= Hn - prm.q
+            else:
+                dby = jnp.where(Eprev > Mv, 1, 0)
+                dby = jnp.where(F > jnp.maximum(Mv, Eprev), 2, dby)
+                ca = Eprev > Hn - prm.q
+                cb = F > Hn - prm.q
+            dby = dby | jnp.where(ca, 8, 0) | jnp.where(cb, 16, 0)
+            d8_out[tau] = dby.astype(jnp.uint8)
 
         # ---- outgoing boundary streams for the next strip
         seed = jnp.maximum(F, hnofc - prm.q) - prm.e
@@ -269,6 +296,10 @@ def _kernel_body(prm: StripParams, refs):
 
 
 def build_strips_call(prm: StripParams, interpret: bool = False):
+    if prm.cig and prm.two:
+        # the two-piece bytes need the DP's own F (an extra prefix chain
+        # opened from the full clamped H — spec/strips_cigar notes)
+        raise ValueError("two-piece strips byte emission is not built yet")
     R = prm.n_rows
     G = prm.t_pad // CH + 4            # +4 chunks drain the carry window
     NF = G // 4
@@ -300,14 +331,16 @@ def build_strips_call(prm: StripParams, interpret: bool = False):
             jax.ShapeDtypeStruct((NF, R, 128), I32),   # D records
             jax.ShapeDtypeStruct((NF, R, 128), I32),   # Dq records
             jax.ShapeDtypeStruct((R, 128), I32),       # hl
-        ],
+        ] + ([jax.ShapeDtypeStruct((G * CH, R, 128), jnp.uint8)]
+             if prm.cig else []),                      # direction bytes
         out_specs=[
             pl.BlockSpec((1, R, 128), lambda c: (c // 4, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, 128), lambda c: (c // 4, 0, 0),
                          memory_space=pltpu.VMEM),
             const,
-        ],
+        ] + ([pl.BlockSpec((CH, R, 128), lambda c: (c, 0, 0),
+                           memory_space=pltpu.VMEM)] if prm.cig else []),
         scratch_shapes=[pltpu.VMEM((R, 128), I32)] * n_scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -540,13 +573,14 @@ def _strips_run_fn(prm: StripParams, interpret: bool):
         words = jnp.transpose(words, (3, 0, 1, 2)).reshape(G, 3, R, 1)
 
         if prm.two:
-            D, Dq, hl = call(spv, s127, qlpv, tlpv, vm, qrow, qlane, bHi,
-                             Hinit, Einit, E2init, aoff, aoff2, lane,
-                             prof, words)
+            outs = call(spv, s127, qlpv, tlpv, vm, qrow, qlane, bHi,
+                        Hinit, Einit, E2init, aoff, aoff2, lane,
+                        prof, words)
         else:
-            D, Dq, hl = call(spv, s127, qlpv, tlpv, vm, qrow, qlane, bHi,
-                             Hinit, Einit, aoff, lane, prof, words)
-        return _postprocess(prm, D, Dq, hl, qlen, tlen)
+            outs = call(spv, s127, qlpv, tlpv, vm, qrow, qlane, bHi,
+                        Hinit, Einit, aoff, lane, prof, words)
+        rec = _postprocess(prm, outs[0], outs[1], outs[2], qlen, tlen)
+        return (rec, outs[3]) if prm.cig else rec
 
     return run
 
@@ -897,6 +931,54 @@ def strips_records(query, target, qlen, tlen, m, mat, q, e,
     """
     return _records_impl(query, target, qlen, tlen, m, mat, q, e, zdrop,
                          flag, interpret)
+
+
+def strips_cigar_forward(query, target, qlen, tlen, m, mat, q, e,
+                         zdrop=-1, flag=Flag.NONE,
+                         interpret: bool = False):
+    """One-piece strips forward EMITTING DIRECTION BYTES (the round-5
+    CIGAR kernel's first milestone; byte rules = spec/strips_cigar,
+    validated byte-exact against the reference's CIGAR walk).
+
+    Returns ``(records, d8, (S, Bp))``: per-pair (B, NFIELDS) records,
+    and the skewed byte store ``d8`` (steps, Bp*S, 128) uint8 where cell
+    (pair p, i, j) lives at ``d8[i + j//128, p*S + j//128, j%128]``.
+    The device walker over this layout is the remaining round-5 piece;
+    callers today (tests) decode on the host.  Single launch only.
+    """
+    flag = Flag(int(flag))
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    B, Lq = query.shape
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    S0, tlenp, BMAX = _strips_plan(B, Lq, qlen, tlen)
+    if B > BMAX:
+        raise ValueError("strips_cigar_forward is single-launch")
+    sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+    S, Bp = _plan_rows(B, S0, tlenp)
+    t_real = tlenp + S - 1
+    t_pad = round_up(t_real + 1, 128)
+    generic = bool(flag & Flag.GENERIC_SC)
+    prm = StripParams(
+        n_rows=Bp * S, s=S, tv=tlenp, t_pad=t_pad, t_real=t_real, m=m,
+        q=int(q), e=int(e), mat0=int(mat[0]), sc_mis=int(mat[1]),
+        sc_N=sc_N, zdrop=int(zdrop), flag=int(flag),
+        matt=tuple(int(v) for v in mat) if generic else (), cig=1)
+    run = _cached_strips_run(prm, interpret)
+    from .packio import pack_bases
+    qpad = np.zeros((Bp, S * 128), np.int8)
+    qpad[:B, :min(Lq, S * 128)] = np.asarray(query, np.int8)[:, :S * 128]
+    tpad = np.zeros((Bp, tlenp), np.int8)
+    tpad[:B, :min(target.shape[1], tlenp)] = \
+        np.asarray(target, np.int8)[:, :tlenp]
+    lens = np.zeros((2, Bp), np.int32)
+    lens[0, :B], lens[1, :B] = qlen, tlen
+    rec, d8 = run(jnp.asarray(pack_bases(qpad)),
+                  jnp.asarray(pack_bases(tpad)),
+                  jnp.asarray(lens[0]), jnp.asarray(lens[1]))
+    return rec[:B], d8, (S, Bp)
 
 
 def strips_extd_eligible(qlen, tlen, w, flag, m, mat, zdrop,
