@@ -477,6 +477,26 @@ def main():
          (ccells / 1e9) / best_of(run_mixed_cigar, n=3),
          "Gcells/s", baseline=0.60)  # ref extz2_sse -z100 serial loop
 
+    # streaming CIGAR variant: 8 full-alignment batches in flight before
+    # the first collect (align_batch_async) — the serving number for the
+    # CIGAR path, free of this terminal's fixed per-call tunnel tax the
+    # same way the score stream row is.  Same per-batch checksum.
+    from ksw2_tpu.batch.scheduler import align_batch_async
+
+    def run_mixed_cigar_stream():
+        hs = [align_batch_async(jobs_c, 5, mat, 4, 2, zdrop=100,
+                                flag=Flag.NONE)
+              for _ in range(8)]
+        for h in hs:
+            ezs = h.result()
+            tot = sum(ez.max for ez in ezs)
+            ctot = sum(len(ez.cigar) for ez in ezs)
+            assert (tot, ctot) == (133018, 23643), (tot, ctot)
+
+    emit("align_batch_mixed_cigar_stream8_gcells_per_s",
+         (8 * ccells / 1e9) / best_of(run_mixed_cigar_stream, n=3),
+         "Gcells/s", baseline=0.60)
+
     # spliced (mRNA-to-genome) batch: 256 two-exon reads vs 512 bp genomic
     # windows with a canonical GT..AG intron, full CIGARs (N ops for the
     # intron).  Parity anchor = spec exts2 checksum (spec itself is
