@@ -1,0 +1,278 @@
+"""Run-based on-device walker over the strips engine's skewed byte store.
+
+The strips forward (``ops/wavefront_strips.py`` with ``prm.cig=1``)
+emits the reference's row-major direction bytes into a SKEWED store:
+cell (pair p, target row i, query col j) lives at
+
+    d8[i + j//128, p*S + j//128, j % 128]
+
+i.e. step index ``t = i + j//128`` and plane row ``g = p*S + j//128``.
+A per-op walk (one fetch+reduce per CIGAR op, as
+``ops/traceback_device.py`` does over the anti-diagonal layout) would
+DEGENERATE here: along an in-strip insertion run (up to 127 ops) both
+``t`` and ``g`` are constant, so the op-indexed grid stream stalls on
+one lane row.  Instead each visit reads ONE ``(t, g)`` lane row and
+consumes the whole in-row insertion run vectorized (the stop lane is a
+single cross-lane reduce over the per-lane continuation predicate), so
+``t`` strictly decreases every visit and total row-visits <= total ops
+— the same streaming invariant as the diagonal walker.
+
+Per-visit semantics replay ``ksw_backtrack`` (ksw2.h:129-161, one-piece
+codes 0=H 1=E 2=F with 0x08/0x10 continuation bits; the strips store is
+effectively unbanded so there are no band-edge force states).  The key
+observation making the run vectorizable: with incoming state F the walk
+emits an insertion at lane ``x`` iff ``byte[x]`` has 0x10 set OR its
+argmax code is 2 (continuation-bit clear resets to state 0, which
+re-derives ``d&7`` — code 2 re-enters F) — a pure per-lane predicate.
+The first lane <= l where it fails is where the walk leaves the row
+with an M or D step (code in {0,1}), which decreases ``i`` hence ``t``.
+
+The walker emits BAM-encoded runs (``len<<4 | op``) instead of single
+ops; the host merges adjacent runs and applies the tail flush + reverse
+(``finish_runs``), mirroring ``traceback_device.finish_cigar``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.cigar import push
+from ..core.flags import CigarOp
+
+I32 = jnp.int32
+
+
+class SWParams(NamedTuple):
+    n_t: int         # step-axis length of the pair's byte store
+    sp: int          # padded strip rows (32-multiple)
+    blk: int         # steps per grid block
+    n_blocks: int
+    r_rows: int      # runs-buffer rows (x128 lanes)
+
+
+def _walk_kernel(prm: SWParams, refs):
+    (start_ref, d8_ref, res_ref, runs, st8) = refs
+    step = pl.program_id(0)
+    blk_hi = (prm.n_blocks - 1 - step) * prm.blk + prm.blk
+    blk_lo = blk_hi - prm.blk
+    lane = jax.lax.broadcasted_iota(I32, (1, 128), 1)
+    sub = jax.lax.broadcasted_iota(I32, (prm.sp, 128), 0)
+
+    I, J, STATE, K, DONE = range(5)
+
+    @pl.when(step == 0)
+    def _init():
+        st8[I] = start_ref[0]
+        st8[J] = start_ref[1]
+        st8[STATE] = 0
+        st8[K] = 0
+        st8[DONE] = 0
+
+    def visit(_, __):
+        i, j, state = st8[I], st8[J], st8[STATE]
+        strip = j >> 7
+        l = j & 127
+        t = i + strip
+        live = ((st8[DONE] == 0) & (i >= 0) & (j >= 0)
+                & (t >= blk_lo) & (t < blk_hi))
+
+        @pl.when(live)
+        def _():
+            slab = d8_ref[pl.ds(t - blk_lo, 1), :, :][0]        # (SP,128)
+            drow = jnp.max(jnp.where(sub == strip,
+                                     slab.astype(I32) & 255, 0),
+                           axis=0, keepdims=True)               # (1,128)
+            d_l = jnp.max(jnp.where(lane == l, drow, 0))
+            # ksw_backtrack state machine (no force states: unbanded)
+            s1 = jnp.where(state == 0, d_l & 7,
+                           jnp.where((d_l >> (state + 2)) & 1, state, 0))
+            s1 = jnp.where(s1 == 0, d_l & 7, s1)
+            run_mode = s1 == 2
+            # in-row insertion run: emit-I predicate per lane (see module
+            # docstring); first failing lane <= l ends the run
+            pred = (((drow >> 4) & 1) == 1) | ((drow & 7) == 2)
+            fail = jnp.logical_not(pred) & (lane <= l)
+            xmax = jnp.max(jnp.where(fail, lane, -1))
+            n = l - xmax                           # >= 1 when run_mode
+            d_x = jnp.max(jnp.where(lane == xmax, drow, 0))
+            stop_in_row = run_mode & (xmax >= 0)
+            # slot B: the single M/D op — either the run's stop cell
+            # (incoming F, bit clear, code in {0,1}) or the non-run op
+            b_s = jnp.where(run_mode, d_x & 7, s1)
+            emit_b = stop_in_row | jnp.logical_not(run_mode)
+            op_b = jnp.where(b_s == 0, 0, 2)       # 0=M, 2=D (one-piece)
+            nA = jnp.where(run_mode, n, 0)
+            jB = j - nA                            # run's stop column
+            st8[I] = jnp.where(emit_b, i - 1, i)
+            st8[J] = jnp.where(emit_b,
+                               jnp.where(b_s == 0, jB - 1, jB), jB)
+            st8[STATE] = jnp.where(emit_b, b_s, 2)
+            # emit runs (BAM len<<4|op); zero-length slots are skipped
+            k = st8[K]
+            row = runs[pl.ds(k >> 7, 1), :]
+            runs[pl.ds(k >> 7, 1), :] = jnp.where(
+                (lane == (k & 127)) & run_mode, (nA << 4) | 1, row)
+            k = k + jnp.where(run_mode, 1, 0)
+            row = runs[pl.ds(k >> 7, 1), :]
+            runs[pl.ds(k >> 7, 1), :] = jnp.where(
+                (lane == (k & 127)) & emit_b, 16 | op_b, row)
+            st8[K] = k + jnp.where(emit_b, 1, 0)
+
+        @pl.when((st8[I] < 0) | (st8[J] < 0))
+        def _fin():
+            st8[DONE] = 1
+
+    # t strictly decreases per visit, so blk visits cross the block
+    jax.lax.fori_loop(0, prm.blk, visit, None)
+
+    res_ref[0] = st8[I]
+    res_ref[1] = st8[J]
+    res_ref[2] = st8[K]
+
+
+def build_strips_walk(prm: SWParams, interpret: bool = False):
+    kernel = functools.partial(_walk_kernel, prm)
+
+    def wrap(*refs):
+        kernel(refs)
+
+    from .bands import stable_kernel_name
+    wrap.__name__ = stable_kernel_name("strips_walk", prm)
+    return pl.pallas_call(
+        wrap,
+        grid=(prm.n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # start (i0, j0)
+            pl.BlockSpec((prm.blk, prm.sp, 128),
+                         lambda k: (prm.n_blocks - 1 - k, 0, 0),
+                         memory_space=pltpu.VMEM),      # reversed blocks
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3,), jnp.int32),      # i, j, k
+            jax.ShapeDtypeStruct((prm.r_rows, 128), jnp.int32),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.SMEM((5,), jnp.int32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_walk(n_t: int, S: int, blk: int, interpret: bool):
+    """Jitted (slice pair p -> pad strips -> walk) over the batch store."""
+    sp = -(-S // 32) * 32
+    prm = SWParams(n_t=n_t, sp=sp, blk=blk, n_blocks=n_t // blk,
+                   r_rows=-(-2 * n_t // 128) + 1)
+    call = build_strips_walk(prm, interpret)
+
+    @jax.jit
+    def run(d8, p, start):
+        d8p = jax.lax.dynamic_slice(
+            d8, (0, p * S, 0), (n_t, S, 128))
+        d8p = jnp.pad(d8p, ((0, 0), (0, sp - S), (0, 0)))
+        return call(start, d8p)
+
+    return run
+
+
+def strips_walk(d8, S: int, p, i0: int, j0: int,
+                interpret: bool = False):
+    """Walk pair ``p``'s byte planes from cell (i0, j0); returns the
+    fetched ``(i_end, j_end, k, runs_flat)`` for :func:`finish_runs`."""
+    n_t = int(d8.shape[0])
+    blk = 128 if n_t % 128 == 0 else 32
+    if n_t % blk:
+        raise ValueError(f"step axis {n_t} not a multiple of {blk}")
+    run = _cached_walk(n_t, int(S), blk, interpret)
+    res, runs = run(d8, jnp.int32(p),
+                    jnp.asarray([i0, j0], np.int32))
+    res = np.asarray(res)
+    return int(res[0]), int(res[1]), int(res[2]), \
+        np.asarray(runs).ravel()
+
+
+def finish_runs(runs_flat: np.ndarray, count: int, i_end: int, j_end: int,
+                min_intron: int, is_rev: bool) -> List[int]:
+    """Merge the walk-order runs + tail flush + reverse (ksw2.h:150-159;
+    mirrors ``traceback_device.finish_cigar`` for run-based emission)."""
+    cigar: List[int] = []
+    for v in runs_flat[:count]:
+        v = int(v)
+        push(cigar, v & 0xF, v >> 4)
+    if i_end >= 0:
+        push(cigar,
+             CigarOp.N_SKIP if (min_intron > 0 and i_end >= min_intron)
+             else CigarOp.DEL, i_end + 1)
+    if j_end >= 0:
+        push(cigar, CigarOp.INS, j_end + 1)
+    if not is_rev:
+        cigar.reverse()
+    return cigar
+
+
+def strips_cigar_align(query, target, qlen, tlen, m, mat, q, e,
+                       zdrop: int = -1, end_bonus: int = 0,
+                       flag=None, interpret: bool = False):
+    """End-to-end strips CIGAR for a batch: skewed-store forward with
+    byte emission, record replay for the ez fields, then the run-based
+    device walker per pair from the reference's start cell
+    (ksw2_extz2_sse.c:292-301; walk ksw2.h:129-161 with is_rot=0).
+
+    Returns a list of :class:`ExtzResult` with CIGARs.  Callers must
+    have checked ``strips_eligible``.
+    """
+    from ..core.flags import Flag
+    from ..core.result import ExtzResult
+    from .batch_pallas import unpack_records
+    from .wavefront_strips import strips_cigar_forward
+
+    flag = Flag(int(Flag.NONE if flag is None else flag))
+    is_rev = bool(flag & Flag.REV_CIGAR)
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    rec, d8, (S, Bp) = strips_cigar_forward(
+        query, target, qlen, tlen, m, mat, q, e, zdrop=zdrop, flag=flag,
+        interpret=interpret)
+    fields = unpack_records(np.asarray(rec), int(mat[1:].min()),
+                            int(q), int(e))
+    B = len(fields["max"])
+    out = []
+    for p in range(B):
+        ez = ExtzResult(
+            max=int(fields["max"][p]), max_t=int(fields["max_t"][p]),
+            max_q=int(fields["max_q"][p]), mqe=int(fields["mqe"][p]),
+            mqe_t=int(fields["mqe_t"][p]), mte=int(fields["mte"][p]),
+            mte_q=int(fields["mte_q"][p]), score=int(fields["score"][p]),
+            zdropped=bool(fields["zdropped"][p]))
+        ql, tl = int(qlen[p]), int(tlen[p])
+        if not ez.zdropped and not (flag & Flag.EXTZ_ONLY):
+            i0, j0 = tl - 1, ql - 1
+        elif not ez.zdropped and (flag & Flag.EXTZ_ONLY) \
+                and ez.mqe + end_bonus > ez.max:
+            i0, j0 = ez.mqe_t, ql - 1
+            ez.reach_end = True
+        elif ez.max_t >= 0 and ez.max_q >= 0:
+            i0, j0 = ez.max_t, ez.max_q
+        else:
+            out.append(ez)
+            continue
+        ie, je, k, runs = strips_walk(d8, S, p, i0, j0,
+                                      interpret=interpret)
+        ez.cigar = finish_runs(runs, k, ie, je, 0, is_rev)
+        out.append(ez)
+    return out
+
+
+__all__ = ["SWParams", "build_strips_walk", "strips_walk", "finish_runs",
+           "strips_cigar_align"]

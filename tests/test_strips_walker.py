@@ -1,0 +1,77 @@
+"""Run-based strips walker vs the byte-exact CIGAR spec.
+
+The walker (ops/strips_walker.py) consumes the skewed byte store row by
+row; its (ez fields + CIGAR) must equal spec/strips_cigar's
+strips_extz_cigar, whose walk is byte-validated against the compiled
+reference.  Covers plain global-ish extensions, Z-dropped starts, and
+right-aligned ties.
+"""
+import numpy as np
+import pytest
+
+import refcmp
+from ksw2_tpu.core.flags import Flag
+from ksw2_tpu.core.matrix import encode_dna, simple_mat
+from ksw2_tpu.ops.strips_walker import strips_cigar_align
+from ksw2_tpu.spec.strips_cigar import strips_extz_cigar
+
+MAT = simple_mat(5, 2, -4)
+
+
+def _batch(pairs):
+    B = len(pairs)
+    Lq = max(len(q) for q, t in pairs)
+    Lt = max(len(t) for q, t in pairs)
+    Q = np.zeros((B, Lq), np.int32)
+    T = np.zeros((B, Lt), np.int32)
+    ql = np.zeros(B, np.int32)
+    tl = np.zeros(B, np.int32)
+    for i, (qv, tv) in enumerate(pairs):
+        Q[i, :len(qv)] = qv
+        T[i, :len(tv)] = tv
+        ql[i], tl[i] = len(qv), len(tv)
+    return Q, T, ql, tl
+
+
+@pytest.mark.parametrize("right,zdrop", [(False, 100), (True, 100),
+                                         (False, 25)])
+def test_walker_matches_spec(right, zdrop):
+    rng = np.random.default_rng(7)
+    pairs = []
+    for L, div, ind in ((220, 0.25, 0.12), (300, 0.1, 0.05),
+                        (150, 0.4, 0.2), (260, 0.55, 0.3)):
+        t, qy = refcmp.random_pair(rng, L, divergence=div, indel=ind,
+                                   with_n=True)
+        pairs.append((encode_dna(qy), encode_dna(t)))
+    Q, T, ql, tl = _batch(pairs)
+    flag = Flag.RIGHT if right else Flag.NONE
+    got = strips_cigar_align(Q, T, ql, tl, 5, MAT, 4, 2, zdrop=zdrop,
+                             flag=flag, interpret=True)
+    for p, (qv, tv) in enumerate(pairs):
+        ez, cig = strips_extz_cigar(qv, tv, 5, MAT, 4, 2, zdrop=zdrop,
+                                    flag=flag)
+        g = got[p]
+        assert (g.max, g.zdropped, g.max_t, g.max_q) == \
+            (ez["max"], bool(ez["zdropped"]), ez["max_t"], ez["max_q"]), p
+        assert (g.mqe, g.mqe_t, g.mte, g.mte_q, g.score) == \
+            (ez["mqe"], ez["mqe_t"], ez["mte"], ez["mte_q"], ez["score"]), p
+        assert g.cigar == cig, (p, right, zdrop)
+
+
+def test_walker_multi_strip_insertion_run():
+    """A long query insertion spanning a strip boundary exercises the
+    vectorized in-row run + the strip-crossing carry."""
+    rng = np.random.default_rng(11)
+    t = rng.integers(0, 4, 300).astype(np.int32)
+    # query = target with a 180 bp insertion at position 140
+    ins = rng.integers(0, 4, 180).astype(np.int32)
+    qy = np.concatenate([t[:140], ins, t[140:]]).astype(np.int32)
+    Q, T, ql, tl = _batch([(qy, t)])
+    got = strips_cigar_align(Q, T, ql, tl, 5, MAT, 4, 2, zdrop=-1,
+                             interpret=True)
+    ez, cig = strips_extz_cigar(qy, t, 5, MAT, 4, 2, zdrop=-1)
+    assert got[0].cigar == cig
+    assert got[0].max == ez["max"]
+    # the run really is there: one insertion op of length >= 170
+    lens = [(c >> 4) for c in cig if (c & 0xF) == 1]
+    assert lens and max(lens) >= 170
