@@ -274,5 +274,135 @@ def strips_cigar_align(query, target, qlen, tlen, m, mat, q, e,
     return out
 
 
+RUNS_CAP_ROWS = 17      # fetched runs rows per pair (2176 runs; the walk
+                        # buffer itself is uncapped — overflow re-walks)
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_cigar_batch(prm, B: int, end_bonus: int, interpret: bool):
+    """ONE jitted program: strips forward (byte emission) -> device
+    start cells (ksw2_extz2_sse.c:292-301 rules on the replayed
+    records) -> B run-based walkers -> capped runs fetch.  A whole
+    CIGAR bucket in a single execution — on a latency-taxed link the
+    per-execution round trip (~29 ms here) dominates any per-pair
+    dispatch, so fusing is what lets the strips engine reach the
+    production CIGAR rows."""
+    from ..core.flags import Flag
+    from .wavefront_strips import _strips_run_fn
+
+    fwd = _strips_run_fn(prm, interpret)
+    S = prm.s
+    n_t = prm.t_pad + 128          # d8 step axis: (t_pad//CH + 4) * CH
+    sp = -(-S // 32) * 32
+    wprm = SWParams(n_t=n_t, sp=sp, blk=128, n_blocks=n_t // 128,
+                    r_rows=-(-2 * n_t // 128) + 1)
+    walk = build_strips_walk(wprm, interpret)
+    cap = min(wprm.r_rows, RUNS_CAP_ROWS)
+    extz_only = bool(prm.flag & int(Flag.EXTZ_ONLY))
+
+    def fused(qpk, tpk, ql, tl):
+        rec, d8 = fwd(qpk, tpk, ql, tl)
+        mx, mt, mq = rec[:, 0], rec[:, 1], rec[:, 2]
+        mqe, mqe_t, zd = rec[:, 3], rec[:, 4], rec[:, 8]
+        cand_i = jnp.where((mt >= 0) & (mq >= 0), mt, -1)
+        cand_j = jnp.where((mt >= 0) & (mq >= 0), mq, -1)
+        if extz_only:
+            reach = (zd == 0) & (mqe + end_bonus > mx)
+            i0 = jnp.where(reach, mqe_t, cand_i)
+            j0 = jnp.where(reach, ql - 1, cand_j)
+        else:
+            i0 = jnp.where(zd == 0, tl - 1, cand_i)
+            j0 = jnp.where(zd == 0, ql - 1, cand_j)
+        res_all, runs_all = [], []
+        for p in range(B):
+            d8p = jnp.pad(d8[:, p * S:(p + 1) * S, :],
+                          ((0, 0), (0, sp - S), (0, 0)))
+            start = jnp.stack([i0[p], j0[p]]).astype(jnp.int32)
+            res, runs = walk(start, d8p)
+            res_all.append(res)
+            runs_all.append(runs[:cap])
+        return rec, jnp.stack(res_all), jnp.stack(runs_all)
+
+    return jax.jit(fused), cap * 128
+
+
+def strips_cigar_batch(query, target, qlen, tlen, m, mat, q, e,
+                       zdrop: int = -1, end_bonus: int = 0,
+                       flag=None, interpret: bool = False):
+    """Batched strips CIGARs in ONE execution (forward + start cells +
+    walkers fused; see :func:`_cached_cigar_batch`).  Same results as
+    :func:`strips_cigar_align`; single-launch batches only."""
+    from ..core.flags import Flag
+    from ..core.result import ExtzResult
+    from .batch_pallas import unpack_records
+    from .packio import pack_bases
+    from .wavefront_strips import (StripParams, _plan_rows, _strips_plan,
+                                   round_up)
+
+    flag = Flag(int(Flag.NONE if flag is None else flag))
+    is_rev = bool(flag & Flag.REV_CIGAR)
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    B, Lq = query.shape
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    S0, tlenp, BMAX = _strips_plan(B, Lq, qlen, tlen)
+    if B > BMAX:
+        raise ValueError("strips_cigar_batch is single-launch")
+    sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+    S, Bp = _plan_rows(B, S0, tlenp)
+    t_real = tlenp + S - 1
+    t_pad = round_up(t_real + 1, 128)
+    generic = bool(flag & Flag.GENERIC_SC)
+    prm = StripParams(
+        n_rows=Bp * S, s=S, tv=tlenp, t_pad=t_pad, t_real=t_real, m=m,
+        q=int(q), e=int(e), mat0=int(mat[0]), sc_mis=int(mat[1]),
+        sc_N=sc_N, zdrop=int(zdrop), flag=int(flag),
+        matt=tuple(int(v) for v in mat) if generic else (), cig=1)
+    run, k_cap = _cached_cigar_batch(prm, B, int(end_bonus), interpret)
+    qpad = np.zeros((Bp, S * 128), np.int8)
+    qpad[:B, :min(Lq, S * 128)] = np.asarray(query, np.int8)[:, :S * 128]
+    tpad = np.zeros((Bp, tlenp), np.int8)
+    tpad[:B, :min(target.shape[1], tlenp)] = \
+        np.asarray(target, np.int8)[:, :tlenp]
+    lens = np.zeros((2, Bp), np.int32)
+    lens[0, :B], lens[1, :B] = qlen, tlen
+    rec, res_all, runs_all = run(jnp.asarray(pack_bases(qpad)),
+                                 jnp.asarray(pack_bases(tpad)),
+                                 jnp.asarray(lens[0]),
+                                 jnp.asarray(lens[1]))
+    rec = np.asarray(rec)[:B]
+    res_all = np.asarray(res_all)
+    runs_all = np.asarray(runs_all).reshape(B, -1)
+    fields = unpack_records(rec, int(mat[1:].min()), int(q), int(e))
+    out = []
+    for p in range(B):
+        ez = ExtzResult(
+            max=int(fields["max"][p]), max_t=int(fields["max_t"][p]),
+            max_q=int(fields["max_q"][p]), mqe=int(fields["mqe"][p]),
+            mqe_t=int(fields["mqe_t"][p]), mte=int(fields["mte"][p]),
+            mte_q=int(fields["mte_q"][p]), score=int(fields["score"][p]),
+            zdropped=bool(fields["zdropped"][p]))
+        if (flag & Flag.EXTZ_ONLY) and not ez.zdropped \
+                and ez.mqe + end_bonus > ez.max:
+            ez.reach_end = True
+        had_start = (not ez.zdropped and not (flag & Flag.EXTZ_ONLY)) \
+            or ez.reach_end or (ez.max_t >= 0 and ez.max_q >= 0)
+        if had_start:
+            ie, je, k = (int(res_all[p, 0]), int(res_all[p, 1]),
+                         int(res_all[p, 2]))
+            if k > k_cap:      # capped fetch overflowed: re-walk alone
+                sub = strips_cigar_align(
+                    query[p:p + 1], target[p:p + 1], qlen[p:p + 1],
+                    tlen[p:p + 1], m, mat, q, e, zdrop=zdrop,
+                    end_bonus=end_bonus, flag=flag, interpret=interpret)
+                ez.cigar = sub[0].cigar
+            else:
+                ez.cigar = finish_runs(runs_all[p], k, ie, je, 0, is_rev)
+        out.append(ez)
+    return out
+
+
 __all__ = ["SWParams", "build_strips_walk", "strips_walk", "finish_runs",
-           "strips_cigar_align"]
+           "strips_cigar_align", "strips_cigar_batch"]

@@ -58,6 +58,31 @@ def test_walker_matches_spec(right, zdrop):
         assert g.cigar == cig, (p, right, zdrop)
 
 
+def test_fused_batch_matches_per_pair():
+    """strips_cigar_batch (one fused execution: forward + device start
+    cells + walkers) must equal the per-pair strips_cigar_align."""
+    from ksw2_tpu.ops.strips_walker import strips_cigar_batch
+
+    rng = np.random.default_rng(21)
+    pairs = []
+    for L, div, ind in ((200, 0.2, 0.1), (330, 0.5, 0.25),
+                        (120, 0.08, 0.04)):
+        t, qy = refcmp.random_pair(rng, L, divergence=div, indel=ind,
+                                   with_n=True)
+        pairs.append((encode_dna(qy), encode_dna(t)))
+    Q, T, ql, tl = _batch(pairs)
+    for flag, zdrop in ((Flag.NONE, 30), (Flag.RIGHT, -1)):
+        a = strips_cigar_batch(Q, T, ql, tl, 5, MAT, 4, 2, zdrop=zdrop,
+                               flag=flag, interpret=True)
+        b = strips_cigar_align(Q, T, ql, tl, 5, MAT, 4, 2, zdrop=zdrop,
+                               flag=flag, interpret=True)
+        for x, y in zip(a, b):
+            assert (x.max, x.zdropped, x.max_t, x.max_q, x.mqe, x.mqe_t,
+                    x.mte, x.mte_q, x.score, x.cigar) == \
+                   (y.max, y.zdropped, y.max_t, y.max_q, y.mqe, y.mqe_t,
+                    y.mte, y.mte_q, y.score, y.cigar)
+
+
 def test_walker_multi_strip_insertion_run():
     """A long query insertion spanning a strip boundary exercises the
     vectorized in-row run + the strip-crossing carry."""
