@@ -660,17 +660,49 @@ def align_batch(
                     end_bonus=end_bonus, flag=flag, defer=True)
                 cigar_pending.append((idxs, slices, False))
         else:
-            for i in idxs:
-                job = jobs[i]
-                if two_piece:
-                    ez, _ = extd2_device(job.query, job.target, m, mat, q, e,
-                                         q2, e2, w=job.w, zdrop=zdrop,
-                                         end_bonus=end_bonus, flag=flag)
-                else:
-                    ez, _ = extz2_device(job.query, job.target, m, mat, q, e,
-                                         w=job.w, zdrop=zdrop,
-                                         end_bonus=end_bonus, flag=flag)
-                results[i] = ez
+            routed = False
+            if not two_piece:
+                # big unbanded one-piece CIGAR buckets: the fused strips
+                # path runs the whole bucket (forward + start cells +
+                # walkers) in ONE execution instead of one per pair
+                from ..ops.strips_walker import (strips_cigar_batch,
+                                                 strips_cigar_eligible)
+                qlens = np.array([len(jobs[i].query) for i in idxs],
+                                 np.int32)
+                tlens = np.array([len(jobs[i].target) for i in idxs],
+                                 np.int32)
+                ws = np.array(
+                    [jobs[i].w if jobs[i].w >= 0 else
+                     max(len(jobs[i].query), len(jobs[i].target))
+                     for i in idxs], np.int32)
+                if strips_cigar_eligible(qlens, tlens, ws, flag, m, mat,
+                                         zdrop, q, e):
+                    B = len(idxs)
+                    Q = np.zeros((B, Lq), np.int32)
+                    T = np.zeros((B, Lt), np.int32)
+                    for k, i in enumerate(idxs):
+                        Q[k, :len(jobs[i].query)] = jobs[i].query
+                        T[k, :len(jobs[i].target)] = jobs[i].target
+                    ezs = strips_cigar_batch(Q, T, qlens, tlens, m, mat,
+                                             q, e, zdrop=zdrop,
+                                             end_bonus=end_bonus,
+                                             flag=flag)
+                    for k, i in enumerate(idxs):
+                        results[i] = ezs[k]
+                    routed = True
+            if not routed:
+                for i in idxs:
+                    job = jobs[i]
+                    if two_piece:
+                        ez, _ = extd2_device(job.query, job.target, m, mat,
+                                             q, e, q2, e2, w=job.w,
+                                             zdrop=zdrop,
+                                             end_bonus=end_bonus, flag=flag)
+                    else:
+                        ez, _ = extz2_device(job.query, job.target, m, mat,
+                                             q, e, w=job.w, zdrop=zdrop,
+                                             end_bonus=end_bonus, flag=flag)
+                    results[i] = ez
 
     # Phase 2 — ONE fused jitted execution for every deferred CIGAR
     # slice of the whole workload (forward kernels, device start cells,

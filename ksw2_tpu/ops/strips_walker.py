@@ -278,6 +278,22 @@ RUNS_CAP_ROWS = 17      # fetched runs rows per pair (2176 runs; the walk
                         # buffer itself is uncapped — overflow re-walks)
 
 
+def strips_cigar_eligible(qlen, tlen, w, flag, m, mat, zdrop,
+                          q, e) -> bool:
+    """Eligibility for the fused strips-CIGAR path: the strips score
+    conditions (exact mode, effectively unbanded, packed-key range) on
+    a one-piece CIGAR workload.  EQX stays on the single-pair engines
+    (no post-pass here)."""
+    from ..core.flags import Flag
+    from .wavefront_strips import strips_eligible
+
+    f = int(flag)
+    if f & (int(Flag.SCORE_ONLY) | int(Flag.EQX)):
+        return False
+    return strips_eligible(qlen, tlen, w, f | int(Flag.SCORE_ONLY),
+                           m, mat, zdrop, q, e)
+
+
 @functools.lru_cache(maxsize=32)
 def _cached_cigar_batch(prm, B: int, end_bonus: int, interpret: bool):
     """ONE jitted program: strips forward (byte emission) -> device
@@ -348,8 +364,15 @@ def strips_cigar_batch(query, target, qlen, tlen, m, mat, q, e,
     tlen = np.asarray(tlen, np.int32)
     mat = np.asarray(mat, dtype=np.int8).reshape(-1)
     S0, tlenp, BMAX = _strips_plan(B, Lq, qlen, tlen)
-    if B > BMAX:
-        raise ValueError("strips_cigar_batch is single-launch")
+    if B > BMAX:          # chunk oversized batches into fused launches
+        out = []
+        for i0 in range(0, B, BMAX):
+            out.extend(strips_cigar_batch(
+                query[i0:i0 + BMAX], target[i0:i0 + BMAX],
+                qlen[i0:i0 + BMAX], tlen[i0:i0 + BMAX], m, mat, q, e,
+                zdrop=zdrop, end_bonus=end_bonus, flag=flag,
+                interpret=interpret))
+        return out
     sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
     S, Bp = _plan_rows(B, S0, tlenp)
     t_real = tlenp + S - 1
@@ -405,4 +428,5 @@ def strips_cigar_batch(query, target, qlen, tlen, m, mat, q, e,
 
 
 __all__ = ["SWParams", "build_strips_walk", "strips_walk", "finish_runs",
-           "strips_cigar_align", "strips_cigar_batch"]
+           "strips_cigar_align", "strips_cigar_batch",
+           "strips_cigar_eligible"]

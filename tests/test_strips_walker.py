@@ -83,6 +83,41 @@ def test_fused_batch_matches_per_pair():
                     y.mte, y.mte_q, y.score, y.cigar)
 
 
+def test_scheduler_routes_big_cigar_bucket_to_strips(monkeypatch):
+    """align_batch's non-batchable one-piece CIGAR buckets must ride the
+    fused strips path when eligible, with per-pair parity vs the
+    single-pair device engine.  EXTZ_ONLY jobs land in that branch at
+    any length, which keeps this test interpret-cheap."""
+    import ksw2_tpu.ops.strips_walker as sw
+    from ksw2_tpu.batch.scheduler import AlignJob, align_batch
+    from ksw2_tpu.ops.extz import extz2_device
+
+    calls = []
+    real = sw.strips_cigar_batch
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(sw, "strips_cigar_batch", spy)
+    rng = np.random.default_rng(5)
+    jobs = []
+    for L in (180, 260, 240):
+        t, qy = refcmp.random_pair(rng, L, divergence=0.2, indel=0.1,
+                                   with_n=False)
+        jobs.append(AlignJob(query=encode_dna(qy), target=encode_dna(t)))
+    flag = Flag.EXTZ_ONLY
+    ezs = align_batch(jobs, 5, MAT, 4, 2, zdrop=100, end_bonus=10,
+                      flag=flag)
+    assert calls, "strips CIGAR route did not engage"
+    for job, g in zip(jobs, ezs):
+        ref, _ = extz2_device(job.query, job.target, 5, MAT, 4, 2,
+                              w=-1, zdrop=100, end_bonus=10, flag=flag)
+        assert (g.max, g.zdropped, g.mqe, g.mqe_t, g.reach_end,
+                g.cigar) == (ref.max, ref.zdropped, ref.mqe, ref.mqe_t,
+                             ref.reach_end, ref.cigar)
+
+
 def test_walker_multi_strip_insertion_run():
     """A long query insertion spanning a strip boundary exercises the
     vectorized in-row run + the strip-crossing carry."""
