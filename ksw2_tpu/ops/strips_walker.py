@@ -278,17 +278,35 @@ RUNS_CAP_ROWS = 17      # fetched runs rows per pair (2176 runs; the walk
                         # buffer itself is uncapped — overflow re-walks)
 
 
+def _fused_route_pays(B: int, tmax: int) -> bool:
+    """Cost model: fused strips-CIGAR (1 execution) vs per-pair fused
+    single-pair pipelines (B executions).  Constants measured on the
+    real chip 2026-08-21 (whale bucket decomposition): per-execution
+    round trip ~31 ms, walker ~15 us/visit with ~tmax visits/pair,
+    cig-forward ~15 us per target row, per-pair d8 slice+pad ~10 ms.
+    The walk is visit-serial, so LONG targets favor the per-pair path
+    (17x3000 bp measured 1.71 s fused vs 0.64 s per-pair) while many
+    SHORT pairs favor fusing (B x 31 ms of tax vs one)."""
+    strips = 0.035 + 15e-6 * tmax + B * (15e-6 * tmax + 0.010)
+    per_pair = B * 0.031
+    return strips < per_pair
+
+
 def strips_cigar_eligible(qlen, tlen, w, flag, m, mat, zdrop,
                           q, e) -> bool:
     """Eligibility for the fused strips-CIGAR path: the strips score
     conditions (exact mode, effectively unbanded, packed-key range) on
-    a one-piece CIGAR workload.  EQX stays on the single-pair engines
-    (no post-pass here)."""
+    a one-piece CIGAR workload, AND the cost model favoring one fused
+    execution over per-pair pipelines.  EQX stays on the single-pair
+    engines (no post-pass here)."""
     from ..core.flags import Flag
     from .wavefront_strips import strips_eligible
 
     f = int(flag)
     if f & (int(Flag.SCORE_ONLY) | int(Flag.EQX)):
+        return False
+    tlen = np.asarray(tlen)
+    if not _fused_route_pays(int(tlen.size), int(tlen.max(initial=0))):
         return False
     return strips_eligible(qlen, tlen, w, f | int(Flag.SCORE_ONLY),
                            m, mat, zdrop, q, e)

@@ -102,8 +102,8 @@ def test_scheduler_routes_big_cigar_bucket_to_strips(monkeypatch):
     monkeypatch.setattr(sw, "strips_cigar_batch", spy)
     rng = np.random.default_rng(5)
     jobs = []
-    for L in (180, 260, 240):
-        t, qy = refcmp.random_pair(rng, L, divergence=0.2, indel=0.1,
+    for _ in range(8):     # one bucket: the fused-route cost model
+        t, qy = refcmp.random_pair(rng, 250, divergence=0.2, indel=0.0,
                                    with_n=False)
         jobs.append(AlignJob(query=encode_dna(qy), target=encode_dna(t)))
     flag = Flag.EXTZ_ONLY
