@@ -413,6 +413,23 @@ def main():
          (10 * wcells / 1e9) / best_of(run_whale_strips, n=3),
          "Gcells/s", baseline=0.95)
 
+    # the same whale bucket WITH CIGARs through the scheduler: rides
+    # the fused strips-CIGAR route (byte-emitting forward + device
+    # start cells + run-based walkers in ONE execution).  Checksums
+    # are reference-binary-validated (seed 777).
+    from ksw2_tpu.batch.scheduler import align_batch as _align_batch
+
+    def run_whale_cigar():
+        ezs = _align_batch(whale, 5, mat, 4, 2, zdrop=100,
+                           flag=Flag.NONE)
+        tot = sum(e.max for e in ezs)
+        ctot = sum(len(e.cigar) for e in ezs)
+        assert (tot, ctot) == (32960, 5953), (tot, ctot)
+
+    emit("whale_17x3000_cigar_gcells_per_s",
+         (wcells / 1e9) / best_of(run_whale_cigar, n=3),
+         "Gcells/s", baseline=0.60)  # ref extz2_sse -z100 CIGAR loop
+
     # cross-process warm-up: a FRESH python process scoring a small mixed
     # batch (every kernel comes from the persistent compile cache — the
     # kalloc zero-per-call-setup contract; target < 10 s)

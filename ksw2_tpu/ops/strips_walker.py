@@ -64,7 +64,7 @@ def _walk_kernel(prm: SWParams, refs):
     lane = jax.lax.broadcasted_iota(I32, (1, 128), 1)
     sub = jax.lax.broadcasted_iota(I32, (prm.sp, 128), 0)
 
-    I, J, STATE, K, DONE = range(5)
+    I, J, STATE, K, DONE, OP, LEN = range(7)
 
     @pl.when(step == 0)
     def _init():
@@ -73,6 +73,19 @@ def _walk_kernel(prm: SWParams, refs):
         st8[STATE] = 0
         st8[K] = 0
         st8[DONE] = 0
+        st8[OP] = 0
+        st8[LEN] = 0
+
+    def flush():
+        # write the accumulated (op, len) run; no-op when empty
+        @pl.when(st8[LEN] > 0)
+        def _():
+            k = st8[K]
+            row = runs[pl.ds(k >> 7, 1), :]
+            runs[pl.ds(k >> 7, 1), :] = jnp.where(
+                lane == (k & 127), (st8[LEN] << 4) | st8[OP], row)
+            st8[K] = k + 1
+            st8[LEN] = 0
 
     def visit(_, __):
         i, j, state = st8[I], st8[J], st8[STATE]
@@ -113,19 +126,31 @@ def _walk_kernel(prm: SWParams, refs):
             st8[J] = jnp.where(emit_b,
                                jnp.where(b_s == 0, jB - 1, jB), jB)
             st8[STATE] = jnp.where(emit_b, b_s, 2)
-            # emit runs (BAM len<<4|op); zero-length slots are skipped
-            k = st8[K]
-            row = runs[pl.ds(k >> 7, 1), :]
-            runs[pl.ds(k >> 7, 1), :] = jnp.where(
-                (lane == (k & 127)) & run_mode, (nA << 4) | 1, row)
-            k = k + jnp.where(run_mode, 1, 0)
-            row = runs[pl.ds(k >> 7, 1), :]
-            runs[pl.ds(k >> 7, 1), :] = jnp.where(
-                (lane == (k & 127)) & emit_b, 16 | op_b, row)
-            st8[K] = k + jnp.where(emit_b, 1, 0)
+            # run-merged emission: most visits extend the open (op, len)
+            # pair in SMEM; the VMEM runs buffer is touched only at run
+            # boundaries (this is what makes M-heavy walks ~free of
+            # dynamic VMEM read-modify-writes)
+            @pl.when(run_mode & (st8[OP] != 1))
+            def _fa():
+                flush()
 
-        @pl.when((st8[I] < 0) | (st8[J] < 0))
+            @pl.when(run_mode)
+            def _a():
+                st8[OP] = 1
+                st8[LEN] = st8[LEN] + nA
+
+            @pl.when(emit_b & ((st8[OP] != op_b) | (st8[LEN] == 0)))
+            def _fb():
+                flush()
+
+            @pl.when(emit_b)
+            def _b():
+                st8[OP] = op_b
+                st8[LEN] = st8[LEN] + 1
+
+        @pl.when(((st8[I] < 0) | (st8[J] < 0)) & (st8[DONE] == 0))
         def _fin():
+            flush()
             st8[DONE] = 1
 
     # t strictly decreases per visit, so blk visits cross the block
@@ -161,7 +186,7 @@ def build_strips_walk(prm: SWParams, interpret: bool = False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.SMEM((5,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((7,), jnp.int32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -281,13 +306,13 @@ RUNS_CAP_ROWS = 17      # fetched runs rows per pair (2176 runs; the walk
 def _fused_route_pays(B: int, tmax: int) -> bool:
     """Cost model: fused strips-CIGAR (1 execution) vs per-pair fused
     single-pair pipelines (B executions).  Constants measured on the
-    real chip 2026-08-21 (whale bucket decomposition): per-execution
-    round trip ~31 ms, walker ~15 us/visit with ~tmax visits/pair,
-    cig-forward ~15 us per target row, per-pair d8 slice+pad ~10 ms.
-    The walk is visit-serial, so LONG targets favor the per-pair path
-    (17x3000 bp measured 1.71 s fused vs 0.64 s per-pair) while many
-    SHORT pairs favor fusing (B x 31 ms of tax vs one)."""
-    strips = 0.035 + 15e-6 * tmax + B * (15e-6 * tmax + 0.010)
+    real chip 2026-08-21 with the run-merged walker: per-execution
+    round trip ~31 ms, cig-forward ~15 us per target row, in-program
+    walker+slice ~(1 us x tmax + 2 ms) per pair (the whale bucket,
+    17x3000 bp, measured 137 ms fused vs 645 ms per-pair; 32x250 bp
+    EXTZ_ONLY measured 107 ms vs 1046 ms).  Only tiny buckets of very
+    long pairs still favor the per-pair path."""
+    strips = 0.035 + 15e-6 * tmax + B * (1e-6 * tmax + 0.002)
     per_pair = B * 0.031
     return strips < per_pair
 
