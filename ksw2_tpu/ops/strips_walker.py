@@ -303,17 +303,32 @@ RUNS_CAP_ROWS = 17      # fetched runs rows per pair (2176 runs; the walk
                         # buffer itself is uncapped — overflow re-walks)
 
 
+# Fused-route cost-model constants, overridable for other hardware via
+# KSW2T_FUSED_COST="exec_s,fwd_s_per_row,walk_s_per_row,slice_s" (see
+# _fused_route_pays; calibrate by timing one fused vs per-pair CIGAR
+# bucket on the target rig — bench/exp has the measurement scripts).
+import os as _os
+
+_FUSED_COST = tuple(
+    float(v) for v in _os.environ.get(
+        "KSW2T_FUSED_COST", "0.031,15e-6,1e-6,0.002").split(","))
+
+
 def _fused_route_pays(B: int, tmax: int) -> bool:
     """Cost model: fused strips-CIGAR (1 execution) vs per-pair fused
-    single-pair pipelines (B executions).  Constants measured on the
-    real chip 2026-08-21 with the run-merged walker: per-execution
+    single-pair pipelines (B executions).  Default constants measured on
+    the real chip 2026-08-21 with the run-merged walker: per-execution
     round trip ~31 ms, cig-forward ~15 us per target row, in-program
     walker+slice ~(1 us x tmax + 2 ms) per pair (the whale bucket,
     17x3000 bp, measured 137 ms fused vs 645 ms per-pair; 32x250 bp
     EXTZ_ONLY measured 107 ms vs 1046 ms).  Only tiny buckets of very
-    long pairs still favor the per-pair path."""
-    strips = 0.035 + 15e-6 * tmax + B * (1e-6 * tmax + 0.002)
-    per_pair = B * 0.031
+    long pairs still favor the per-pair path.  Other rigs can override
+    via KSW2T_FUSED_COST (results stay correct either way; the gate is
+    perf-only routing)."""
+    exec_s, fwd_row, walk_row, slice_s = _FUSED_COST
+    strips = 0.004 + exec_s + fwd_row * tmax + B * (walk_row * tmax
+                                                    + slice_s)
+    per_pair = B * exec_s
     return strips < per_pair
 
 
@@ -329,6 +344,11 @@ def strips_cigar_eligible(qlen, tlen, w, flag, m, mat, zdrop,
 
     f = int(flag)
     if f & (int(Flag.SCORE_ONLY) | int(Flag.EQX)):
+        return False
+    # degenerate-scoring guard (ksw2_extz2_sse.c: -min_sc > 2*(q+e)
+    # resets ez and attaches NO cigar); the per-pair engines apply it,
+    # so the fused route must decline rather than walk from the corner
+    if -int(np.asarray(mat).reshape(-1)[1:].min()) > 2 * (int(q) + int(e)):
         return False
     tlen = np.asarray(tlen)
     if not _fused_route_pays(int(tlen.size), int(tlen.max(initial=0))):

@@ -118,6 +118,31 @@ def test_scheduler_routes_big_cigar_bucket_to_strips(monkeypatch):
                              ref.reach_end, ref.cigar)
 
 
+def test_degenerate_scoring_declines_fused_route():
+    """-min_sc > 2*(q+e) resets ez with NO cigar in the reference and
+    every per-pair engine; the fused route must decline eligibility
+    instead of walking from the corner (round-4 advisor finding)."""
+    from ksw2_tpu.batch.scheduler import AlignJob, align_batch
+    from ksw2_tpu.ops.strips_walker import strips_cigar_eligible
+
+    mat = simple_mat(5, 1, -20)
+    ql = np.full(8, 250, np.int32)
+    tl = np.full(8, 250, np.int32)
+    ws = np.full(8, 500, np.int32)
+    assert not strips_cigar_eligible(ql, tl, ws, Flag.EXTZ_ONLY, 5, mat,
+                                     100, 4, 2)
+    rng = np.random.default_rng(3)
+    jobs = []
+    for _ in range(8):
+        t, qy = refcmp.random_pair(rng, 250, divergence=0.2, indel=0.05,
+                                   with_n=False)
+        jobs.append(AlignJob(query=encode_dna(qy), target=encode_dna(t)))
+    ezs = align_batch(jobs, 5, mat, 4, 2, zdrop=100, flag=Flag.EXTZ_ONLY)
+    from ksw2_tpu.core.flags import NEG_INF
+    for g in ezs:
+        assert g.cigar == [] and g.max == 0 and g.score == NEG_INF
+
+
 def test_walker_multi_strip_insertion_run():
     """A long query insertion spanning a strip boundary exercises the
     vectorized in-row run + the strip-crossing carry."""
