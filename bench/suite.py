@@ -40,6 +40,51 @@ def read_fa(path):
     return "".join(cur)
 
 
+REF_BIN = os.environ.get("KSW2_REF_BIN", "/tmp/refbuild/ksw2-test")
+_DNA = "ACGTN"
+
+
+def ref_serial_best(pairs, algo="extz2_sse", args=(), n=3):
+    """Best-of-n wall seconds of the reference binary's serial pair
+    loop (cli.c:220-248) on THIS workload, measured THIS sitting.
+
+    The recorded BASELINE.md numbers are real but this box's CPU clock
+    drifts between sittings (round-4 judge measured 1.23-1.49 Gc/s
+    where the recorded mixed baseline was 0.95) — a ratio should divide
+    same-sitting numbers, so every row that quotes a recorded baseline
+    also re-times the binary live and emits ``vs_baseline_live``.
+    ``pairs`` = [(query_encoded, target_encoded), ...].  Returns None
+    when the binary is absent (the row then omits the live fields).
+    """
+    if not os.path.exists(REF_BIN):
+        return None
+    import subprocess
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        tf = os.path.join(td, "t.fa")
+        qf = os.path.join(td, "q.fa")
+        with open(tf, "w") as f:
+            for i, (_, t) in enumerate(pairs):
+                f.write(">t%d\n%s\n" % (i, "".join(_DNA[c] for c in t)))
+        with open(qf, "w") as f:
+            for i, (q, _) in enumerate(pairs):
+                f.write(">q%d\n%s\n" % (i, "".join(_DNA[c] for c in q)))
+        cmd = [REF_BIN, "-t", algo, *map(str, args), tf, qf]
+        best = None
+        for _ in range(n):
+            t0 = time.time()
+            subprocess.run(cmd, stdout=subprocess.DEVNULL, check=True)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+    return best
+
+
+def ref_live_gcps(pairs, cells, algo="extz2_sse", args=(), n=3):
+    """Live reference throughput in Gcells/s (see ref_serial_best)."""
+    best = ref_serial_best(pairs, algo, args, n)
+    return None if best is None else cells / 1e9 / best
+
+
 def best_of(fn, n=4, retries=3):
     fn()  # compile
     best, fails = None, 0
@@ -60,10 +105,13 @@ def best_of(fn, n=4, retries=3):
     return best
 
 
-def emit(metric, value, unit, baseline=None):
+def emit(metric, value, unit, baseline=None, live=None):
     rec = {"metric": metric, "value": round(value, 3), "unit": unit}
     if baseline:
         rec["vs_baseline"] = round(value / baseline, 2)
+    if live:
+        rec["baseline_live"] = round(live, 3)
+        rec["vs_baseline_live"] = round(value / live, 2)
     print(json.dumps(rec), flush=True)
 
 
@@ -101,8 +149,10 @@ def main():
         ez, _ = extz2_device(q50, t50, 5, mat, 4, 2, flag=Flag.SCORE_ONLY)
         assert ez.score == 69932, ez.score
 
+    p50 = [(q50, t50)]
     emit("extz_50k_exact_score_gcells_per_s", c50 / best_of(run_extz),
-         "Gcells/s", baseline=1.31)
+         "Gcells/s", baseline=1.31,
+         live=ref_live_gcps(p50, c50, "extz2_sse", ["-s"]))
 
     def run_extz_approx():
         # the reference's headline '-sg' mode (README.md:104-105): approx
@@ -114,7 +164,8 @@ def main():
             (69932, 70010, 49962, 49999), (ez.score, ez.max)
 
     emit("extz_50k_approx_score_gcells_per_s", c50 / best_of(run_extz_approx),
-         "Gcells/s", baseline=5.10)  # ref extz2_sse -sg (BASELINE.md)
+         "Gcells/s", baseline=5.10,  # ref extz2_sse -sg (BASELINE.md)
+         live=ref_live_gcps(p50, c50, "extz2_sse", ["-s", "-g"]))
 
     def run_extd():
         ez, _ = extd2_device(q50, t50, 5, mat, 4, 2, 13, 1,
@@ -122,14 +173,17 @@ def main():
         assert ez.score == 70098, ez.score
 
     emit("extd_50k_exact_score_gcells_per_s", c50 / best_of(run_extd),
-         "Gcells/s", baseline=1.2)
+         "Gcells/s", baseline=1.2,
+         live=ref_live_gcps(p50, c50, "extd2_sse", ["-s"]))
 
     def run_extz_mt_cigar():
         ez, _ = extz2_device(qmt, tmt, 5, mat, 4, 2)
         assert ez.score == 16102, ez.score
 
+    pmt = [(qmt, tmt)]
     emit("extz_mt_cigar_gcells_per_s", cmt / best_of(run_extz_mt_cigar),
-         "Gcells/s", baseline=0.68)  # ref 16.5k +cigar 0.40s
+         "Gcells/s", baseline=0.68,  # ref 16.5k +cigar 0.40s
+         live=ref_live_gcps(pmt, cmt, "extz2_sse"))
 
     def run_extz_50k_cigar():
         ez, _ = extz2_device(q50, t50, 5, mat, 4, 2)
@@ -137,7 +191,8 @@ def main():
             (ez.score, len(ez.cigar))
 
     emit("extz_50k_cigar_gcells_per_s", c50 / best_of(run_extz_50k_cigar, n=2),
-         "Gcells/s", baseline=0.28)  # est: ref score 2.7s + traceback alloc
+         "Gcells/s", baseline=0.28,  # est: ref score 2.7s + traceback alloc
+         live=ref_live_gcps(p50, c50, "extz2_sse", n=2))
 
     def run_extf():
         ez = extf2_device(q50, t50, 2, -4, 2, xdrop=-1)
@@ -150,7 +205,8 @@ def main():
         assert s == 16102, s
 
     emit("gg2_mt_cigar_gcells_per_s", cmt / best_of(run_gg2_mt), "Gcells/s",
-         baseline=0.083)  # ref gg2 +cigar 3.3s
+         baseline=0.083,  # ref gg2 +cigar 3.3s
+         live=ref_live_gcps(pmt, cmt, "gg2_sse", n=2))
 
     # batched short pairs (device-resident timing; chained to force sync)
     from ksw2_tpu.ops import wavefront_batch as wb
@@ -211,8 +267,11 @@ def main():
     stb_ = np.maximum(0, np.maximum(rb - Lq_ + 1, (rb - W + 1) >> 1))
     enb_ = np.minimum(Lt_ - 1, np.minimum(rb, (rb + W) >> 1))
     bcells = Bb * int(np.maximum(0, enb_ - stb_ + 1).sum()) / 1e9
+    live_band = ref_live_gcps(p50, bcells / Bb, "extz2_sse",
+                              ["-s", "-w", 751, "-z", 400])
     emit("band_batch_64x50k_w751_gcells_per_s", bcells / best_of(run_band, n=3),
-         "Gcells/s", baseline=1.14)  # ref extz2_sse -w751 -z400, this machine
+         "Gcells/s", baseline=1.14,  # ref extz2_sse -w751 -z400, this machine
+         live=live_band)
 
     from ksw2_tpu.ops.band_batch import extd_band_batch_device
 
@@ -225,7 +284,9 @@ def main():
 
     emit("band_batch_extd_64x50k_w751_gcells_per_s",
          bcells / best_of(run_band_extd, n=3),
-         "Gcells/s", baseline=1.05)  # ref extd2_sse -w751 -z400, this machine
+         "Gcells/s", baseline=1.05,  # ref extd2_sse -w751 -z400, this machine
+         live=ref_live_gcps(p50, bcells / Bb, "extd2_sse",
+                            ["-s", "-w", 751, "-z", 400]))
 
     # approx-max + approx-drop (minimap2's long-join production flags, the
     # reference's -g): the O(1) H0 walk replaces the exact per-diagonal
@@ -240,7 +301,9 @@ def main():
 
     emit("band_batch_approx_64x50k_w751_gcells_per_s",
          bcells / best_of(run_band_approx, n=3),
-         "Gcells/s", baseline=4.45)  # ref extz2_sse -w751 -z400 -sg -R100
+         "Gcells/s", baseline=4.45,  # ref extz2_sse -w751 -z400 -sg -R100
+         live=ref_live_gcps(p50, bcells / Bb, "extz2_sse",
+                            ["-s", "-g", "-w", 751, "-z", 400]))
 
     # full CIGARs for a batch of long banded pairs: forward direction
     # planes AND the batched traceback stay on the chip
@@ -256,7 +319,9 @@ def main():
 
     emit("band_batch_cigar_32x50k_w751_gcells_per_s",
          (bcells * Bc / Bb) / best_of(run_band_cigar, n=2),
-         "Gcells/s", baseline=0.70)  # ref extz2_sse -w751 -z400 +cigar
+         "Gcells/s", baseline=0.70,  # ref extz2_sse -w751 -z400 +cigar
+         live=ref_live_gcps(p50, bcells / Bb, "extz2_sse",
+                            ["-w", 751, "-z", 400], n=2))
 
     # drop-heavy workload: matching 10k prefix then base-rotated tail, so
     # every pair z-drops ~20% in.  The reference BREAKS its loop there; the
@@ -276,7 +341,9 @@ def main():
 
     emit("band_batch_drop_64x50k_w751_gcells_per_s",
          bcells / best_of(run_band_drop, n=3),
-         "Gcells/s", baseline=5.36)  # ref extz2_sse, same input+cell basis
+         "Gcells/s", baseline=5.36,  # ref extz2_sse, same input+cell basis
+         live=ref_live_gcps([(qdrop, t50)], bcells / Bb, "extz2_sse",
+                            ["-s", "-w", 751, "-z", 400]))
 
     # 1.5k-target bucket: rows-per-pair P=12 packing (t-coordinate batch
     # engine beyond the old 1024 cap)
@@ -317,7 +384,10 @@ def main():
     dt15 = min(chain15(50), chain15(50))
     emit("batch_p12_32x1500_gcells_per_s",
          B15 * L15 * L15 / 1e9 / dt15,
-         "Gcells/s", baseline=1.12)  # ref extz2_sse -z200 -s, same pairs
+         "Gcells/s", baseline=1.12,  # ref extz2_sse -z200 -s, same pairs
+         live=ref_live_gcps([(Q15[i], T15[i]) for i in range(B15)],
+                            B15 * L15 * L15,
+                            "extz2_sse", ["-s", "-z", 200]))
 
     # mixed-length production workload through the scheduler (the
     # reference's serial CLI pair loop is the baseline): 512 pairs,
@@ -343,9 +413,13 @@ def main():
         tot = sum(ez.max for ez in ezs)
         assert tot == 165978, tot      # spec == reference binary checksum
 
+    mpairs = [(j.query, j.target) for j in jobs]
+    live_mixed = ref_live_gcps(mpairs, mcells, "extz2_sse",
+                               ["-s", "-z", 100])
     emit("align_batch_mixed_512_gcells_per_s",
          (mcells / 1e9) / best_of(run_mixed, n=3),
-         "Gcells/s", baseline=0.95)  # ref extz2_sse -z100 -s serial loop
+         "Gcells/s", baseline=0.95,  # ref extz2_sse -z100 -s serial loop
+         live=live_mixed)
 
     # the same mix at a production batch size (4x; checksum scales
     # exactly, the serial reference's Gcells/s baseline is invariant)
@@ -359,7 +433,7 @@ def main():
 
     emit("align_batch_mixed_2048_gcells_per_s",
          (4 * mcells / 1e9) / best_of(run_mixed4, n=3),
-         "Gcells/s", baseline=0.95)
+         "Gcells/s", baseline=0.95, live=live_mixed)
 
     # streaming variant: 8 batches submitted before the first collect.
     # Amortizes this terminal's fixed per-call tunnel tax (~25 ms pallas
@@ -378,7 +452,7 @@ def main():
 
     emit("align_batch_mixed_512_stream8_gcells_per_s",
          (8 * mcells / 1e9) / best_of(run_mixed_stream, n=3),
-         "Gcells/s", baseline=0.95)
+         "Gcells/s", baseline=0.95, live=live_mixed)
 
     # strips engine row: the 17x~3000 bp "whale" bucket (the mixed row's
     # biggest compute block) on the strip-tiled engine — 4 reps fused in
@@ -409,9 +483,12 @@ def main():
         chk = int(arr[:, 0].sum())
         assert chk == 10 * 32960, chk  # spec diagdiff checksum (seed 777)
 
+    wpairs = [(j.query, j.target) for j in whale]
     emit("strips_whale_17x3000_gcells_per_s",
          (10 * wcells / 1e9) / best_of(run_whale_strips, n=3),
-         "Gcells/s", baseline=0.95)
+         "Gcells/s", baseline=0.95,
+         live=ref_live_gcps(wpairs, wcells, "extz2_sse",
+                            ["-s", "-z", 100]))
 
     # the same whale bucket WITH CIGARs through the scheduler: rides
     # the fused strips-CIGAR route (byte-emitting forward + device
@@ -426,9 +503,12 @@ def main():
         ctot = sum(len(e.cigar) for e in ezs)
         assert (tot, ctot) == (32960, 5953), (tot, ctot)
 
+    live_whale_cig = ref_live_gcps(wpairs, wcells, "extz2_sse",
+                                   ["-z", 100])
     emit("whale_17x3000_cigar_gcells_per_s",
          (wcells / 1e9) / best_of(run_whale_cigar, n=3),
-         "Gcells/s", baseline=0.60)  # ref extz2_sse -z100 CIGAR loop
+         "Gcells/s", baseline=0.60,  # ref extz2_sse -z100 CIGAR loop
+         live=live_whale_cig)
 
     # cross-process warm-up: a FRESH python process scoring a small mixed
     # batch (every kernel comes from the persistent compile cache — the
@@ -490,9 +570,12 @@ def main():
         ctot = sum(len(ez.cigar) for ez in ezs)
         assert (tot, ctot) == (133018, 23643), (tot, ctot)
 
+    live_mixed_cig = ref_live_gcps([(j.query, j.target) for j in jobs_c],
+                                   ccells, "extz2_sse", ["-z", 100])
     emit("align_batch_mixed_cigar_gcells_per_s",
          (ccells / 1e9) / best_of(run_mixed_cigar, n=3),
-         "Gcells/s", baseline=0.60)  # ref extz2_sse -z100 serial loop
+         "Gcells/s", baseline=0.60,  # ref extz2_sse -z100 serial loop
+         live=live_mixed_cig)
 
     # streaming CIGAR variant: 8 full-alignment batches in flight before
     # the first collect (align_batch_async) — the serving number for the
@@ -512,7 +595,7 @@ def main():
 
     emit("align_batch_mixed_cigar_stream8_gcells_per_s",
          (8 * ccells / 1e9) / best_of(run_mixed_cigar_stream, n=3),
-         "Gcells/s", baseline=0.60)
+         "Gcells/s", baseline=0.60, live=live_mixed_cig)
 
     # spliced (mRNA-to-genome) batch: 256 two-exon reads vs 512 bp genomic
     # windows with a canonical GT..AG intron, full CIGARs (N ops for the
@@ -549,7 +632,9 @@ def main():
         assert (tot, ctot) == (4 * 47099, 4 * 1394), (tot, ctot)
 
     emit("splice_batch_1024x512_cigar_gcells_per_s",
-         (scells / 1e9) / best_of(run_splice, n=3), "Gcells/s")
+         (scells / 1e9) / best_of(run_splice, n=3), "Gcells/s",
+         live=ref_live_gcps([(j.query, j.target) for j in jobs_s],
+                            scells, "exts2_sse", ["-z", 200], n=2))
 
     # batched Smith-Waterman local alignment (declared-but-absent upstream;
     # implemented here): 512 pairs of 128 bp, score + end cell.  Anchor =

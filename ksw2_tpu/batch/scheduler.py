@@ -394,6 +394,26 @@ def align_batch_scores2(
     3072 ride the batched extd engine, anything larger falls back to the
     single-pair kernel.
     """
+    return align_batch_scores2_async(jobs, m, mat, q, e, q2, e2,
+                                     zdrop=zdrop, flag=flag).result()
+
+
+def align_batch_scores2_async(
+    jobs: Sequence[AlignJob],
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    q2: int,
+    e2: int,
+    zdrop: int = -1,
+    flag: Flag | int = Flag.SCORE_ONLY,
+) -> PendingScores:
+    """Submit a two-piece score batch without waiting; the extd twin of
+    :func:`align_batch_scores_async` with the same handle contract
+    (several batches in flight overlap each batch's tunnel/launch
+    latency with the next batch's compute — the production serving
+    shape)."""
     from ..ops.batch_pallas import extd_batch_records
 
     flag = Flag(int(flag)) | Flag.SCORE_ONLY
@@ -467,7 +487,7 @@ def align_batch_scores2(
     _start_host_copies(pending)
     qc, ec = (q, e) if q + e <= q2 + e2 else (q2, e2)
     return PendingScores(results, pending, guard=-min_sc > 2 * (qc + ec),
-                         fused=fused).result()
+                         fused=fused)
 
 
 
@@ -510,6 +530,11 @@ def align_batch_async(
         h = align_batch_scores_async(jobs, m, mat, q, e, zdrop=zdrop,
                                      flag=flag)
         return PendingAligns(h.result)
+    if score_only and two_piece and end_bonus == 0 \
+            and not (flag & Flag.EXTZ_ONLY):
+        h2 = align_batch_scores2_async(jobs, m, mat, q, e, q2, e2,
+                                       zdrop=zdrop, flag=flag)
+        return PendingAligns(h2.result)
     return align_batch(jobs, m, mat, q, e, q2, e2, zdrop=zdrop,
                        end_bonus=end_bonus, flag=flag, _defer=True)
 
@@ -661,35 +686,42 @@ def align_batch(
                 cigar_pending.append((idxs, slices, False))
         else:
             routed = False
-            if not two_piece:
-                # big unbanded one-piece CIGAR buckets: the fused strips
-                # path runs the whole bucket (forward + start cells +
-                # walkers) in ONE execution instead of one per pair
-                from ..ops.strips_walker import (strips_cigar_batch,
-                                                 strips_cigar_eligible)
-                qlens = np.array([len(jobs[i].query) for i in idxs],
-                                 np.int32)
-                tlens = np.array([len(jobs[i].target) for i in idxs],
-                                 np.int32)
-                ws = np.array(
-                    [jobs[i].w if jobs[i].w >= 0 else
-                     max(len(jobs[i].query), len(jobs[i].target))
-                     for i in idxs], np.int32)
-                if strips_cigar_eligible(qlens, tlens, ws, flag, m, mat,
-                                         zdrop, q, e):
-                    B = len(idxs)
-                    Q = np.zeros((B, Lq), np.int32)
-                    T = np.zeros((B, Lt), np.int32)
-                    for k, i in enumerate(idxs):
-                        Q[k, :len(jobs[i].query)] = jobs[i].query
-                        T[k, :len(jobs[i].target)] = jobs[i].target
-                    ezs = strips_cigar_batch(Q, T, qlens, tlens, m, mat,
-                                             q, e, zdrop=zdrop,
-                                             end_bonus=end_bonus,
-                                             flag=flag)
-                    for k, i in enumerate(idxs):
-                        results[i] = ezs[k]
-                    routed = True
+            # big unbanded CIGAR buckets: the fused strips path runs the
+            # whole bucket (forward + start cells + walkers) in ONE
+            # execution instead of one per pair; one-piece and two-piece
+            # (5-state walker, ksw2_extd2_sse.c:191-322) both route
+            from ..ops.strips_walker import (strips_cigar_batch,
+                                             strips_cigar_eligible,
+                                             strips_cigar_extd_eligible)
+            qlens = np.array([len(jobs[i].query) for i in idxs],
+                             np.int32)
+            tlens = np.array([len(jobs[i].target) for i in idxs],
+                             np.int32)
+            ws = np.array(
+                [jobs[i].w if jobs[i].w >= 0 else
+                 max(len(jobs[i].query), len(jobs[i].target))
+                 for i in idxs], np.int32)
+            if two_piece:
+                strips_ok = strips_cigar_extd_eligible(
+                    qlens, tlens, ws, flag, m, mat, zdrop, q, e, q2, e2)
+            else:
+                strips_ok = strips_cigar_eligible(qlens, tlens, ws, flag,
+                                                  m, mat, zdrop, q, e)
+            if strips_ok:
+                B = len(idxs)
+                Q = np.zeros((B, Lq), np.int32)
+                T = np.zeros((B, Lt), np.int32)
+                for k, i in enumerate(idxs):
+                    Q[k, :len(jobs[i].query)] = jobs[i].query
+                    T[k, :len(jobs[i].target)] = jobs[i].target
+                ezs = strips_cigar_batch(Q, T, qlens, tlens, m, mat,
+                                         q, e, zdrop=zdrop,
+                                         end_bonus=end_bonus,
+                                         flag=flag, two=two_piece,
+                                         q2=q2 or 0, e2=e2 or 0)
+                for k, i in enumerate(idxs):
+                    results[i] = ezs[k]
+                routed = True
             if not routed:
                 for i in idxs:
                     job = jobs[i]
@@ -976,5 +1008,6 @@ def _finish_splice_pending(splice_pending, results, m, mat, q, e, q2,
 
 
 __all__ = ["AlignJob", "align_batch_scores", "align_batch_scores_async",
+           "align_batch_scores2", "align_batch_scores2_async",
            "PendingScores", "PendingAligns", "align_batch",
            "align_batch_async", "align_batch_splice"]

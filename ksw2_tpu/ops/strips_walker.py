@@ -42,7 +42,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.cigar import push
 from ..core.flags import CigarOp
 
 I32 = jnp.int32
@@ -54,17 +53,20 @@ class SWParams(NamedTuple):
     blk: int         # steps per grid block
     n_blocks: int
     r_rows: int      # runs-buffer rows (x128 lanes)
+    two: int = 0     # 5-state (extd/exts) bytes: codes 0..4, bits 3..6
+    nop: int = 0     # state 3 emits op N (exts intron) instead of D
 
 
 def _walk_kernel(prm: SWParams, refs):
-    (start_ref, d8_ref, res_ref, runs, st8) = refs
+    (start_ref, d8_ref, res_ref, runs, st8, plane) = refs
     step = pl.program_id(0)
     blk_hi = (prm.n_blocks - 1 - step) * prm.blk + prm.blk
     blk_lo = blk_hi - prm.blk
     lane = jax.lax.broadcasted_iota(I32, (1, 128), 1)
-    sub = jax.lax.broadcasted_iota(I32, (prm.sp, 128), 0)
+    rowi = jax.lax.broadcasted_iota(I32, (prm.blk, 128), 0)
+    lanei = jax.lax.broadcasted_iota(I32, (prm.blk, 128), 1)
 
-    I, J, STATE, K, DONE, OP, LEN = range(7)
+    I, J, STATE, K, DONE, OP, LEN, CBLK, CSTRIP = range(9)
 
     @pl.when(step == 0)
     def _init():
@@ -75,6 +77,8 @@ def _walk_kernel(prm: SWParams, refs):
         st8[DONE] = 0
         st8[OP] = 0
         st8[LEN] = 0
+        st8[CBLK] = -1
+        st8[CSTRIP] = -1
 
     def flush():
         # write the accumulated (op, len) run; no-op when empty
@@ -87,74 +91,182 @@ def _walk_kernel(prm: SWParams, refs):
             st8[K] = k + 1
             st8[LEN] = 0
 
-    def visit(_, __):
-        i, j, state = st8[I], st8[J], st8[STATE]
+    def in_block(c):
+        i, j = c
+        return (i >= 0) & (j >= 0) & (i + (j >> 7) >= blk_lo)
+
+    def visit(c):
+        i, j = c
+        state = st8[STATE]
         strip = j >> 7
         l = j & 127
         t = i + strip
-        live = ((st8[DONE] == 0) & (i >= 0) & (j >= 0)
-                & (t >= blk_lo) & (t < blk_hi))
 
-        @pl.when(live)
-        def _():
-            slab = d8_ref[pl.ds(t - blk_lo, 1), :, :][0]        # (SP,128)
-            drow = jnp.max(jnp.where(sub == strip,
-                                     slab.astype(I32) & 255, 0),
-                           axis=0, keepdims=True)               # (1,128)
+        if True:
+            # cached strip plane: the (blk, 128) byte rows of the
+            # CURRENT strip, rebuilt only when the walk changes block or
+            # strip (M/D runs stay put; I runs cross at most once per
+            # visit).  The byte store arrives TRANSPOSED (sp, blk, 128)
+            # so the rebuild is one leading-axis dynamic slice + copy
+            # (no cross-sublane reduce); every visit then reads (1,128)
+            # rows, and diagonal M-runs extract straight from the plane.
+            @pl.when((st8[CBLK] != step) | (st8[CSTRIP] != strip))
+            def _build():
+                plane[...] = d8_ref[pl.ds(strip, 1), :, :][0] \
+                    .astype(I32) & 255
+                st8[CBLK] = step
+                st8[CSTRIP] = strip
+
+            drow = plane[pl.ds(t - blk_lo, 1), :]               # (1,128)
             d_l = jnp.max(jnp.where(lane == l, drow, 0))
             # ksw_backtrack state machine (no force states: unbanded)
             s1 = jnp.where(state == 0, d_l & 7,
                            jnp.where((d_l >> (state + 2)) & 1, state, 0))
             s1 = jnp.where(s1 == 0, d_l & 7, s1)
-            run_mode = s1 == 2
-            # in-row insertion run: emit-I predicate per lane (see module
-            # docstring); first failing lane <= l ends the run
-            pred = (((drow >> 4) & 1) == 1) | ((drow & 7) == 2)
-            fail = jnp.logical_not(pred) & (lane <= l)
-            xmax = jnp.max(jnp.where(fail, lane, -1))
-            n = l - xmax                           # >= 1 when run_mode
-            d_x = jnp.max(jnp.where(lane == xmax, drow, 0))
-            stop_in_row = run_mode & (xmax >= 0)
-            # slot B: the single M/D op — either the run's stop cell
-            # (incoming F, bit clear, code in {0,1}) or the non-run op
-            b_s = jnp.where(run_mode, d_x & 7, s1)
-            emit_b = stop_in_row | jnp.logical_not(run_mode)
-            op_b = jnp.where(b_s == 0, 0, 2)       # 0=M, 2=D (one-piece)
-            nA = jnp.where(run_mode, n, 0)
-            jB = j - nA                            # run's stop column
-            st8[I] = jnp.where(emit_b, i - 1, i)
-            st8[J] = jnp.where(emit_b,
-                               jnp.where(b_s == 0, jB - 1, jB), jB)
-            st8[STATE] = jnp.where(emit_b, b_s, 2)
-            # run-merged emission: most visits extend the open (op, len)
-            # pair in SMEM; the VMEM runs buffer is touched only at run
-            # boundaries (this is what makes M-heavy walks ~free of
-            # dynamic VMEM read-modify-writes)
-            @pl.when(run_mode & (st8[OP] != 1))
-            def _fa():
-                flush()
+            mrun = s1 == 0
+            irun = ((s1 == 2) | (s1 == 4)) if prm.two else (s1 == 2)
 
-            @pl.when(run_mode)
-            def _a():
+            @pl.when(mrun)
+            def _m():
+                # diagonal M-run: after an M the state resets to 0, so
+                # the run continues while code == 0 along (i-k, j-k).
+                # In the skewed store that diagonal is the line
+                # row - lane == (t - blk_lo) - l of the cached plane
+                # (same strip while lane >= 0): one masked reduce pulls
+                # the whole run's bytes, so a K-step match run costs ONE
+                # visit instead of K.
+                dsel = (rowi - lanei) == ((t - blk_lo) - l)
+                diagv = jnp.max(jnp.where(dsel, plane[...], 0),
+                                axis=0, keepdims=True)          # (1,128)
+                lo = l - jnp.minimum(t - blk_lo, i)   # block/i range
+                failm = (((diagv & 7) != 0) | (lane < lo)) & (lane < l)
+                xm = jnp.max(jnp.where(failm, lane, -1))
+                nM = l - xm                            # >= 1 (lane l is M)
+                st8[I] = i - nM
+                st8[J] = j - nM
+                st8[STATE] = 0
+
+                @pl.when((st8[OP] != 0) & (st8[LEN] > 0))
+                def _fm():
+                    flush()
+
+                st8[OP] = 0
+                st8[LEN] = st8[LEN] + nM
+
+            @pl.when(irun)
+            def _i():
+                if prm.two:
+                    # 5-state in-row insertion run (states 2 AND 4 both
+                    # emit I; the state can alternate 2<->4 within one
+                    # run).  The per-lane step is a tiny automaton map
+                    # {2,4}->{2,4,stop} (stop=0); the run's stop lane
+                    # is found by composing maps along the row with a
+                    # 7-step suffix scan — composition is associative
+                    # with stop absorbing, so row-visits stay <= ops
+                    # exactly as one-piece.
+                    code = drow & 7
+                    keep2 = ((drow >> 4) & 1) == 1
+                    keep4 = ((drow >> 6) & 1) == 1
+                    u2 = jnp.where(keep2 | (code == 2), 2,
+                                   jnp.where(code == 4, 4, 0))
+                    u4 = jnp.where(keep4 | (code == 4), 4,
+                                   jnp.where(code == 2, 2, 0))
+                    # lanes >= l are identity: lane l's byte was
+                    # consumed by the state machine above (an I is
+                    # emitted AT l; the scan resolves lanes l-1..0)
+                    u2 = jnp.where(lane < l, u2, 2)
+                    u4 = jnp.where(lane < l, u4, 4)
+                    for k in (1, 2, 4, 8, 16, 32, 64):
+                        r2 = jnp.where(lane + k < 128,
+                                       pltpu.roll(u2, 128 - k, axis=1), 2)
+                        r4 = jnp.where(lane + k < 128,
+                                       pltpu.roll(u4, 128 - k, axis=1), 4)
+                        n2 = jnp.where(r2 == 0, 0,
+                                       jnp.where(r2 == 2, u2, u4))
+                        n4 = jnp.where(r4 == 0, 0,
+                                       jnp.where(r4 == 2, u2, u4))
+                        u2, u4 = n2, n4
+                    cs = jnp.where(s1 == 2, u2, u4)
+                    fail = (cs == 0) & (lane < l)
+                    xmax = jnp.max(jnp.where(fail, lane, -1))
+                    # no stop in row: the run crosses into the previous
+                    # strip carrying the arrival state at lane 0
+                    cont_state = jnp.max(jnp.where(lane == 0, cs, 0))
+                    cont_state = jnp.where(cont_state == 0, s1,
+                                           cont_state)
+                else:
+                    # in-row insertion run: emit-I predicate per lane
+                    # (see module docstring); first failing lane <= l
+                    # ends it
+                    pred = (((drow >> 4) & 1) == 1) | ((drow & 7) == 2)
+                    fail = jnp.logical_not(pred) & (lane <= l)
+                    xmax = jnp.max(jnp.where(fail, lane, -1))
+                    cont_state = 2
+                n = l - xmax                       # >= 1 insertions
+                d_x = jnp.max(jnp.where(lane == xmax, drow, 0))
+                stop_in_row = xmax >= 0
+                # the run's stop cell (bit clear, code in {0,1,3})
+                # emits its own M/D/N op in the same visit
+                b_s = d_x & 7
+                if prm.nop:
+                    op_b = jnp.where(b_s == 0, 0,
+                                     jnp.where(b_s == 3, 3, 2))
+                else:
+                    op_b = jnp.where(b_s == 0, 0, 2)   # 0=M, 2=D
+                jB = j - n                         # run's stop column
+                st8[I] = jnp.where(stop_in_row, i - 1, i)
+                st8[J] = jnp.where(stop_in_row,
+                                   jnp.where(b_s == 0, jB - 1, jB), jB)
+                st8[STATE] = jnp.where(stop_in_row, b_s, cont_state)
+                # run-merged emission: most visits extend the open
+                # (op, len) pair in SMEM; the VMEM runs buffer is
+                # touched only at run boundaries
+                @pl.when(st8[OP] != 1)
+                def _fa():
+                    flush()
+
                 st8[OP] = 1
-                st8[LEN] = st8[LEN] + nA
+                st8[LEN] = st8[LEN] + n
 
-            @pl.when(emit_b & ((st8[OP] != op_b) | (st8[LEN] == 0)))
-            def _fb():
-                flush()
+                @pl.when(stop_in_row)
+                def _b():
+                    @pl.when(st8[OP] != op_b)
+                    def _fb():
+                        flush()
 
-            @pl.when(emit_b)
-            def _b():
+                    st8[OP] = op_b
+                    st8[LEN] = st8[LEN] + 1
+
+            @pl.when(jnp.logical_not(mrun | irun))
+            def _d():
+                # single D/N step (states 1/3): i decreases, j fixed
+                if prm.nop:
+                    op_b = jnp.where(s1 == 3, 3, 2)
+                else:
+                    op_b = 2
+                st8[I] = i - 1
+                st8[STATE] = s1
+
+                @pl.when((st8[OP] != op_b) | (st8[LEN] == 0))
+                def _fd():
+                    flush()
+
                 st8[OP] = op_b
                 st8[LEN] = st8[LEN] + 1
 
-        @pl.when(((st8[I] < 0) | (st8[J] < 0)) & (st8[DONE] == 0))
-        def _fin():
-            flush()
-            st8[DONE] = 1
+        return st8[I], st8[J]
 
-    # t strictly decreases per visit, so blk visits cross the block
-    jax.lax.fori_loop(0, prm.blk, visit, None)
+    # t strictly decreases per visit; the while loop runs only the
+    # ACTUAL visits in this block (run-based consumption makes that
+    # ~#cigar-runs, far below blk) and exits the moment the walk
+    # leaves the block.  (i, j) thread through the carry so the cond
+    # reads loop values, not refs.
+    jax.lax.while_loop(in_block, visit, (st8[I], st8[J]))
+
+    @pl.when(((st8[I] < 0) | (st8[J] < 0)) & (st8[DONE] == 0))
+    def _fin():
+        flush()
+        st8[DONE] = 1
 
     res_ref[0] = st8[I]
     res_ref[1] = st8[J]
@@ -174,8 +286,8 @@ def build_strips_walk(prm: SWParams, interpret: bool = False):
         grid=(prm.n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # start (i0, j0)
-            pl.BlockSpec((prm.blk, prm.sp, 128),
-                         lambda k: (prm.n_blocks - 1 - k, 0, 0),
+            pl.BlockSpec((prm.sp, prm.blk, 128),
+                         lambda k: (0, prm.n_blocks - 1 - k, 0),
                          memory_space=pltpu.VMEM),      # reversed blocks
         ],
         out_shape=[
@@ -186,7 +298,8 @@ def build_strips_walk(prm: SWParams, interpret: bool = False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.SMEM((7,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((9,), jnp.int32),
+                        pltpu.VMEM((prm.blk, 128), jnp.int32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -195,11 +308,12 @@ def build_strips_walk(prm: SWParams, interpret: bool = False):
 
 
 @functools.lru_cache(maxsize=64)
-def _cached_walk(n_t: int, S: int, blk: int, interpret: bool):
+def _cached_walk(n_t: int, S: int, blk: int, interpret: bool,
+                 two: int = 0, nop: int = 0):
     """Jitted (slice pair p -> pad strips -> walk) over the batch store."""
     sp = -(-S // 32) * 32
     prm = SWParams(n_t=n_t, sp=sp, blk=blk, n_blocks=n_t // blk,
-                   r_rows=-(-2 * n_t // 128) + 1)
+                   r_rows=-(-2 * n_t // 128) + 1, two=two, nop=nop)
     call = build_strips_walk(prm, interpret)
 
     @jax.jit
@@ -207,20 +321,20 @@ def _cached_walk(n_t: int, S: int, blk: int, interpret: bool):
         d8p = jax.lax.dynamic_slice(
             d8, (0, p * S, 0), (n_t, S, 128))
         d8p = jnp.pad(d8p, ((0, 0), (0, sp - S), (0, 0)))
-        return call(start, d8p)
+        return call(start, jnp.transpose(d8p, (1, 0, 2)))
 
     return run
 
 
 def strips_walk(d8, S: int, p, i0: int, j0: int,
-                interpret: bool = False):
+                interpret: bool = False, two: int = 0, nop: int = 0):
     """Walk pair ``p``'s byte planes from cell (i0, j0); returns the
     fetched ``(i_end, j_end, k, runs_flat)`` for :func:`finish_runs`."""
     n_t = int(d8.shape[0])
     blk = 128 if n_t % 128 == 0 else 32
     if n_t % blk:
         raise ValueError(f"step axis {n_t} not a multiple of {blk}")
-    run = _cached_walk(n_t, int(S), blk, interpret)
+    run = _cached_walk(n_t, int(S), blk, interpret, int(two), int(nop))
     res, runs = run(d8, jnp.int32(p),
                     jnp.asarray([i0, j0], np.int32))
     res = np.asarray(res)
@@ -231,32 +345,46 @@ def strips_walk(d8, S: int, p, i0: int, j0: int,
 def finish_runs(runs_flat: np.ndarray, count: int, i_end: int, j_end: int,
                 min_intron: int, is_rev: bool) -> List[int]:
     """Merge the walk-order runs + tail flush + reverse (ksw2.h:150-159;
-    mirrors ``traceback_device.finish_cigar`` for run-based emission)."""
-    cigar: List[int] = []
-    for v in runs_flat[:count]:
-        v = int(v)
-        push(cigar, v & 0xF, v >> 4)
+    mirrors ``traceback_device.finish_cigar`` for run-based emission).
+    Vectorized: adjacent same-op runs merge via reduceat (the python
+    push loop cost ~35 ms on a 17-pair whale bucket — measured r5)."""
+    v = np.asarray(runs_flat[:count], np.int64)
+    ops = v & 0xF
+    lens = v >> 4
+    tail = []
     if i_end >= 0:
-        push(cigar,
-             CigarOp.N_SKIP if (min_intron > 0 and i_end >= min_intron)
-             else CigarOp.DEL, i_end + 1)
+        tail.append((CigarOp.N_SKIP
+                     if (min_intron > 0 and i_end >= min_intron)
+                     else CigarOp.DEL, i_end + 1))
     if j_end >= 0:
-        push(cigar, CigarOp.INS, j_end + 1)
+        tail.append((CigarOp.INS, j_end + 1))
+    if tail:
+        ops = np.concatenate([ops, np.array([t[0] for t in tail])])
+        lens = np.concatenate([lens, np.array([t[1] for t in tail])])
+    if ops.size == 0:
+        return []
+    starts = np.concatenate([[0], np.nonzero(ops[1:] != ops[:-1])[0] + 1])
+    glens = np.add.reduceat(lens, starts)
+    gops = ops[starts]
+    cig = (glens.astype(np.int64) << 4) | gops
     if not is_rev:
-        cigar.reverse()
-    return cigar
+        cig = cig[::-1]
+    return [int(c) for c in cig]
 
 
 def strips_cigar_align(query, target, qlen, tlen, m, mat, q, e,
                        zdrop: int = -1, end_bonus: int = 0,
-                       flag=None, interpret: bool = False):
+                       flag=None, interpret: bool = False,
+                       two: bool = False, q2: int = 0, e2: int = 0):
     """End-to-end strips CIGAR for a batch: skewed-store forward with
     byte emission, record replay for the ez fields, then the run-based
     device walker per pair from the reference's start cell
     (ksw2_extz2_sse.c:292-301; walk ksw2.h:129-161 with is_rot=0).
+    Two-piece (``two``) walks the 7-bit extd bytes
+    (ksw2_extd2_sse.c:191-322) with the 5-state walker.
 
     Returns a list of :class:`ExtzResult` with CIGARs.  Callers must
-    have checked ``strips_eligible``.
+    have checked ``strips_eligible`` / ``strips_extd_eligible``.
     """
     from ..core.flags import Flag
     from ..core.result import ExtzResult
@@ -268,9 +396,11 @@ def strips_cigar_align(query, target, qlen, tlen, m, mat, q, e,
     mat = np.asarray(mat, dtype=np.int8).reshape(-1)
     rec, d8, (S, Bp) = strips_cigar_forward(
         query, target, qlen, tlen, m, mat, q, e, zdrop=zdrop, flag=flag,
-        interpret=interpret)
-    fields = unpack_records(np.asarray(rec), int(mat[1:].min()),
-                            int(q), int(e))
+        interpret=interpret, two=two, q2=q2, e2=e2)
+    qc, ec = (int(q), int(e))
+    if two and int(q2) + int(e2) < qc + ec:
+        qc, ec = int(q2), int(e2)
+    fields = unpack_records(np.asarray(rec), int(mat[1:].min()), qc, ec)
     B = len(fields["max"])
     out = []
     for p in range(B):
@@ -293,7 +423,8 @@ def strips_cigar_align(query, target, qlen, tlen, m, mat, q, e,
             out.append(ez)
             continue
         ie, je, k, runs = strips_walk(d8, S, p, i0, j0,
-                                      interpret=interpret)
+                                      interpret=interpret,
+                                      two=int(bool(two)))
         ez.cigar = finish_runs(runs, k, ie, je, 0, is_rev)
         out.append(ez)
     return out
@@ -311,19 +442,19 @@ import os as _os
 
 _FUSED_COST = tuple(
     float(v) for v in _os.environ.get(
-        "KSW2T_FUSED_COST", "0.031,15e-6,1e-6,0.002").split(","))
+        "KSW2T_FUSED_COST", "0.031,2.2e-6,1e-7,0.0005").split(","))
 
 
 def _fused_route_pays(B: int, tmax: int) -> bool:
     """Cost model: fused strips-CIGAR (1 execution) vs per-pair fused
     single-pair pipelines (B executions).  Default constants measured on
-    the real chip 2026-08-21 with the run-merged walker: per-execution
-    round trip ~31 ms, cig-forward ~15 us per target row, in-program
-    walker+slice ~(1 us x tmax + 2 ms) per pair (the whale bucket,
-    17x3000 bp, measured 137 ms fused vs 645 ms per-pair; 32x250 bp
-    EXTZ_ONLY measured 107 ms vs 1046 ms).  Only tiny buckets of very
-    long pairs still favor the per-pair path.  Other rigs can override
-    via KSW2T_FUSED_COST (results stay correct either way; the gate is
+    the real chip 2026-08-21 with the run-consuming walker + one-fetch
+    output: per-execution round trip ~31 ms, cig-forward ~2.2 us per
+    target row (7 ms at 3.2k rows, device trace), in-program walker
+    ~0.25 ms + ~0.5 ms slice/fetch-share per pair (whale bucket
+    17x3000: 56 ms fused vs ~530 ms per-pair).  Only 1-2-pair buckets
+    still favor the per-pair path.  Other rigs can override via
+    KSW2T_FUSED_COST (results stay correct either way; the gate is
     perf-only routing)."""
     exec_s, fwd_row, walk_row, slice_s = _FUSED_COST
     strips = 0.004 + exec_s + fwd_row * tmax + B * (walk_row * tmax
@@ -357,6 +488,31 @@ def strips_cigar_eligible(qlen, tlen, w, flag, m, mat, zdrop,
                            m, mat, zdrop, q, e)
 
 
+def strips_cigar_extd_eligible(qlen, tlen, w, flag, m, mat, zdrop,
+                               q, e, q2, e2) -> bool:
+    """Eligibility for the fused TWO-PIECE strips-CIGAR path: the extd
+    strips score conditions (e >= e2 post-swap chain-decoupling) on a
+    CIGAR workload, the reference's degenerate guard with post-swap
+    costs (ksw2_extd2_sse.c:100 — guard after the :93 swap), and the
+    fused-route cost model."""
+    from ..core.flags import Flag
+    from .wavefront_strips import strips_extd_eligible
+
+    f = int(flag)
+    if f & (int(Flag.SCORE_ONLY) | int(Flag.EQX)):
+        return False
+    qc, ec = int(q), int(e)
+    if int(q2) + int(e2) < qc + ec:
+        qc, ec = int(q2), int(e2)
+    if -int(np.asarray(mat).reshape(-1)[1:].min()) > 2 * (qc + ec):
+        return False
+    tlen = np.asarray(tlen)
+    if not _fused_route_pays(int(tlen.size), int(tlen.max(initial=0))):
+        return False
+    return strips_extd_eligible(qlen, tlen, w, f | int(Flag.SCORE_ONLY),
+                                m, mat, zdrop, q, e, q2, e2)
+
+
 @functools.lru_cache(maxsize=32)
 def _cached_cigar_batch(prm, B: int, end_bonus: int, interpret: bool):
     """ONE jitted program: strips forward (byte emission) -> device
@@ -374,7 +530,7 @@ def _cached_cigar_batch(prm, B: int, end_bonus: int, interpret: bool):
     n_t = prm.t_pad + 128          # d8 step axis: (t_pad//CH + 4) * CH
     sp = -(-S // 32) * 32
     wprm = SWParams(n_t=n_t, sp=sp, blk=128, n_blocks=n_t // 128,
-                    r_rows=-(-2 * n_t // 128) + 1)
+                    r_rows=-(-2 * n_t // 128) + 1, two=int(prm.two))
     walk = build_strips_walk(wprm, interpret)
     cap = min(wprm.r_rows, RUNS_CAP_ROWS)
     extz_only = bool(prm.flag & int(Flag.EXTZ_ONLY))
@@ -397,17 +553,24 @@ def _cached_cigar_batch(prm, B: int, end_bonus: int, interpret: bool):
             d8p = jnp.pad(d8[:, p * S:(p + 1) * S, :],
                           ((0, 0), (0, sp - S), (0, 0)))
             start = jnp.stack([i0[p], j0[p]]).astype(jnp.int32)
-            res, runs = walk(start, d8p)
+            res, runs = walk(start, jnp.transpose(d8p, (1, 0, 2)))
             res_all.append(res)
             runs_all.append(runs[:cap])
-        return rec, jnp.stack(res_all), jnp.stack(runs_all)
+        # ONE flat int32 output = ONE device->host fetch: on this
+        # environment's tunnel every separate np.asarray costs a ~31 ms
+        # round trip (three of them were ~70% of the whale bucket's
+        # wall; the whole device program is ~13 ms — r5 trace)
+        return jnp.concatenate([
+            rec.reshape(-1), jnp.stack(res_all).reshape(-1),
+            jnp.stack(runs_all).reshape(-1)])
 
     return jax.jit(fused), cap * 128
 
 
 def strips_cigar_batch(query, target, qlen, tlen, m, mat, q, e,
                        zdrop: int = -1, end_bonus: int = 0,
-                       flag=None, interpret: bool = False):
+                       flag=None, interpret: bool = False,
+                       two: bool = False, q2: int = 0, e2: int = 0):
     """Batched strips CIGARs in ONE execution (forward + start cells +
     walkers fused; see :func:`_cached_cigar_batch`).  Same results as
     :func:`strips_cigar_align`; single-launch batches only."""
@@ -434,18 +597,33 @@ def strips_cigar_batch(query, target, qlen, tlen, m, mat, q, e,
                 query[i0:i0 + BMAX], target[i0:i0 + BMAX],
                 qlen[i0:i0 + BMAX], tlen[i0:i0 + BMAX], m, mat, q, e,
                 zdrop=zdrop, end_bonus=end_bonus, flag=flag,
-                interpret=interpret))
+                interpret=interpret, two=two, q2=q2, e2=e2))
         return out
-    sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+    q, e = int(q), int(e)
+    q_pre, e_pre, q2_pre, e2_pre = q, e, int(q2), int(e2)
+    lt = ld = off0 = 0
+    if two:
+        from ..spec.strips_extd import long_params
+        q2, e2 = int(q2), int(e2)
+        qe_pre = q + e
+        if q2 + e2 < q + e:
+            q, q2 = q2, q
+            e, e2 = e2, e
+        lt, ld = long_params(q, e, q2, e2)
+        off0 = (q + e) - qe_pre
+    eN = e2 if two else e
+    sc_N = -eN if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
     S, Bp = _plan_rows(B, S0, tlenp)
     t_real = tlenp + S - 1
     t_pad = round_up(t_real + 1, 128)
     generic = bool(flag & Flag.GENERIC_SC)
     prm = StripParams(
         n_rows=Bp * S, s=S, tv=tlenp, t_pad=t_pad, t_real=t_real, m=m,
-        q=int(q), e=int(e), mat0=int(mat[0]), sc_mis=int(mat[1]),
+        q=q, e=e, mat0=int(mat[0]), sc_mis=int(mat[1]),
         sc_N=sc_N, zdrop=int(zdrop), flag=int(flag),
-        matt=tuple(int(v) for v in mat) if generic else (), cig=1)
+        matt=tuple(int(v) for v in mat) if generic else (),
+        two=int(two), q2=int(q2), e2=int(e2), lt=lt, ld=ld, off0=off0,
+        cig=1)
     run, k_cap = _cached_cigar_batch(prm, B, int(end_bonus), interpret)
     qpad = np.zeros((Bp, S * 128), np.int8)
     qpad[:B, :min(Lq, S * 128)] = np.asarray(query, np.int8)[:, :S * 128]
@@ -454,13 +632,15 @@ def strips_cigar_batch(query, target, qlen, tlen, m, mat, q, e,
         np.asarray(target, np.int8)[:, :tlenp]
     lens = np.zeros((2, Bp), np.int32)
     lens[0, :B], lens[1, :B] = qlen, tlen
-    rec, res_all, runs_all = run(jnp.asarray(pack_bases(qpad)),
-                                 jnp.asarray(pack_bases(tpad)),
-                                 jnp.asarray(lens[0]),
-                                 jnp.asarray(lens[1]))
-    rec = np.asarray(rec)[:B]
-    res_all = np.asarray(res_all)
-    runs_all = np.asarray(runs_all).reshape(B, -1)
+    flat = np.asarray(run(jnp.asarray(pack_bases(qpad)),
+                          jnp.asarray(pack_bases(tpad)),
+                          jnp.asarray(lens[0]),
+                          jnp.asarray(lens[1])))      # the ONE fetch
+    # layout: [rec (rows x NFIELDS) | res (B x 3) | runs (B x cap*128)]
+    nrec = flat.size - B * 3 - B * k_cap
+    rec = flat[:nrec].reshape(-1, 9)[:B]
+    res_all = flat[nrec:nrec + B * 3].reshape(B, 3)
+    runs_all = flat[nrec + B * 3:].reshape(B, -1)
     fields = unpack_records(rec, int(mat[1:].min()), int(q), int(e))
     out = []
     for p in range(B):
@@ -481,8 +661,9 @@ def strips_cigar_batch(query, target, qlen, tlen, m, mat, q, e,
             if k > k_cap:      # capped fetch overflowed: re-walk alone
                 sub = strips_cigar_align(
                     query[p:p + 1], target[p:p + 1], qlen[p:p + 1],
-                    tlen[p:p + 1], m, mat, q, e, zdrop=zdrop,
-                    end_bonus=end_bonus, flag=flag, interpret=interpret)
+                    tlen[p:p + 1], m, mat, q_pre, e_pre, zdrop=zdrop,
+                    end_bonus=end_bonus, flag=flag, interpret=interpret,
+                    two=two, q2=q2_pre, e2=e2_pre)
                 ez.cigar = sub[0].cigar
             else:
                 ez.cigar = finish_runs(runs_all[p], k, ie, je, 0, is_rev)
@@ -492,4 +673,4 @@ def strips_cigar_batch(query, target, qlen, tlen, m, mat, q, e,
 
 __all__ = ["SWParams", "build_strips_walk", "strips_walk", "finish_runs",
            "strips_cigar_align", "strips_cigar_batch",
-           "strips_cigar_eligible"]
+           "strips_cigar_eligible", "strips_cigar_extd_eligible"]

@@ -98,10 +98,15 @@ def _kernel_body(prm: StripParams, refs):
     else:
         D_out, Dq_out, hl_out = outs_scratch[:3]
         scratch = outs_scratch[3:]
+    bf3 = None
     if prm.two:
         (sp, s127, qlp, tlp, vm, qrow, qlane, bHi, Hinit, Einit, E2init,
          aoff, aoff2, lnp, prof, words) = ins
-        (H, E, E2, dA, dB, dqA, dqB, bh1, bh2, bf1, bf2) = scratch
+        if prm.cig:
+            (H, E, E2, dA, dB, dqA, dqB, bh1, bh2, bf1, bf2,
+             bf3) = scratch
+        else:
+            (H, E, E2, dA, dB, dqA, dqB, bh1, bh2, bf1, bf2) = scratch
     else:
         (sp, s127, qlp, tlp, vm, qrow, qlane, bHi, Hinit, Einit, aoff,
          lnp, prof, words) = ins
@@ -132,6 +137,8 @@ def _kernel_body(prm: StripParams, refs):
             ref[...] = jnp.full(shape, SENT, I32)
         regs = (H, E, E2, bh1, bh2, bf1, bf2) if prm.two else \
             (H, E, bh1, bh2, bf1)
+        if bf3 is not None:
+            regs = regs + (bf3,)
         for ref in regs:
             ref[...] = jnp.zeros(shape, I32)
         hl_out[...] = jnp.full(shape, SENT, I32)
@@ -222,19 +229,58 @@ def _kernel_body(prm: StripParams, refs):
         E[...] = En
 
         # ---- per-cell direction bytes (spec/strips_cigar rules: argmax
-        # code from UNclamped compares, continuation bits vs clamped Hn)
+        # code from UNclamped compares in candidate order M,E,F,E2,F2,
+        # continuation bits vs clamped Hn).  Two-piece bytes need the
+        # DP's OWN F — the score chain under-reports F where it opened
+        # from an F2-valued cell (H is unaffected but the 0x10 bit
+        # would be), so a third chain opens from the FULL clamped Hn
+        # (ksw2_extd2_sse.c:191-322; spec/strips_cigar notes).
         if prm.cig:
+            Fb = F
+            if prm.two:
+                A3 = Hn + aoffv
+                bf3v = jnp.where(strip0, fb0, bf3[...])
+                S3 = jnp.where(lane0, bf3v, pltpu.roll(A3, 1, axis=1))
+                for k in (1, 2, 4, 8, 16, 32, 64):
+                    S3 = jnp.where(lane >= k,
+                                   jnp.maximum(S3,
+                                               pltpu.roll(S3, k, axis=1)),
+                                   S3)
+                Fb = S3 - aoffv - prm.q
+                seed3 = jnp.maximum(Fb, Hn - prm.q) - prm.e
+                bf3[...] = pltpu.roll(pltpu.roll(seed3, 1, axis=1), 1,
+                                      axis=0)
             if prm.flag & int(Flag.RIGHT):
                 dby = jnp.where(Mv > Eprev, 0, 1)
-                dby = jnp.where(jnp.maximum(Mv, Eprev) > F, dby, 2)
+                zz = jnp.maximum(Mv, Eprev)
+                dby = jnp.where(zz > Fb, dby, 2)
+                if prm.two:
+                    zz = jnp.maximum(zz, Fb)
+                    dby = jnp.where(zz > E2prev, dby, 3)
+                    zz = jnp.maximum(zz, E2prev)
+                    dby = jnp.where(zz > F2, dby, 4)
                 ca = Eprev >= Hn - prm.q
-                cb = F >= Hn - prm.q
+                cb = Fb >= Hn - prm.q
             else:
                 dby = jnp.where(Eprev > Mv, 1, 0)
-                dby = jnp.where(F > jnp.maximum(Mv, Eprev), 2, dby)
+                zz = jnp.maximum(Mv, Eprev)
+                dby = jnp.where(Fb > zz, 2, dby)
+                if prm.two:
+                    zz = jnp.maximum(zz, Fb)
+                    dby = jnp.where(E2prev > zz, 3, dby)
+                    zz = jnp.maximum(zz, E2prev)
+                    dby = jnp.where(F2 > zz, 4, dby)
                 ca = Eprev > Hn - prm.q
-                cb = F > Hn - prm.q
+                cb = Fb > Hn - prm.q
             dby = dby | jnp.where(ca, 8, 0) | jnp.where(cb, 16, 0)
+            if prm.two:
+                if prm.flag & int(Flag.RIGHT):
+                    ca2 = E2prev >= Hn - prm.q2
+                    cb2 = F2 >= Hn - prm.q2
+                else:
+                    ca2 = E2prev > Hn - prm.q2
+                    cb2 = F2 > Hn - prm.q2
+                dby = dby | jnp.where(ca2, 32, 0) | jnp.where(cb2, 64, 0)
             d8_out[tau] = dby.astype(jnp.uint8)
 
         # ---- outgoing boundary streams for the next strip
@@ -296,16 +342,14 @@ def _kernel_body(prm: StripParams, refs):
 
 
 def build_strips_call(prm: StripParams, interpret: bool = False):
-    if prm.cig and prm.two:
-        # the two-piece bytes need the DP's own F (an extra prefix chain
-        # opened from the full clamped H — spec/strips_cigar notes)
-        raise ValueError("two-piece strips byte emission is not built yet")
     R = prm.n_rows
     G = prm.t_pad // CH + 4            # +4 chunks drain the carry window
     NF = G // 4
     const = pl.BlockSpec(memory_space=pltpu.VMEM)
     n_const = 14 if prm.two else 12    # + E2init, aoff2
     n_scratch = 11 if prm.two else 9   # + E2, bf2
+    if prm.two and prm.cig:
+        n_scratch += 1                 # + bf3 (the DP-F byte chain)
 
     def wrap(*refs):
         _kernel_body(prm, refs)
@@ -935,16 +979,18 @@ def strips_records(query, target, qlen, tlen, m, mat, q, e,
 
 def strips_cigar_forward(query, target, qlen, tlen, m, mat, q, e,
                          zdrop=-1, flag=Flag.NONE,
-                         interpret: bool = False):
-    """One-piece strips forward EMITTING DIRECTION BYTES (the round-5
-    CIGAR kernel's first milestone; byte rules = spec/strips_cigar,
-    validated byte-exact against the reference's CIGAR walk).
+                         interpret: bool = False,
+                         two: bool = False, q2: int = 0, e2: int = 0):
+    """Strips forward EMITTING DIRECTION BYTES (byte rules =
+    spec/strips_cigar, validated byte-exact against the reference's
+    CIGAR walk; two-piece bytes are 7-bit, ksw2_extd2_sse.c:191-322).
 
     Returns ``(records, d8, (S, Bp))``: per-pair (B, NFIELDS) records,
     and the skewed byte store ``d8`` (steps, Bp*S, 128) uint8 where cell
     (pair p, i, j) lives at ``d8[i + j//128, p*S + j//128, j%128]``.
-    The device walker over this layout is the remaining round-5 piece;
-    callers today (tests) decode on the host.  Single launch only.
+    Two-piece callers pass PRE-swap costs; the reference's
+    canonicalization swap, pre-swap H-seed offset and e2 Z-drop slope
+    are applied here.  Single launch only.
     """
     flag = Flag(int(flag))
     if not interpret and jax.default_backend() != "tpu":
@@ -956,16 +1002,30 @@ def strips_cigar_forward(query, target, qlen, tlen, m, mat, q, e,
     S0, tlenp, BMAX = _strips_plan(B, Lq, qlen, tlen)
     if B > BMAX:
         raise ValueError("strips_cigar_forward is single-launch")
-    sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+    q, e = int(q), int(e)
+    lt = ld = off0 = 0
+    if two:
+        from ..spec.strips_extd import long_params
+        q2, e2 = int(q2), int(e2)
+        qe_pre = q + e
+        if q2 + e2 < q + e:
+            q, q2 = q2, q
+            e, e2 = e2, e
+        lt, ld = long_params(q, e, q2, e2)
+        off0 = (q + e) - qe_pre
+    eN = e2 if two else e
+    sc_N = -eN if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
     S, Bp = _plan_rows(B, S0, tlenp)
     t_real = tlenp + S - 1
     t_pad = round_up(t_real + 1, 128)
     generic = bool(flag & Flag.GENERIC_SC)
     prm = StripParams(
         n_rows=Bp * S, s=S, tv=tlenp, t_pad=t_pad, t_real=t_real, m=m,
-        q=int(q), e=int(e), mat0=int(mat[0]), sc_mis=int(mat[1]),
+        q=q, e=e, mat0=int(mat[0]), sc_mis=int(mat[1]),
         sc_N=sc_N, zdrop=int(zdrop), flag=int(flag),
-        matt=tuple(int(v) for v in mat) if generic else (), cig=1)
+        matt=tuple(int(v) for v in mat) if generic else (),
+        two=int(two), q2=int(q2), e2=int(e2), lt=lt, ld=ld, off0=off0,
+        cig=1)
     run = _cached_strips_run(prm, interpret)
     from .packio import pack_bases
     qpad = np.zeros((Bp, S * 128), np.int8)

@@ -181,6 +181,32 @@ def test_align_batch_scores2_matches_spec():
             (want.score, want.max, want.max_t, want.max_q, want.zdropped)
 
 
+def test_align_batch_scores2_async_handles():
+    """Several two-piece score batches in flight (the serving shape);
+    each handle's results must match the synchronous path."""
+    import refcmp
+    from ksw2_tpu.batch.scheduler import (AlignJob, align_batch_scores2,
+                                          align_batch_scores2_async)
+    from ksw2_tpu.core.matrix import encode_dna
+
+    rng = np.random.default_rng(12)
+    mat = simple_mat(5, 2, 4)
+    jobs = []
+    for L in (120, 260, 500, 900):
+        t, q = refcmp.random_pair(rng, L, divergence=0.2, indel=0.08)
+        jobs.append(AlignJob(query=encode_dna(q), target=encode_dna(t)))
+    want = align_batch_scores2(jobs, 5, mat, 4, 2, 13, 1, zdrop=100,
+                               flag=Flag.SCORE_ONLY)
+    hs = [align_batch_scores2_async(jobs, 5, mat, 4, 2, 13, 1, zdrop=100,
+                                    flag=Flag.SCORE_ONLY)
+          for _ in range(3)]
+    for h in hs:
+        got = h.result()
+        for w, g in zip(want, got):
+            assert (g.score, g.max, g.max_t, g.max_q, g.zdropped) == \
+                (w.score, w.max, w.max_t, w.max_q, w.zdropped)
+
+
 def test_strips_route_engages():
     """A refactor must not silently disconnect the strips route: an
     eligible bucket (score-only, unbanded, 150-600 bp) MUST dispatch

@@ -58,13 +58,37 @@ def test_bytes_match_spec(right):
         assert (got == dmat).all(), (p, right)
 
 
-def test_two_piece_rejected():
-    from ksw2_tpu.core.flags import Flag
-    from ksw2_tpu.ops.wavefront_strips import StripParams, \
-        build_strips_call
+@pytest.mark.parametrize("right", [False, True])
+def test_two_piece_bytes_match_spec(right):
+    """Two-piece 7-bit bytes (ksw2_extd2_sse.c:191-322): the kernel's
+    third F chain (opened from the full clamped Hn) must reproduce the
+    DP's own F so the 0x10 bit and the F argmax code are exact."""
+    from ksw2_tpu.spec.strips_cigar import strips_forward_cigar_extd
 
-    prm = StripParams(n_rows=8, s=1, tv=32, t_pad=128, t_real=32, m=5,
-                      q=4, e=2, mat0=2, sc_mis=-4, sc_N=-2, zdrop=-1,
-                      flag=int(Flag.NONE), two=1, q2=13, e2=1, cig=1)
-    with pytest.raises(ValueError):
-        build_strips_call(prm, interpret=True)
+    rng = np.random.default_rng(321)
+    pairs = []
+    for L in (210, 290, 140):
+        t, qy = refcmp.random_pair(rng, L, divergence=0.3, indel=0.15,
+                                   with_n=True)
+        pairs.append((encode_dna(qy), encode_dna(t)))
+    B = len(pairs)
+    Lq = max(len(q) for q, t in pairs)
+    Lt = max(len(t) for q, t in pairs)
+    Q = np.zeros((B, Lq), np.int32)
+    T = np.zeros((B, Lt), np.int32)
+    ql = np.zeros(B, np.int32)
+    tl = np.zeros(B, np.int32)
+    for i, (qv, tv) in enumerate(pairs):
+        Q[i, :len(qv)] = qv
+        T[i, :len(tv)] = tv
+        ql[i], tl[i] = len(qv), len(tv)
+    flag = Flag.RIGHT if right else Flag.NONE
+    rec, d8, (S, Bp) = strips_cigar_forward(
+        Q, T, ql, tl, 5, MAT, 4, 2, zdrop=100, flag=flag,
+        interpret=True, two=True, q2=13, e2=1)
+    d8 = np.asarray(d8)
+    for p, (qv, tv) in enumerate(pairs):
+        _, dmat = strips_forward_cigar_extd(qv, tv, 5, MAT, 4, 2, 13, 1,
+                                            right=right)
+        got = _decode(d8, p, S, len(qv), len(tv))
+        assert (got == dmat).all(), (p, right)
