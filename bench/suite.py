@@ -510,6 +510,23 @@ def main():
          "Gcells/s", baseline=0.60,  # ref extz2_sse -z100 CIGAR loop
          live=live_whale_cig)
 
+    # the same whale bucket through the TWO-PIECE (extd) fused
+    # strips-CIGAR route — minimap2's production DNA CIGAR path
+    # (ksw2_extd2_sse.c defaults -O4,13 -E2,1).  Checksums are
+    # reference-binary-validated (seed 777; regen via
+    # bench/regen_checksums.py).
+    def run_whale_cigar_extd():
+        ezs = _align_batch(whale, 5, mat, 4, 2, 13, 1, zdrop=100,
+                           flag=Flag.NONE)
+        tot = sum(e.max for e in ezs)
+        ctot = sum(len(e.cigar) for e in ezs)
+        assert (tot, ctot) == (33093, 5889), (tot, ctot)
+
+    emit("whale_17x3000_extd_cigar_gcells_per_s",
+         (wcells / 1e9) / best_of(run_whale_cigar_extd, n=3),
+         "Gcells/s", baseline=0.61,  # ref extd2_sse 16.5k +cigar row
+         live=ref_live_gcps(wpairs, wcells, "extd2_sse", ["-z", 100]))
+
     # cross-process warm-up: a FRESH python process scoring a small mixed
     # batch (every kernel comes from the persistent compile cache — the
     # kalloc zero-per-call-setup contract; target < 10 s)
@@ -625,11 +642,14 @@ def main():
     scells *= 4
 
     def run_splice():
+        # SPLICE_FOR engages the donor/acceptor site profiles — the
+        # production mRNA-to-genome shape (ksw2_exts2_sse.c:119-171);
+        # checksums regen via bench/regen_checksums.py
         ezs = align_batch_splice(jobs_s, 5, mat_s, 2, 1, 32, 9, zdrop=200,
-                                 flag=Flag.NONE)
+                                 flag=Flag.SPLICE_FOR)
         tot = sum(ez.max for ez in ezs)
         ctot = sum(len(ez.cigar) for ez in ezs)
-        assert (tot, ctot) == (4 * 47099, 4 * 1394), (tot, ctot)
+        assert (tot, ctot) == (4 * 47059, 4 * 1431), (tot, ctot)
 
     emit("splice_batch_1024x512_cigar_gcells_per_s",
          (scells / 1e9) / best_of(run_splice, n=3), "Gcells/s",

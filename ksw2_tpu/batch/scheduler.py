@@ -592,9 +592,39 @@ def align_batch(
     from ..ops.batch_pallas import extd_batch_device
     from ..ops.extd import extd2_device
     from ..ops.extz import extz2_device
+    from ..ops.strips_walker import (strips_cigar_eligible,
+                                     strips_cigar_extd_eligible,
+                                     strips_cigar_prep)
 
     cigar_pending: List[Tuple[List[int], list, bool]] = []
+    strips_cig_pending: List[dict] = []
     for (Lq, Lt), idxs in buckets.items():
+        # fused strips-CIGAR route first: EVERY eligible bucket's
+        # byte-emitting forward + batched walkers later run inside ONE
+        # jitted execution with ONE fetch for the whole workload (the
+        # per-execution round trip is the dominant fixed cost on a
+        # latency-taxed link; the strips forward is also the fastest
+        # CIGAR forward per cell)
+        qlens = np.array([len(jobs[i].query) for i in idxs], np.int32)
+        tlens = np.array([len(jobs[i].target) for i in idxs], np.int32)
+        ws = np.array([jobs[i].w if jobs[i].w >= 0 else
+                       max(len(jobs[i].query), len(jobs[i].target))
+                       for i in idxs], np.int32)
+        if two_piece:
+            strips_ok = strips_cigar_extd_eligible(
+                qlens, tlens, ws, flag, m, mat, zdrop, q, e, q2, e2)
+        else:
+            strips_ok = strips_cigar_eligible(qlens, tlens, ws, flag,
+                                              m, mat, zdrop, q, e)
+        if strips_ok:
+            launches = strips_cigar_prep(
+                [jobs[i].query for i in idxs],
+                [jobs[i].target for i in idxs], qlens, tlens, m, mat,
+                q, e, zdrop, flag, end_bonus=end_bonus, two=two_piece,
+                q2=q2 or 0, e2=e2 or 0)
+            strips_cig_pending.append({"idxs": idxs,
+                                       "launches": launches})
+            continue
         batchable = (Lt <= 1536
                      and not (flag & Flag.EXTZ_ONLY))
         # long banded buckets ride the band engines (scores and CIGARs,
@@ -685,70 +715,81 @@ def align_batch(
                     end_bonus=end_bonus, flag=flag, defer=True)
                 cigar_pending.append((idxs, slices, False))
         else:
-            routed = False
-            # big unbanded CIGAR buckets: the fused strips path runs the
-            # whole bucket (forward + start cells + walkers) in ONE
-            # execution instead of one per pair; one-piece and two-piece
-            # (5-state walker, ksw2_extd2_sse.c:191-322) both route
-            from ..ops.strips_walker import (strips_cigar_batch,
-                                             strips_cigar_eligible,
-                                             strips_cigar_extd_eligible)
-            qlens = np.array([len(jobs[i].query) for i in idxs],
-                             np.int32)
-            tlens = np.array([len(jobs[i].target) for i in idxs],
-                             np.int32)
-            ws = np.array(
-                [jobs[i].w if jobs[i].w >= 0 else
-                 max(len(jobs[i].query), len(jobs[i].target))
-                 for i in idxs], np.int32)
-            if two_piece:
-                strips_ok = strips_cigar_extd_eligible(
-                    qlens, tlens, ws, flag, m, mat, zdrop, q, e, q2, e2)
-            else:
-                strips_ok = strips_cigar_eligible(qlens, tlens, ws, flag,
-                                                  m, mat, zdrop, q, e)
-            if strips_ok:
-                B = len(idxs)
-                Q = np.zeros((B, Lq), np.int32)
-                T = np.zeros((B, Lt), np.int32)
-                for k, i in enumerate(idxs):
-                    Q[k, :len(jobs[i].query)] = jobs[i].query
-                    T[k, :len(jobs[i].target)] = jobs[i].target
-                ezs = strips_cigar_batch(Q, T, qlens, tlens, m, mat,
-                                         q, e, zdrop=zdrop,
-                                         end_bonus=end_bonus,
-                                         flag=flag, two=two_piece,
-                                         q2=q2 or 0, e2=e2 or 0)
-                for k, i in enumerate(idxs):
-                    results[i] = ezs[k]
-                routed = True
-            if not routed:
-                for i in idxs:
-                    job = jobs[i]
-                    if two_piece:
-                        ez, _ = extd2_device(job.query, job.target, m, mat,
-                                             q, e, q2, e2, w=job.w,
-                                             zdrop=zdrop,
-                                             end_bonus=end_bonus, flag=flag)
-                    else:
-                        ez, _ = extz2_device(job.query, job.target, m, mat,
-                                             q, e, w=job.w, zdrop=zdrop,
-                                             end_bonus=end_bonus, flag=flag)
-                    results[i] = ez
+            for i in idxs:
+                job = jobs[i]
+                if two_piece:
+                    ez, _ = extd2_device(job.query, job.target, m, mat,
+                                         q, e, q2, e2, w=job.w,
+                                         zdrop=zdrop,
+                                         end_bonus=end_bonus, flag=flag)
+                else:
+                    ez, _ = extz2_device(job.query, job.target, m, mat,
+                                         q, e, w=job.w, zdrop=zdrop,
+                                         end_bonus=end_bonus, flag=flag)
+                results[i] = ez
 
     # Phase 2 — ONE fused jitted execution for every deferred CIGAR
     # slice of the whole workload (forward kernels, device start cells,
-    # device walkers, RLE compaction), then one truncated-slab fetch
+    # device walkers, RLE compaction), then one truncated-slab fetch.
+    # The strips buckets get their own single fused execution the same
+    # way (one upload, one flat fetch).
     fused = _fuse_cigar_slices(cigar_pending)
+    strips_flat = strips_spans = None
+    if strips_cig_pending:
+        from ..ops.strips_walker import strips_cigar_fused_call
+        all_launches = [ln for g in strips_cig_pending
+                        for ln in g["launches"]]
+        strips_flat, strips_spans = strips_cigar_fused_call(all_launches)
+        cp = getattr(strips_flat, "copy_to_host_async", None)
+        if cp is not None:
+            cp()
 
     def _finish():
         _finish_cigar_pending(cigar_pending, results, m, mat, q, e, q2,
                               e2, zdrop, end_bonus, flag, fused)
+        if strips_flat is not None:
+            _finish_strips_cig(strips_cig_pending, strips_flat,
+                               strips_spans, results, jobs, m, mat, q,
+                               e, q2, e2, zdrop, end_bonus, flag,
+                               two_piece)
         return results
 
     if _defer:
         return PendingAligns(_finish)  # type: ignore[return-value]
     return _finish()  # type: ignore[return-value]
+
+
+def _finish_strips_cig(groups, flat, spans, results, jobs, m, mat, q,
+                       e, q2, e2, zdrop, end_bonus, flag, two_piece):
+    """Unpack the strips buckets' single flat fetch into per-job
+    results; a pair whose capped runs fetch overflowed re-walks alone
+    through the uncapped per-pair path."""
+    from ..ops.strips_walker import strips_cigar_align, unpack_cigar_flat
+
+    h = np.asarray(flat)                       # the one fetch
+    li = 0
+    for g in groups:
+        pos = 0
+        for prm, _arrays, B, eb in g["launches"]:
+            off, n = spans[li]
+            li += 1
+            sub = g["idxs"][pos:pos + B]
+            pos += B
+
+            def rewalk(p, sub=sub):
+                job = jobs[sub[p]]
+                out = strips_cigar_align(
+                    job.query[None, :], job.target[None, :],
+                    np.array([len(job.query)], np.int32),
+                    np.array([len(job.target)], np.int32), m, mat, q, e,
+                    zdrop=zdrop, end_bonus=end_bonus, flag=flag,
+                    two=two_piece, q2=q2 or 0, e2=e2 or 0)
+                return out[0].cigar
+
+            ezs = unpack_cigar_flat(h[off:off + n], prm, B, mat, eb,
+                                    flag, rewalk)
+            for k, i in enumerate(sub):
+                results[i] = ezs[k]
 
 
 def _fuse_cigar_slices(groups):

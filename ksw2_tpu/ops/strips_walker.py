@@ -55,11 +55,13 @@ class SWParams(NamedTuple):
     r_rows: int      # runs-buffer rows (x128 lanes)
     two: int = 0     # 5-state (extd/exts) bytes: codes 0..4, bits 3..6
     nop: int = 0     # state 3 emits op N (exts intron) instead of D
+    nb: int = 1      # pairs walked per call (grid = (nb, n_blocks))
 
 
 def _walk_kernel(prm: SWParams, refs):
     (start_ref, d8_ref, res_ref, runs, st8, plane) = refs
-    step = pl.program_id(0)
+    b = pl.program_id(0)               # pair within the batched call
+    step = pl.program_id(1)
     blk_hi = (prm.n_blocks - 1 - step) * prm.blk + prm.blk
     blk_lo = blk_hi - prm.blk
     lane = jax.lax.broadcasted_iota(I32, (1, 128), 1)
@@ -70,8 +72,8 @@ def _walk_kernel(prm: SWParams, refs):
 
     @pl.when(step == 0)
     def _init():
-        st8[I] = start_ref[0]
-        st8[J] = start_ref[1]
+        st8[I] = start_ref[b, 0]
+        st8[J] = start_ref[b, 1]
         st8[STATE] = 0
         st8[K] = 0
         st8[DONE] = 0
@@ -85,9 +87,11 @@ def _walk_kernel(prm: SWParams, refs):
         @pl.when(st8[LEN] > 0)
         def _():
             k = st8[K]
-            row = runs[pl.ds(k >> 7, 1), :]
-            runs[pl.ds(k >> 7, 1), :] = jnp.where(
-                lane == (k & 127), (st8[LEN] << 4) | st8[OP], row)
+            idx = (pl.ds(0, 1), pl.ds(k >> 7, 1), slice(None))
+            row = runs[idx].reshape(1, 128)
+            runs[idx] = jnp.where(lane == (k & 127),
+                                  (st8[LEN] << 4) | st8[OP],
+                                  row).reshape(1, 1, 128)
             st8[K] = k + 1
             st8[LEN] = 0
 
@@ -112,8 +116,8 @@ def _walk_kernel(prm: SWParams, refs):
             # rows, and diagonal M-runs extract straight from the plane.
             @pl.when((st8[CBLK] != step) | (st8[CSTRIP] != strip))
             def _build():
-                plane[...] = d8_ref[pl.ds(strip, 1), :, :][0] \
-                    .astype(I32) & 255
+                sl = d8_ref[pl.ds(0, 1), pl.ds(strip, 1), :, :]
+                plane[...] = sl.reshape(prm.blk, 128).astype(I32) & 255
                 st8[CBLK] = step
                 st8[CSTRIP] = strip
 
@@ -268,9 +272,9 @@ def _walk_kernel(prm: SWParams, refs):
         flush()
         st8[DONE] = 1
 
-    res_ref[0] = st8[I]
-    res_ref[1] = st8[J]
-    res_ref[2] = st8[K]
+    res_ref[b, 0] = st8[I]
+    res_ref[b, 1] = st8[J]
+    res_ref[b, 2] = st8[K]
 
 
 def build_strips_walk(prm: SWParams, interpret: bool = False):
@@ -283,26 +287,27 @@ def build_strips_walk(prm: SWParams, interpret: bool = False):
     wrap.__name__ = stable_kernel_name("strips_walk", prm)
     return pl.pallas_call(
         wrap,
-        grid=(prm.n_blocks,),
+        grid=(prm.nb, prm.n_blocks),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # start (i0, j0)
-            pl.BlockSpec((prm.sp, prm.blk, 128),
-                         lambda k: (0, prm.n_blocks - 1 - k, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # starts (nb, 2)
+            pl.BlockSpec((1, prm.sp, prm.blk, 128),
+                         lambda b, k: (b, 0, prm.n_blocks - 1 - k, 0),
                          memory_space=pltpu.VMEM),      # reversed blocks
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((3,), jnp.int32),      # i, j, k
-            jax.ShapeDtypeStruct((prm.r_rows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((prm.nb, 3), jnp.int32),   # i, j, k
+            jax.ShapeDtypeStruct((prm.nb, prm.r_rows, 128), jnp.int32),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, prm.r_rows, 128), lambda b, k: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.SMEM((9,), jnp.int32),
                         pltpu.VMEM((prm.blk, 128), jnp.int32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
     )
 
@@ -310,9 +315,10 @@ def build_strips_walk(prm: SWParams, interpret: bool = False):
 @functools.lru_cache(maxsize=64)
 def _cached_walk(n_t: int, S: int, blk: int, interpret: bool,
                  two: int = 0, nop: int = 0):
-    """Jitted (slice pair p -> pad strips -> walk) over the batch store."""
-    sp = -(-S // 32) * 32
-    prm = SWParams(n_t=n_t, sp=sp, blk=blk, n_blocks=n_t // blk,
+    """Jitted (slice pair p -> transpose strips -> walk) over the batch
+    store.  The strip axis is LEADING in the walker's transposed layout
+    (untiled), so no sublane padding applies."""
+    prm = SWParams(n_t=n_t, sp=S, blk=blk, n_blocks=n_t // blk,
                    r_rows=-(-2 * n_t // 128) + 1, two=two, nop=nop)
     call = build_strips_walk(prm, interpret)
 
@@ -320,8 +326,9 @@ def _cached_walk(n_t: int, S: int, blk: int, interpret: bool,
     def run(d8, p, start):
         d8p = jax.lax.dynamic_slice(
             d8, (0, p * S, 0), (n_t, S, 128))
-        d8p = jnp.pad(d8p, ((0, 0), (0, sp - S), (0, 0)))
-        return call(start, jnp.transpose(d8p, (1, 0, 2)))
+        res, runs = call(start.reshape(1, 2),
+                         jnp.transpose(d8p, (1, 0, 2))[None])
+        return res[0], runs[0]
 
     return run
 
@@ -430,8 +437,18 @@ def strips_cigar_align(query, target, qlen, tlen, m, mat, q, e,
     return out
 
 
-RUNS_CAP_ROWS = 17      # fetched runs rows per pair (2176 runs; the walk
-                        # buffer itself is uncapped — overflow re-walks)
+RUNS_CAP_ROWS = 17      # fetched runs rows cap (the walk buffer itself
+                        # is uncapped — overflow re-walks)
+
+
+def _runs_cap(n_t: int) -> int:
+    """Fetched runs rows per pair, scaled to the pair length: a K-run
+    CIGAR needs ~K slots and K ~ ops/avg-run-len; over a ~30 MB/s
+    tunnel an oversized cap costs real milliseconds per pair (a 17-row
+    cap on a 495-pair mixed workload was a ~2 MB / ~60 ms fetch).
+    Overflow re-walks the pair alone (rare, degenerate alignments)."""
+    r_rows = -(-2 * n_t // 128) + 1
+    return min(r_rows, -(-n_t // 512), RUNS_CAP_ROWS)
 
 
 # Fused-route cost-model constants, overridable for other hardware via
@@ -513,27 +530,27 @@ def strips_cigar_extd_eligible(qlen, tlen, w, flag, m, mat, zdrop,
                                 m, mat, zdrop, q, e, q2, e2)
 
 
-@functools.lru_cache(maxsize=32)
-def _cached_cigar_batch(prm, B: int, end_bonus: int, interpret: bool):
-    """ONE jitted program: strips forward (byte emission) -> device
-    start cells (ksw2_extz2_sse.c:292-301 rules on the replayed
-    records) -> B run-based walkers -> capped runs fetch.  A whole
-    CIGAR bucket in a single execution — on a latency-taxed link the
-    per-execution round trip (~29 ms here) dominates any per-pair
-    dispatch, so fusing is what lets the strips engine reach the
-    production CIGAR rows."""
+def _fused_one(prm, B: int, end_bonus: int, interpret: bool):
+    """Traceable single-launch body: strips forward (byte emission) ->
+    device start cells (ksw2_extz2_sse.c:292-301 rules on the replayed
+    records) -> ONE batched walker call -> capped runs, all returned as
+    one flat int32 vector.  Composable: several launches fused inside
+    one jit share a single execution and a single fetch (the
+    per-execution round trip is ~31 ms on this link).  Returns
+    ``(fn, k_cap)``."""
     from ..core.flags import Flag
     from .wavefront_strips import _strips_run_fn
 
     fwd = _strips_run_fn(prm, interpret)
     S = prm.s
     n_t = prm.t_pad + 128          # d8 step axis: (t_pad//CH + 4) * CH
-    sp = -(-S // 32) * 32
-    wprm = SWParams(n_t=n_t, sp=sp, blk=128, n_blocks=n_t // 128,
-                    r_rows=-(-2 * n_t // 128) + 1, two=int(prm.two))
+    wprm = SWParams(n_t=n_t, sp=S, blk=128, n_blocks=n_t // 128,
+                    r_rows=-(-2 * n_t // 128) + 1, two=int(prm.two),
+                    nb=B)
     walk = build_strips_walk(wprm, interpret)
-    cap = min(wprm.r_rows, RUNS_CAP_ROWS)
+    cap = _runs_cap(n_t)
     extz_only = bool(prm.flag & int(Flag.EXTZ_ONLY))
+    Bp = prm.n_rows // S
 
     def fused(qpk, tpk, ql, tl):
         rec, d8 = fwd(qpk, tpk, ql, tl)
@@ -548,23 +565,118 @@ def _cached_cigar_batch(prm, B: int, end_bonus: int, interpret: bool):
         else:
             i0 = jnp.where(zd == 0, tl - 1, cand_i)
             j0 = jnp.where(zd == 0, ql - 1, cand_j)
-        res_all, runs_all = [], []
-        for p in range(B):
-            d8p = jnp.pad(d8[:, p * S:(p + 1) * S, :],
-                          ((0, 0), (0, sp - S), (0, 0)))
-            start = jnp.stack([i0[p], j0[p]]).astype(jnp.int32)
-            res, runs = walk(start, jnp.transpose(d8p, (1, 0, 2)))
-            res_all.append(res)
-            runs_all.append(runs[:cap])
+        # ALL walkers ride ONE batched pallas call (grid (B, blocks));
+        # the byte store reshapes to per-pair strip-major planes in one
+        # transpose (strip axis leading = untiled: no sublane padding)
+        d8b = jnp.transpose(
+            d8.reshape(n_t, Bp, S, 128)[:, :B], (1, 2, 0, 3))
+        starts = jnp.stack([i0[:B], j0[:B]], axis=1).astype(jnp.int32)
+        res, runs = walk(starts, d8b)
         # ONE flat int32 output = ONE device->host fetch: on this
         # environment's tunnel every separate np.asarray costs a ~31 ms
         # round trip (three of them were ~70% of the whale bucket's
         # wall; the whole device program is ~13 ms — r5 trace)
         return jnp.concatenate([
-            rec.reshape(-1), jnp.stack(res_all).reshape(-1),
-            jnp.stack(runs_all).reshape(-1)])
+            rec.reshape(-1), res.reshape(-1),
+            runs[:, :cap].reshape(-1)])
 
-    return jax.jit(fused), cap * 128
+    return fused, cap * 128
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_cigar_batch(prm, B: int, end_bonus: int, interpret: bool):
+    """Jitted single-launch fused CIGAR program (see _fused_one)."""
+    fused, k_cap = _fused_one(prm, B, end_bonus, interpret)
+    return jax.jit(fused), k_cap
+
+
+def _flat_len(prm, B: int) -> int:
+    """Length of one launch's flat int32 output (rec | res | runs)."""
+    cap = _runs_cap(prm.t_pad + 128)
+    Bp = prm.n_rows // prm.s
+    return Bp * 9 + B * 3 + B * cap * 128
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_cigar_multi(items: tuple, interpret: bool):
+    """ONE jitted program running several fused CIGAR launches (a whole
+    mixed workload's eligible buckets): inputs arrive as one flat uint8
+    buffer (one upload), outputs concatenate into one flat int32 vector
+    (one fetch).  ``items`` = tuple of (prm, B, end_bonus)."""
+    from .wavefront_strips import _launch_sizes
+
+    fns = [(_fused_one(prm, B, eb, interpret)[0], prm, B)
+           for prm, B, eb in items]
+
+    def multi(buf):
+        outs = []
+        off = 0
+        for fn, prm, B in fns:
+            Bp = prm.n_rows // prm.s
+            nq, nt, nl, _ = _launch_sizes(prm)
+            qpk = jax.lax.dynamic_slice(buf, (off,), (nq,)).reshape(
+                Bp, prm.s * 64)
+            off += nq
+            tpk = jax.lax.dynamic_slice(buf, (off,), (nt,)).reshape(
+                Bp, -(-prm.tv // 2))
+            off += nt
+            ql = jax.lax.bitcast_convert_type(
+                jax.lax.dynamic_slice(buf, (off,), (nl,)).reshape(Bp, 4),
+                jnp.int32).reshape(Bp)
+            off += nl
+            tl = jax.lax.bitcast_convert_type(
+                jax.lax.dynamic_slice(buf, (off,), (nl,)).reshape(Bp, 4),
+                jnp.int32).reshape(Bp)
+            off += nl
+            outs.append(fn(qpk, tpk, ql, tl))
+        return jnp.concatenate(outs)
+
+    return jax.jit(multi)
+
+
+def strips_cigar_fused_call(launches, interpret: bool = False):
+    """Run every prepared CIGAR launch inside ONE jitted execution.
+
+    ``launches`` = list of (prm, (qpk, tpk, ql, tl) numpy, B, end_bonus)
+    from :func:`strips_cigar_prep`.  Returns the device flat int32
+    array and the per-launch (offset, length) spans for
+    :func:`unpack_cigar_flat`."""
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    key = tuple((prm, B, eb) for prm, _, B, eb in launches)
+    fn = _cached_cigar_multi(key, interpret)
+    parts = []
+    for prm, (qpk, tpk, ql, tl), _, _ in launches:
+        parts.append(qpk.reshape(-1).view(np.uint8))
+        parts.append(tpk.reshape(-1).view(np.uint8))
+        parts.append(np.ascontiguousarray(ql, np.int32).view(np.uint8))
+        parts.append(np.ascontiguousarray(tl, np.int32).view(np.uint8))
+    flat = fn(jnp.asarray(np.concatenate(parts)))
+    spans = []
+    off = 0
+    for prm, _, B, _ in launches:
+        n = _flat_len(prm, B)
+        spans.append((off, n))
+        off += n
+    return flat, spans
+
+
+def strips_cigar_prep(query, target, qlen, tlen, m, mat, q, e, zdrop,
+                      flag, end_bonus: int = 0, two: bool = False,
+                      q2: int = 0, e2: int = 0):
+    """Host-side prep of a CIGAR bucket for fused dispatch (plan + pad
+    + pack only; no device work).  Returns a list of launch tuples
+    ``(prm, arrays, B, end_bonus)`` plus the per-launch job spans and
+    the post-swap (q, e) used for the record guard.  Mirrors
+    :func:`wavefront_strips.strips_prep` with ``cig=1`` params."""
+    from .wavefront_strips import strips_prep
+
+    launches = strips_prep(query, target, qlen, tlen, m, mat, q, e,
+                           zdrop, flag, two=two, q2=q2, e2=e2)
+    out = []
+    for prm, arrays, B in launches:
+        out.append((prm._replace(cig=1), arrays, B, int(end_bonus)))
+    return out
 
 
 def strips_cigar_batch(query, target, qlen, tlen, m, mat, q, e,
@@ -636,12 +748,40 @@ def strips_cigar_batch(query, target, qlen, tlen, m, mat, q, e,
                           jnp.asarray(pack_bases(tpad)),
                           jnp.asarray(lens[0]),
                           jnp.asarray(lens[1])))      # the ONE fetch
-    # layout: [rec (rows x NFIELDS) | res (B x 3) | runs (B x cap*128)]
+
+    def rewalk(p):
+        sub = strips_cigar_align(
+            query[p:p + 1], target[p:p + 1], qlen[p:p + 1],
+            tlen[p:p + 1], m, mat, q_pre, e_pre, zdrop=zdrop,
+            end_bonus=end_bonus, flag=flag, interpret=interpret,
+            two=two, q2=q2_pre, e2=e2_pre)
+        return sub[0].cigar
+
+    return unpack_cigar_flat(flat, prm, B, mat, end_bonus, flag, rewalk)
+
+
+def unpack_cigar_flat(flat: np.ndarray, prm, B: int, mat, end_bonus,
+                      flag, rewalk) -> list:
+    """One launch's flat int32 section -> per-pair ExtzResults.
+
+    Layout: [rec (rows x NFIELDS) | res (B x 3) | runs (B x cap*128)].
+    ``rewalk(p) -> cigar`` re-derives a pair whose capped runs fetch
+    overflowed (degenerate alignments)."""
+    from ..core.flags import Flag
+    from ..core.result import ExtzResult
+    from .batch_pallas import unpack_records
+
+    flag = Flag(int(flag))
+    is_rev = bool(flag & Flag.REV_CIGAR)
+    mat = np.asarray(mat).reshape(-1)
+    k_cap = (_flat_len(prm, B) - (prm.n_rows // prm.s) * 9 - B * 3) // B
     nrec = flat.size - B * 3 - B * k_cap
     rec = flat[:nrec].reshape(-1, 9)[:B]
     res_all = flat[nrec:nrec + B * 3].reshape(B, 3)
     runs_all = flat[nrec + B * 3:].reshape(B, -1)
-    fields = unpack_records(rec, int(mat[1:].min()), int(q), int(e))
+    # prm carries POST-swap costs: the guard divides by the cheaper arm
+    fields = unpack_records(rec, int(mat[1:].min()), int(prm.q),
+                            int(prm.e))
     out = []
     for p in range(B):
         ez = ExtzResult(
@@ -659,12 +799,7 @@ def strips_cigar_batch(query, target, qlen, tlen, m, mat, q, e,
             ie, je, k = (int(res_all[p, 0]), int(res_all[p, 1]),
                          int(res_all[p, 2]))
             if k > k_cap:      # capped fetch overflowed: re-walk alone
-                sub = strips_cigar_align(
-                    query[p:p + 1], target[p:p + 1], qlen[p:p + 1],
-                    tlen[p:p + 1], m, mat, q_pre, e_pre, zdrop=zdrop,
-                    end_bonus=end_bonus, flag=flag, interpret=interpret,
-                    two=two, q2=q2_pre, e2=e2_pre)
-                ez.cigar = sub[0].cigar
+                ez.cigar = rewalk(p)
             else:
                 ez.cigar = finish_runs(runs_all[p], k, ie, je, 0, is_rev)
         out.append(ez)

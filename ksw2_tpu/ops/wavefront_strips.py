@@ -81,6 +81,9 @@ class StripParams(NamedTuple):
     ld: int = 0            # long_diff
     off0: int = 0          # reference pre-swap H-seed offset (extd quirk)
     cig: int = 0           # emit per-cell direction bytes (spec/strips_cigar)
+    spl: int = 0           # spliced (exts) mode: vertical intron carry
+    semi: int = 0          # splice semi-canonical site cost (class 1)
+    non: int = 0           # splice non-canonical site cost (class 2)
 
 
 def key_params(tv: int):
@@ -89,7 +92,7 @@ def key_params(tv: int):
 
 
 def _kernel_body(prm: StripParams, refs):
-    n_in = 14 if prm.two else 12       # const planes before prof/words
+    n_in = 14 if prm.two else (13 if prm.spl else 12)
     ins, outs_scratch = refs[:n_in + 2], refs[n_in + 2:]
     d8_out = None
     if prm.cig:
@@ -98,7 +101,7 @@ def _kernel_body(prm: StripParams, refs):
     else:
         D_out, Dq_out, hl_out = outs_scratch[:3]
         scratch = outs_scratch[3:]
-    bf3 = None
+    bf3 = NI = NIinit = None
     if prm.two:
         (sp, s127, qlp, tlp, vm, qrow, qlane, bHi, Hinit, Einit, E2init,
          aoff, aoff2, lnp, prof, words) = ins
@@ -107,6 +110,11 @@ def _kernel_body(prm: StripParams, refs):
              bf3) = scratch
         else:
             (H, E, E2, dA, dB, dqA, dqB, bh1, bh2, bf1, bf2) = scratch
+    elif prm.spl:
+        (sp, s127, qlp, tlp, vm, qrow, qlane, bHi, Hinit, Einit, NIinit,
+         aoff, lnp, prof, words) = ins
+        (H, E, NI, dA, dB, dqA, dqB, bh1, bh2, bf1) = scratch
+        E2init = aoff2 = E2 = bf2 = None
     else:
         (sp, s127, qlp, tlp, vm, qrow, qlane, bHi, Hinit, Einit, aoff,
          lnp, prof, words) = ins
@@ -123,8 +131,9 @@ def _kernel_body(prm: StripParams, refs):
     def col_h(i):
         """Virtual-column H(i, -1): the reference's stepped boundary
         (-e until long_thres, long_diff at it, -e2 after;
-        ksw2_extd2_sse.c:156-163).  One-piece: plain -e steps."""
-        if not prm.two:
+        ksw2_extd2_sse.c:156-163; exts uses e2=0 so the tail is FLAT,
+        ksw2_exts2_sse.c:179-181).  One-piece: plain -e steps."""
+        if not (prm.two or prm.spl):
             return -(gapoe + prm.e * i)
         early = -(gapoe + prm.e * i)
         late = -(gapoe + prm.e * (prm.lt - 1)) + prm.ld \
@@ -139,6 +148,8 @@ def _kernel_body(prm: StripParams, refs):
             (H, E, bh1, bh2, bf1)
         if bf3 is not None:
             regs = regs + (bf3,)
+        if NI is not None:
+            regs = regs + (NI,)
         for ref in regs:
             ref[...] = jnp.zeros(shape, I32)
         hl_out[...] = jnp.full(shape, SENT, I32)
@@ -161,6 +172,13 @@ def _kernel_body(prm: StripParams, refs):
     W0 = jnp.broadcast_to(words[0, 0], shape)
     W1 = jnp.broadcast_to(words[0, 1], shape)
     W2 = jnp.broadcast_to(words[0, 2], shape)
+    if prm.spl:
+        # donor/acceptor 2-bit class planes (values are prm scalars:
+        # class 0 -> 0, 1 -> semi, 2 -> non; ksw2_exts2_sse.c:119-171)
+        W3 = jnp.broadcast_to(words[0, 3], shape)
+        W4 = jnp.broadcast_to(words[0, 4], shape)
+        W5 = jnp.broadcast_to(words[0, 5], shape)
+        W6 = jnp.broadcast_to(words[0, 6], shape)
     profs = [prof[y] for y in range(prm.m)]
 
     def step_body(tau, _):
@@ -192,8 +210,22 @@ def _kernel_body(prm: StripParams, refs):
         if prm.two:
             E2prev = jnp.where(first, E2init[...], E2[...])
             hnof = jnp.maximum(hnof, E2prev)
+        if prm.spl:
+            # intron candidate: the N state is a VERTICAL carry with no
+            # per-row decay (donor paid at open, acceptor at close,
+            # free intron length; spec/strips_cigar.strips_exts_cigar)
+            dcls = ((W3 >> tau) & 1) + 2 * ((W4 >> tau) & 1)
+            acls = ((W5 >> tau) & 1) + 2 * ((W6 >> tau) & 1)
+            vd = jnp.where(dcls == 0, 0,
+                           jnp.where(dcls == 1, prm.semi, prm.non))
+            va = jnp.where(acls == 0, 0,
+                           jnp.where(acls == 1, prm.semi, prm.non))
+            NIprev = jnp.where(first, NIinit[...], NI[...])
+            cand3 = NIprev + va
+            hnof = jnp.maximum(hnof, cand3)
         cv = Hd + prm.mat0
-        hnofc = jnp.minimum(hnof, cv)
+        # exts has NO per-cell clamp (ksw2_exts2_sse.c)
+        hnofc = hnof if prm.spl else jnp.minimum(hnof, cv)
 
         # ---- F prefix scan with the incoming seed (lag 1)
         A = hnofc + aoffv
@@ -222,6 +254,9 @@ def _kernel_body(prm: StripParams, refs):
             Hn = jnp.minimum(jnp.maximum(Hc1, F2), cv)
             E2n = jnp.maximum(E2prev - prm.e2, Hn - gapoe2)
             E2[...] = E2n
+        elif prm.spl:
+            Hn = jnp.maximum(hnof, F)          # no clamp in exts
+            NI[...] = jnp.maximum(NIprev, Hn + vd - prm.q2)
         else:
             Hn = jnp.minimum(jnp.maximum(hnof, F), cv)
         En = jnp.maximum(Eprev - prm.e, Hn - gapoe)
@@ -259,6 +294,9 @@ def _kernel_body(prm: StripParams, refs):
                     dby = jnp.where(zz > E2prev, dby, 3)
                     zz = jnp.maximum(zz, E2prev)
                     dby = jnp.where(zz > F2, dby, 4)
+                if prm.spl:
+                    zz = jnp.maximum(zz, Fb)
+                    dby = jnp.where(zz > cand3, dby, 3)
                 ca = Eprev >= Hn - prm.q
                 cb = Fb >= Hn - prm.q
             else:
@@ -270,6 +308,9 @@ def _kernel_body(prm: StripParams, refs):
                     dby = jnp.where(E2prev > zz, 3, dby)
                     zz = jnp.maximum(zz, E2prev)
                     dby = jnp.where(F2 > zz, 4, dby)
+                if prm.spl:
+                    zz = jnp.maximum(zz, Fb)
+                    dby = jnp.where(cand3 > zz, 3, dby)
                 ca = Eprev > Hn - prm.q
                 cb = Fb > Hn - prm.q
             dby = dby | jnp.where(ca, 8, 0) | jnp.where(cb, 16, 0)
@@ -281,6 +322,13 @@ def _kernel_body(prm: StripParams, refs):
                     ca2 = E2prev > Hn - prm.q2
                     cb2 = F2 > Hn - prm.q2
                 dby = dby | jnp.where(ca2, 32, 0) | jnp.where(cb2, 64, 0)
+            if prm.spl:
+                # 0x20: N-state continuation (NI + q2 - Hn vs donor)
+                if prm.flag & int(Flag.RIGHT):
+                    cd = NIprev + prm.q2 - Hn >= vd
+                else:
+                    cd = NIprev + prm.q2 - Hn > vd
+                dby = dby | jnp.where(cd, 32, 0)
             d8_out[tau] = dby.astype(jnp.uint8)
 
         # ---- outgoing boundary streams for the next strip
@@ -346,10 +394,11 @@ def build_strips_call(prm: StripParams, interpret: bool = False):
     G = prm.t_pad // CH + 4            # +4 chunks drain the carry window
     NF = G // 4
     const = pl.BlockSpec(memory_space=pltpu.VMEM)
-    n_const = 14 if prm.two else 12    # + E2init, aoff2
-    n_scratch = 11 if prm.two else 9   # + E2, bf2
+    n_const = 14 if prm.two else (13 if prm.spl else 12)
+    n_scratch = 11 if prm.two else (10 if prm.spl else 9)
     if prm.two and prm.cig:
         n_scratch += 1                 # + bf3 (the DP-F byte chain)
+    NW = 7 if prm.spl else 3           # word planes (+4 splice classes)
 
     def wrap(*refs):
         _kernel_body(prm, refs)
@@ -368,7 +417,7 @@ def build_strips_call(prm: StripParams, interpret: bool = False):
         in_specs=[const] * n_const + [
             pl.BlockSpec((prm.m, R, 128), lambda c: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, R, 1), lambda c: (c, 0, 0, 0),
+            pl.BlockSpec((1, NW, R, 1), lambda c: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

@@ -93,13 +93,13 @@ def test_scheduler_routes_big_cigar_bucket_to_strips(monkeypatch):
     from ksw2_tpu.ops.extz import extz2_device
 
     calls = []
-    real = sw.strips_cigar_batch
+    real = sw.strips_cigar_fused_call
 
     def spy(*a, **k):
         calls.append(1)
         return real(*a, **k)
 
-    monkeypatch.setattr(sw, "strips_cigar_batch", spy)
+    monkeypatch.setattr(sw, "strips_cigar_fused_call", spy)
     rng = np.random.default_rng(5)
     jobs = []
     for _ in range(8):     # one bucket: the fused-route cost model
@@ -191,13 +191,13 @@ def test_scheduler_routes_extd_cigar_bucket_to_strips(monkeypatch):
     from ksw2_tpu.ops.extd import extd2_device
 
     calls = []
-    real = sw.strips_cigar_batch
+    real = sw.strips_cigar_fused_call
 
     def spy(*a, **k):
         calls.append(1)
         return real(*a, **k)
 
-    monkeypatch.setattr(sw, "strips_cigar_batch", spy)
+    monkeypatch.setattr(sw, "strips_cigar_fused_call", spy)
     rng = np.random.default_rng(5)
     jobs = []
     for _ in range(8):
