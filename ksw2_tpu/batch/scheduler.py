@@ -887,11 +887,13 @@ def align_batch_splice(
     junc_bonus: int = 0,
     flag: Flag | int = Flag.NONE,
     juncs: Optional[Sequence[Optional[np.ndarray]]] = None,
+    _defer: bool = False,
 ) -> List[ExtzResult]:
     """Spliced (mRNA-to-genome) alignment for a batch of jobs.
 
-    Short-target buckets (tlen <= 512) batch through the exts engine;
-    longer targets run the single-pair exts kernel.  ``juncs`` optionally
+    Eligible CIGAR buckets ride the fused strips route (one execution +
+    one fetch for the whole workload); the rest batch through the exts
+    engine or run the single-pair exts kernel.  ``juncs`` optionally
     supplies per-job junction annotation tracks.
     """
     flag = Flag(int(flag))
@@ -913,10 +915,36 @@ def align_batch_splice(
     from ..ops.batch_pallas import (exts_batch_align_dispatch,
                                     exts_batch_records)
     from ..ops.exts import exts2_device
+    from ..ops.strips_walker import (strips_exts_cigar_prep,
+                                     strips_exts_eligible)
 
     with_cigar = not (flag & Flag.SCORE_ONLY)
     splice_pending: List[Tuple[List[int], list]] = []
+    strips_cig_pending: List[dict] = []
     for (Lq, Lt), idxs in buckets.items():
+        # fused strips-CIGAR route first (one execution + one fetch for
+        # every eligible bucket of the workload; 5-state walker emits N
+        # ops for the intron carry)
+        if with_cigar:
+            qlens = np.array([len(jobs[i].query) for i in idxs],
+                             np.int32)
+            tlens = np.array([len(jobs[i].target) for i in idxs],
+                             np.int32)
+            ws = np.array([jobs[i].w if jobs[i].w >= 0 else
+                           max(len(jobs[i].query), len(jobs[i].target))
+                           for i in idxs], np.int32)
+            junc_any = juncs is not None and any(
+                juncs[i] is not None for i in idxs)
+            if strips_exts_eligible(qlens, tlens, ws, flag, m, mat,
+                                    zdrop, q, e, q2, junc_any,
+                                    junc_bonus):
+                launches = strips_exts_cigar_prep(
+                    [jobs[i].query for i in idxs],
+                    [jobs[i].target for i in idxs], qlens, tlens, m,
+                    mat, q, e, q2, noncan, zdrop, flag)
+                strips_cig_pending.append({"idxs": idxs,
+                                           "launches": launches})
+                continue
         if Lt <= 1536 and not (flag & Flag.EXTZ_ONLY):
             B = len(idxs)
             Q = np.zeros((B, Lq), np.int32)
@@ -956,9 +984,69 @@ def align_batch_splice(
                     junc=None if juncs is None else juncs[i])
                 results[i] = ez
     fused = _fuse_splice_slices(splice_pending)
-    _finish_splice_pending(splice_pending, results, m, mat, q, e, q2,
-                           noncan, zdrop, junc_bonus, flag, fused)
-    return results  # type: ignore[return-value]
+    strips_flat = strips_spans = None
+    if strips_cig_pending:
+        from ..ops.strips_walker import strips_cigar_fused_call
+        all_launches = [ln for g in strips_cig_pending
+                        for ln in g["launches"]]
+        strips_flat, strips_spans = strips_cigar_fused_call(all_launches)
+        cp = getattr(strips_flat, "copy_to_host_async", None)
+        if cp is not None:
+            cp()
+    def _finish():
+        _finish_splice_pending(splice_pending, results, m, mat, q, e,
+                               q2, noncan, zdrop, junc_bonus, flag,
+                               fused)
+        if strips_flat is not None:
+            from ..ops.strips_walker import unpack_cigar_flat
+            h = np.asarray(strips_flat)
+            li = 0
+            for g in strips_cig_pending:
+                pos = 0
+                for prm, _arrays, B, eb in g["launches"]:
+                    off, n = strips_spans[li]
+                    li += 1
+                    sub = g["idxs"][pos:pos + B]
+                    pos += B
+
+                    def rewalk(p, sub=sub):
+                        job = jobs[sub[p]]
+                        ez, _ = exts2_device(
+                            job.query, job.target, m, mat, q, e, q2,
+                            noncan, zdrop=zdrop, junc_bonus=junc_bonus,
+                            flag=flag, junc=None)
+                        return ez.cigar
+
+                    ezs = unpack_cigar_flat(h[off:off + n], prm, B,
+                                            mat, eb, flag, rewalk)
+                    for k, i in enumerate(sub):
+                        results[i] = ezs[k]
+        return results
+
+    if _defer:
+        return PendingAligns(_finish)  # type: ignore[return-value]
+    return _finish()  # type: ignore[return-value]
+
+
+def align_batch_splice_async(
+    jobs: Sequence[AlignJob],
+    m: int,
+    mat: np.ndarray,
+    q: int,
+    e: int,
+    q2: int,
+    noncan: int,
+    zdrop: int = -1,
+    junc_bonus: int = 0,
+    flag: Flag | int = Flag.NONE,
+    juncs: Optional[Sequence[Optional[np.ndarray]]] = None,
+) -> "PendingAligns":
+    """Submit a splice batch without waiting; the serving twin of
+    :func:`align_batch_splice` (device work + async copies start at
+    submit time, the fetch/unpack defers to ``.result()``)."""
+    return align_batch_splice(jobs, m, mat, q, e, q2, noncan,
+                              zdrop=zdrop, junc_bonus=junc_bonus,
+                              flag=flag, juncs=juncs, _defer=True)
 
 
 def _fuse_splice_slices(groups):
@@ -1051,4 +1139,5 @@ def _finish_splice_pending(splice_pending, results, m, mat, q, e, q2,
 __all__ = ["AlignJob", "align_batch_scores", "align_batch_scores_async",
            "align_batch_scores2", "align_batch_scores2_async",
            "PendingScores", "PendingAligns", "align_batch",
-           "align_batch_async", "align_batch_splice"]
+           "align_batch_async", "align_batch_splice",
+           "align_batch_splice_async"]

@@ -243,12 +243,26 @@ def _walk_kernel(prm: SWParams, refs):
 
             @pl.when(jnp.logical_not(mrun | irun))
             def _d():
-                # single D/N step (states 1/3): i decreases, j fixed
+                # vertical D/N-run down the block column (states 1/3):
+                # after a D the state persists, so the run continues
+                # while the continuation bit holds or the code
+                # re-enters the SAME state — one masked reduce over the
+                # cached plane consumes the whole in-block run (the
+                # exts intron carry yields runs of hundreds of N
+                # steps; a 1<->3 alternation costs one extra visit)
+                rr = t - blk_lo
+                pv = plane[...]
+                predv = (((pv >> (s1 + 2)) & 1) == 1) | \
+                    ((pv & 7) == s1)
+                faild = ((jnp.logical_not(predv) | (rowi < rr - i))
+                         & (rowi < rr) & (lanei == l))
+                xm = jnp.max(jnp.where(faild, rowi, -1))
+                nD = rr - xm                       # >= 1
                 if prm.nop:
                     op_b = jnp.where(s1 == 3, 3, 2)
                 else:
                     op_b = 2
-                st8[I] = i - 1
+                st8[I] = i - nD
                 st8[STATE] = s1
 
                 @pl.when((st8[OP] != op_b) | (st8[LEN] == 0))
@@ -256,7 +270,7 @@ def _walk_kernel(prm: SWParams, refs):
                     flush()
 
                 st8[OP] = op_b
-                st8[LEN] = st8[LEN] + 1
+                st8[LEN] = st8[LEN] + nD
 
         return st8[I], st8[J]
 
@@ -448,7 +462,7 @@ def _runs_cap(n_t: int) -> int:
     cap on a 495-pair mixed workload was a ~2 MB / ~60 ms fetch).
     Overflow re-walks the pair alone (rare, degenerate alignments)."""
     r_rows = -(-2 * n_t // 128) + 1
-    return min(r_rows, -(-n_t // 512), RUNS_CAP_ROWS)
+    return min(r_rows, -(-n_t // 768), RUNS_CAP_ROWS)
 
 
 # Fused-route cost-model constants, overridable for other hardware via
@@ -545,15 +559,17 @@ def _fused_one(prm, B: int, end_bonus: int, interpret: bool):
     S = prm.s
     n_t = prm.t_pad + 128          # d8 step axis: (t_pad//CH + 4) * CH
     wprm = SWParams(n_t=n_t, sp=S, blk=128, n_blocks=n_t // 128,
-                    r_rows=-(-2 * n_t // 128) + 1, two=int(prm.two),
+                    r_rows=-(-2 * n_t // 128) + 1,
+                    two=int(prm.two or prm.spl), nop=int(prm.spl),
                     nb=B)
     walk = build_strips_walk(wprm, interpret)
     cap = _runs_cap(n_t)
     extz_only = bool(prm.flag & int(Flag.EXTZ_ONLY))
     Bp = prm.n_rows // S
 
-    def fused(qpk, tpk, ql, tl):
-        rec, d8 = fwd(qpk, tpk, ql, tl)
+    def fused(qpk, tpk, ql, tl, dak=None):
+        rec, d8 = fwd(qpk, tpk, ql, tl) if dak is None \
+            else fwd(qpk, tpk, ql, tl, dak)
         mx, mt, mq = rec[:, 0], rec[:, 1], rec[:, 2]
         mqe, mqe_t, zd = rec[:, 3], rec[:, 4], rec[:, 8]
         cand_i = jnp.where((mt >= 0) & (mq >= 0), mt, -1)
@@ -603,7 +619,7 @@ def _cached_cigar_multi(items: tuple, interpret: bool):
     mixed workload's eligible buckets): inputs arrive as one flat uint8
     buffer (one upload), outputs concatenate into one flat int32 vector
     (one fetch).  ``items`` = tuple of (prm, B, end_bonus)."""
-    from .wavefront_strips import _launch_sizes
+    from .wavefront_strips import _slice_launch
 
     fns = [(_fused_one(prm, B, eb, interpret)[0], prm, B)
            for prm, B, eb in items]
@@ -612,23 +628,8 @@ def _cached_cigar_multi(items: tuple, interpret: bool):
         outs = []
         off = 0
         for fn, prm, B in fns:
-            Bp = prm.n_rows // prm.s
-            nq, nt, nl, _ = _launch_sizes(prm)
-            qpk = jax.lax.dynamic_slice(buf, (off,), (nq,)).reshape(
-                Bp, prm.s * 64)
-            off += nq
-            tpk = jax.lax.dynamic_slice(buf, (off,), (nt,)).reshape(
-                Bp, -(-prm.tv // 2))
-            off += nt
-            ql = jax.lax.bitcast_convert_type(
-                jax.lax.dynamic_slice(buf, (off,), (nl,)).reshape(Bp, 4),
-                jnp.int32).reshape(Bp)
-            off += nl
-            tl = jax.lax.bitcast_convert_type(
-                jax.lax.dynamic_slice(buf, (off,), (nl,)).reshape(Bp, 4),
-                jnp.int32).reshape(Bp)
-            off += nl
-            outs.append(fn(qpk, tpk, ql, tl))
+            qpk, tpk, ql, tl, dak, off = _slice_launch(buf, prm, off)
+            outs.append(fn(qpk, tpk, ql, tl, dak))
         return jnp.concatenate(outs)
 
     return jax.jit(multi)
@@ -640,17 +641,25 @@ def strips_cigar_fused_call(launches, interpret: bool = False):
     ``launches`` = list of (prm, (qpk, tpk, ql, tl) numpy, B, end_bonus)
     from :func:`strips_cigar_prep`.  Returns the device flat int32
     array and the per-launch (offset, length) spans for
-    :func:`unpack_cigar_flat`."""
+    :func:`unpack_cigar_flat`.
+
+    KSW2T_CIGAR_FUSE=0 switches to per-launch jits with async fetches:
+    on a low-latency local host that avoids compiling one program per
+    bucket COMBINATION (each distinct workload mix is a fresh outer
+    executable); on this environment's ~31 ms-per-execution tunnel the
+    single fused program wins and stays the default."""
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
+    if _os.environ.get("KSW2T_CIGAR_FUSE", "1") == "0":
+        return _per_launch_calls(launches, interpret)
     key = tuple((prm, B, eb) for prm, _, B, eb in launches)
     fn = _cached_cigar_multi(key, interpret)
     parts = []
-    for prm, (qpk, tpk, ql, tl), _, _ in launches:
-        parts.append(qpk.reshape(-1).view(np.uint8))
-        parts.append(tpk.reshape(-1).view(np.uint8))
-        parts.append(np.ascontiguousarray(ql, np.int32).view(np.uint8))
-        parts.append(np.ascontiguousarray(tl, np.int32).view(np.uint8))
+    for prm, arrays, _, _ in launches:
+        # (qpk, tpk[, dak], ql, tl) — must match _slice_launch order
+        for a in arrays:
+            parts.append(np.ascontiguousarray(a).reshape(-1)
+                         .view(np.uint8))
     flat = fn(jnp.asarray(np.concatenate(parts)))
     spans = []
     off = 0
@@ -659,6 +668,214 @@ def strips_cigar_fused_call(launches, interpret: bool = False):
         spans.append((off, n))
         off += n
     return flat, spans
+
+
+class _LaunchParts:
+    """Duck-typed stand-in for the fused flat device array: per-launch
+    device arrays with async copies; np.asarray concatenates on read."""
+
+    def __init__(self, arrs):
+        self._arrs = arrs
+        for a in arrs:
+            cp = getattr(a, "copy_to_host_async", None)
+            if cp is not None:
+                cp()
+
+    def copy_to_host_async(self):
+        pass                                    # already started
+
+    def __array__(self, dtype=None):
+        out = np.concatenate([np.asarray(a) for a in self._arrs])
+        return out.astype(dtype) if dtype is not None else out
+
+
+def _per_launch_calls(launches, interpret):
+    """KSW2T_CIGAR_FUSE=0 path: one jit per launch, fetches pipelined
+    via async copies (see strips_cigar_fused_call docstring)."""
+    arrs = []
+    spans = []
+    off = 0
+    for prm, arrays, B, eb in launches:
+        run, _ = _cached_cigar_batch(prm, B, eb, interpret)
+        args = [jnp.asarray(a) for a in arrays]
+        if len(args) == 4:
+            out = run(*args)
+        else:                   # (qpk, tpk, dak, ql, tl) splice order
+            out = run(args[0], args[1], args[3], args[4], args[2])
+        arrs.append(out)
+        n = _flat_len(prm, B)
+        spans.append((off, n))
+        off += n
+    return _LaunchParts(arrs), spans
+
+
+def strips_exts_eligible(qlen, tlen, w, flag, m, mat, zdrop, q, e, q2,
+                         junc_any: bool = False,
+                         junc_bonus: int = 0) -> bool:
+    """Eligibility for the fused SPLICED (exts) strips-CIGAR path: the
+    one-piece strips conditions on a CIGAR workload, no junction
+    annotations (their bonuses would exceed the 2-bit site-class
+    stream), and the reference's degenerate guard
+    (ksw2_exts2_sse.c:91)."""
+    from ..core.flags import Flag
+    from .wavefront_strips import strips_eligible
+
+    f = int(flag)
+    if f & (int(Flag.SCORE_ONLY) | int(Flag.EQX) | int(Flag.EXTZ_ONLY)):
+        return False
+    if junc_any or junc_bonus:
+        return False
+    if int(q2) < 0:
+        return False
+    if -int(np.asarray(mat).reshape(-1)[1:].min()) > 2 * (int(q) + int(e)):
+        return False
+    tlen = np.asarray(tlen)
+    if not _fused_route_pays(int(tlen.size), int(tlen.max(initial=0))):
+        return False
+    return strips_eligible(qlen, tlen, w, f | int(Flag.SCORE_ONLY),
+                           m, mat, zdrop, q, e)
+
+
+def _splice_classes_batch(tpad, tlens, noncan, flag):
+    """Donor/acceptor site CLASSES for a whole padded target matrix at
+    once ({0: free, 1: semi, 2: -noncan}; junc-free — the strips route
+    declines junc jobs).  Batched twin of the per-pair
+    spec.diagdiff._splice_profiles value computation (which cost
+    ~80 us/pair in per-pair calls — r5 trace); positions outside each
+    pair's site ranges are class 2 exactly as the reference leaves
+    them at -noncan (ksw2_exts2_sse.c:119-171)."""
+    from ..core.flags import Flag
+
+    B, L = tpad.shape
+    t = tpad.astype(np.int32)
+    tl = np.asarray(tlens, np.int64)[:, None]
+    i = np.arange(L, dtype=np.int64)[None, :]
+    fwd = bool(flag & Flag.SPLICE_FOR)
+    rev = bool(flag & Flag.SPLICE_REV)
+    rc = bool(flag & Flag.REV_CIGAR)
+    if not (fwd or rev):
+        return np.zeros((B, L), np.uint8)
+    d_pat = ((2, 0, 1), (1, 0, 1)) if rc else ((2, 3, 0), (1, 3, 0))
+    a_pat = ((3, 2, 0), (3, 1, 0)) if rc else ((0, 2, 1), (0, 1, 1))
+    tp = np.pad(t, ((0, 0), (0, 4)))
+    t1, t2, t3 = tp[:, 1:L + 1], tp[:, 2:L + 2], tp[:, 3:L + 3]
+    dcan = np.zeros((B, L), bool)
+    if fwd:
+        dcan |= (t1 == d_pat[0][0]) & (t2 == d_pat[0][1])
+    if rev:
+        dcan |= (t1 == d_pat[1][0]) & (t2 == d_pat[1][1])
+    dfl = ((t3 & 1) == d_pat[0][2]) & (t3 < 4)
+    dcls = np.where(dcan & dfl, 0, np.where(dcan, 1, 2))
+    dcls = np.where(i < tl - 4, dcls, 2).astype(np.uint8)
+    tm1 = np.pad(t, ((0, 0), (1, 0)))[:, :L]
+    tm2 = np.pad(t, ((0, 0), (2, 0)))[:, :L]
+    acan = np.zeros((B, L), bool)
+    if fwd:
+        acan |= (tm1 == a_pat[0][0]) & (t == a_pat[0][1])
+    if rev:
+        acan |= (tm1 == a_pat[1][0]) & (t == a_pat[1][1])
+    afl = ((tm2 & 1) == a_pat[0][2]) & (tm2 < 4)
+    acls = np.where(acan & afl, 0, np.where(acan, 1, 2))
+    acls = np.where((i >= 2) & (i < tl), acls, 2).astype(np.uint8)
+    return (dcls | (acls << 2)).astype(np.uint8)
+
+
+def strips_exts_cigar_prep(query, target, qlen, tlen, m, mat, q, e, q2,
+                           noncan, zdrop, flag):
+    """Host-side prep of spliced CIGAR buckets for fused dispatch: the
+    one-piece launch plan plus per-pair donor/acceptor site-class
+    nibbles (classes {0, semi, -noncan}; ksw2_exts2_sse.c:119-171),
+    packed alongside the sequences.  ``query``/``target`` are lists of
+    per-job 1-D arrays.  Returns launch tuples for
+    :func:`strips_cigar_fused_call`."""
+    from ..core.flags import Flag
+    from ..spec.common import c_div
+    from .packio import pack_bases
+    from .wavefront_strips import (StripParams, _plan_rows, _strips_plan,
+                                   round_up)
+
+    flag = Flag(int(flag))
+    q, e, q2 = int(q), int(e), int(q2)
+    noncan = int(noncan)
+    lt = c_div(q2 - q, e) - 1
+    if q2 > q + e + lt * e:
+        lt += 1
+    ld = lt * e - (q2 - q)
+    semi = c_div(-noncan, 2) if (flag & Flag.SPLICE_FLANK) else 0
+    mat = np.asarray(mat, dtype=np.int8).reshape(-1)
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    B = len(query)
+    Lq = int(qlen.max())
+    S0, tlenp, BMAX = _strips_plan(B, Lq, qlen, tlen)
+    sc_N = -e if int(mat[m * m - 1]) == 0 else int(mat[m * m - 1])
+    generic = bool(flag & Flag.GENERIC_SC)
+    launches = []
+    for i0 in range(0, B, BMAX):
+        ql = qlen[i0:i0 + BMAX]
+        tl = tlen[i0:i0 + BMAX]
+        Bs = len(ql)
+        S0s, tlenps, _ = _strips_plan(Bs, Lq, ql, tl)
+        S, Bp = _plan_rows(Bs, S0s, tlenps)
+        t_real = tlenps + S - 1
+        t_pad = round_up(t_real + 1, 128)
+        prm = StripParams(
+            n_rows=Bp * S, s=S, tv=tlenps, t_pad=t_pad, t_real=t_real,
+            m=m, q=q, e=e, mat0=int(mat[0]), sc_mis=int(mat[1]),
+            sc_N=sc_N, zdrop=int(zdrop), flag=int(flag),
+            matt=tuple(int(v) for v in mat) if generic else (),
+            q2=q2, e2=0, lt=lt, ld=ld, cig=1, spl=1, semi=semi,
+            non=-noncan)
+        qpad = np.zeros((Bp, S * 128), np.int8)
+        tpad = np.zeros((Bp, tlenps), np.int8)
+        for k in range(Bs):
+            qv = query[i0 + k]
+            tv_ = target[i0 + k]
+            qpad[k, :min(len(qv), S * 128)] = qv[:S * 128]
+            tpad[k, :min(len(tv_), tlenps)] = tv_[:tlenps]
+        dpad = _splice_classes_batch(tpad[:Bs], tl, noncan, flag)
+        dpad = np.concatenate(
+            [dpad, np.zeros((Bp - Bs, tlenps), np.uint8)])
+        lens = np.zeros((2, Bp), np.int32)
+        lens[0, :Bs], lens[1, :Bs] = ql, tl
+        launches.append((prm, (pack_bases(qpad), pack_bases(tpad),
+                               pack_bases(dpad), lens[0], lens[1]),
+                         Bs, 0))
+    return launches
+
+
+def strips_exts_cigar_batch(query, target, qlen, tlen, m, mat, q, e,
+                            q2, noncan, zdrop=-1, flag=None,
+                            interpret: bool = False):
+    """Batched spliced CIGARs through the fused strips route (convenience
+    entry; the scheduler uses prep + fused_call + unpack directly)."""
+    from ..core.flags import Flag
+    from .exts import exts2_device
+
+    flag = Flag(int(Flag.NONE if flag is None else flag))
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    qjobs = [np.asarray(query[i][:qlen[i]]) for i in range(len(qlen))]
+    tjobs = [np.asarray(target[i][:tlen[i]]) for i in range(len(tlen))]
+    launches = strips_exts_cigar_prep(qjobs, tjobs, qlen, tlen, m, mat,
+                                      q, e, q2, noncan, zdrop, flag)
+    flat, spans = strips_cigar_fused_call(launches, interpret)
+    h = np.asarray(flat)
+    out = []
+    pos = 0
+    for (prm, _arrays, B, eb), (off, n) in zip(launches, spans):
+        base = pos
+
+        def rewalk(p, base=base):
+            ez, _ = exts2_device(qjobs[base + p], tjobs[base + p], m,
+                                 mat, q, e, q2, noncan, zdrop=zdrop,
+                                 flag=flag)
+            return ez.cigar
+
+        out.extend(unpack_cigar_flat(h[off:off + n], prm, B, mat, eb,
+                                     flag, rewalk))
+        pos += B
+    return out
 
 
 def strips_cigar_prep(query, target, qlen, tlen, m, mat, q, e, zdrop,
@@ -760,6 +977,54 @@ def strips_cigar_batch(query, target, qlen, tlen, m, mat, q, e,
     return unpack_cigar_flat(flat, prm, B, mat, end_bonus, flag, rewalk)
 
 
+def finish_runs_batch(runs_mat: np.ndarray, counts: np.ndarray,
+                      i_end: np.ndarray, j_end: np.ndarray,
+                      min_intron: int, is_rev: bool) -> list:
+    """Batched :func:`finish_runs`: merge + tail + reverse for a whole
+    launch in one numpy pass (the per-pair loop cost ~35 us/pair).
+    Returns a list of per-pair CIGAR lists."""
+    B, W = runs_mat.shape
+    M = np.zeros((B, W + 2), np.int64)
+    M[:, :W] = runs_mat.astype(np.int64)
+    counts = np.asarray(counts, np.int64)
+    i_end = np.asarray(i_end, np.int64)
+    j_end = np.asarray(j_end, np.int64)
+    has_d = i_end >= 0
+    has_i = j_end >= 0
+    opd = np.where((min_intron > 0) & (i_end >= min_intron),
+                   int(CigarOp.N_SKIP), int(CigarOp.DEL))
+    taild = ((i_end + 1) << 4) | opd
+    taili = ((j_end + 1) << 4) | int(CigarOp.INS)
+    rows = np.arange(B)
+    M[rows, counts] = np.where(has_d, taild, M[rows, counts])
+    pos_i = counts + has_d
+    M[rows, pos_i] = np.where(has_i, taili, M[rows, pos_i])
+    cnt2 = counts + has_d + has_i
+    col = np.arange(W + 2)[None, :]
+    valid = col < cnt2[:, None]
+    vrow, vcol = np.nonzero(valid)          # row-major order
+    if vrow.size == 0:
+        return [[] for _ in range(B)]
+    vv = M[vrow, vcol]
+    vops = vv & 0xF
+    vlens = vv >> 4
+    brk = np.nonzero((vops[1:] != vops[:-1])
+                     | (vrow[1:] != vrow[:-1]))[0] + 1
+    starts = np.concatenate([[0], brk])
+    glens = np.add.reduceat(vlens, starts)
+    gops = vops[starts]
+    grow = vrow[starts]
+    cig = (glens << 4) | gops
+    row_starts = np.searchsorted(grow, np.arange(B + 1))
+    out = []
+    for k in range(B):
+        c = cig[row_starts[k]:row_starts[k + 1]]
+        if not is_rev:
+            c = c[::-1]
+        out.append([int(x) for x in c])
+    return out
+
+
 def unpack_cigar_flat(flat: np.ndarray, prm, B: int, mat, end_bonus,
                       flag, rewalk) -> list:
     """One launch's flat int32 section -> per-pair ExtzResults.
@@ -773,6 +1038,7 @@ def unpack_cigar_flat(flat: np.ndarray, prm, B: int, mat, end_bonus,
 
     flag = Flag(int(flag))
     is_rev = bool(flag & Flag.REV_CIGAR)
+    extz_only = bool(flag & Flag.EXTZ_ONLY)
     mat = np.asarray(mat).reshape(-1)
     k_cap = (_flat_len(prm, B) - (prm.n_rows // prm.s) * 9 - B * 3) // B
     nrec = flat.size - B * 3 - B * k_cap
@@ -782,6 +1048,21 @@ def unpack_cigar_flat(flat: np.ndarray, prm, B: int, mat, end_bonus,
     # prm carries POST-swap costs: the guard divides by the cheaper arm
     fields = unpack_records(rec, int(mat[1:].min()), int(prm.q),
                             int(prm.e))
+    # batched assembly (one numpy pass over the whole launch)
+    zd = fields["zdropped"].astype(bool)
+    reach = extz_only & ~zd & (fields["mqe"] + end_bonus > fields["max"])
+    had_start = ((~zd & (not extz_only)) | reach
+                 | ((fields["max_t"] >= 0) & (fields["max_q"] >= 0)))
+    ks = res_all[:, 2]
+    overflow = ks > k_cap
+    use_batch = had_start & ~overflow
+    # exts: target gaps >= long_thres print as N introns (ksw2.h
+    # backtrack min_intron_len = long_thres)
+    mi = prm.lt if prm.spl else 0
+    cigs = finish_runs_batch(
+        runs_all, np.where(use_batch, ks, 0),
+        np.where(use_batch, res_all[:, 0], -1),
+        np.where(use_batch, res_all[:, 1], -1), mi, is_rev)
     out = []
     for p in range(B):
         ez = ExtzResult(
@@ -789,23 +1070,18 @@ def unpack_cigar_flat(flat: np.ndarray, prm, B: int, mat, end_bonus,
             max_q=int(fields["max_q"][p]), mqe=int(fields["mqe"][p]),
             mqe_t=int(fields["mqe_t"][p]), mte=int(fields["mte"][p]),
             mte_q=int(fields["mte_q"][p]), score=int(fields["score"][p]),
-            zdropped=bool(fields["zdropped"][p]))
-        if (flag & Flag.EXTZ_ONLY) and not ez.zdropped \
-                and ez.mqe + end_bonus > ez.max:
+            zdropped=bool(zd[p]))
+        if reach[p]:
             ez.reach_end = True
-        had_start = (not ez.zdropped and not (flag & Flag.EXTZ_ONLY)) \
-            or ez.reach_end or (ez.max_t >= 0 and ez.max_q >= 0)
-        if had_start:
-            ie, je, k = (int(res_all[p, 0]), int(res_all[p, 1]),
-                         int(res_all[p, 2]))
-            if k > k_cap:      # capped fetch overflowed: re-walk alone
-                ez.cigar = rewalk(p)
-            else:
-                ez.cigar = finish_runs(runs_all[p], k, ie, je, 0, is_rev)
+        if had_start[p]:
+            ez.cigar = rewalk(p) if overflow[p] else cigs[p]
         out.append(ez)
     return out
 
 
 __all__ = ["SWParams", "build_strips_walk", "strips_walk", "finish_runs",
            "strips_cigar_align", "strips_cigar_batch",
-           "strips_cigar_eligible", "strips_cigar_extd_eligible"]
+           "strips_cigar_eligible", "strips_cigar_extd_eligible",
+           "strips_exts_eligible", "strips_exts_cigar_prep",
+           "strips_exts_cigar_batch", "strips_cigar_prep",
+           "strips_cigar_fused_call", "unpack_cigar_flat"]

@@ -514,7 +514,9 @@ def _postprocess(prm: StripParams, D, Dq, hl, qlen, tlen):
     mqp = jnp.concatenate([jnp.full((B, 1), -1, I32), mq[:, :-1]], axis=1)
 
     BIG = 2 ** 30
-    ze = prm.e2 if prm.two else prm.e  # extd Z-drop slope: e2 (:364)
+    # Z-drop gap slope: e2 for extd (ksw2_extd2_sse.c:364), 0 for exts
+    # (ksw2_exts2_sse.c:395-398), e one-piece
+    ze = 0 if prm.spl else (prm.e2 if prm.two else prm.e)
     if prm.zdrop >= 0:
         l = jnp.abs((maxt - mtp) - ((r - maxt) - mqp))
         trig = (valid & jnp.logical_not(M > mxp) & (maxt >= mtp)
@@ -588,8 +590,9 @@ def _strips_run_fn(prm: StripParams, interpret: bool):
     G = prm.t_pad // CH + 4
     generic = bool(prm.flag & int(Flag.GENERIC_SC))
 
-    def run(qpk, tpk, qlen, tlen):
-        """qpk/tpk: 4-bit packed sequences (ops/packio); lens (B,)."""
+    def run(qpk, tpk, qlen, tlen, dak=None):
+        """qpk/tpk: 4-bit packed sequences (ops/packio); lens (B,);
+        ``dak``: splice-mode packed donor/acceptor class nibbles."""
         from .packio import unpack_bases
         query = unpack_bases(qpk, S * 128)
         target = unpack_bases(tpk, prm.tv)
@@ -610,7 +613,7 @@ def _strips_run_fn(prm: StripParams, interpret: bool):
         def row_h(j):
             """Virtual-row H(-1, j): stepped like the column boundary."""
             early = -(gapoe + prm.e * j)
-            if not prm.two:
+            if not (prm.two or prm.spl):
                 return early
             late = -(gapoe + prm.e * (prm.lt - 1)) + prm.ld \
                 - prm.e2 * (j - prm.lt)
@@ -623,6 +626,8 @@ def _strips_run_fn(prm: StripParams, interpret: bool):
         if prm.two:
             E2init = Hinit - (prm.q2 + prm.e2)
             aoff2 = lane * prm.e2 - prm.q2
+        if prm.spl:
+            NIinit = Hinit - prm.q2
 
         # profiles: score of (target symbol y, this plane cell's query)
         Qp = jnp.zeros((B, S * 128), jnp.int8).at[
@@ -660,15 +665,32 @@ def _strips_run_fn(prm: StripParams, interpret: bool):
             for s in range(S)], axis=1)
         pw = (1 << jnp.arange(CH, dtype=I32))
         bits = Tsk.reshape(B, S, G, CH)
+        planes = [(bits >> b) & 1 for b in range(3)]
+        if prm.spl:
+            # donor/acceptor 2-bit class nibbles, skewed like the
+            # target symbols (strip s reads row i = t - s)
+            nib = unpack_bases(dak, prm.tv).astype(I32)
+            Np = jnp.zeros((B, prm.t_pad), I32).at[
+                :, :nib.shape[1]].set(nib)
+            Nbig = jnp.pad(Np, ((0, 0), (S, G * CH - prm.t_pad)))
+            Nsk = jnp.stack([
+                jax.lax.slice_in_dim(Nbig, S - s, S - s + G * CH, axis=1)
+                for s in range(S)], axis=1)
+            nbits = Nsk.reshape(B, S, G, CH)
+            planes += [(nbits >> b) & 1 for b in range(4)]
+        NW = len(planes)
         words = jnp.stack([
-            jnp.sum(((bits >> b) & 1) * pw[None, None, None, :], axis=3)
-            for b in range(3)], axis=0)              # (3, B, S, G)
-        words = jnp.transpose(words, (3, 0, 1, 2)).reshape(G, 3, R, 1)
+            jnp.sum(p * pw[None, None, None, :], axis=3)
+            for p in planes], axis=0)                # (NW, B, S, G)
+        words = jnp.transpose(words, (3, 0, 1, 2)).reshape(G, NW, R, 1)
 
         if prm.two:
             outs = call(spv, s127, qlpv, tlpv, vm, qrow, qlane, bHi,
                         Hinit, Einit, E2init, aoff, aoff2, lane,
                         prof, words)
+        elif prm.spl:
+            outs = call(spv, s127, qlpv, tlpv, vm, qrow, qlane, bHi,
+                        Hinit, Einit, NIinit, aoff, lane, prof, words)
         else:
             outs = call(spv, s127, qlpv, tlpv, vm, qrow, qlane, bHi,
                         Hinit, Einit, aoff, lane, prof, words)
@@ -684,9 +706,11 @@ def _cached_strips_run(prm: StripParams, interpret: bool):
 
 
 def _launch_sizes(prm):
-    """Byte sizes of one launch's packed inputs (qpk, tpk, lens x2)."""
+    """Byte sizes of one launch's packed inputs
+    (qpk, tpk, dak-or-0, lens x2)."""
     Bp = prm.n_rows // prm.s
-    return (Bp * (prm.s * 128 // 2), Bp * (-(-prm.tv // 2)),
+    nt = Bp * (-(-prm.tv // 2))
+    return (Bp * (prm.s * 128 // 2), nt, nt if prm.spl else 0,
             4 * Bp, 4 * Bp)
 
 
@@ -710,26 +734,40 @@ def _cached_fused_run(items: tuple, interpret: bool):
         outs = []
         off = 0
         for fn, prm, B in fns:
-            Bp = prm.n_rows // prm.s
-            nq, nt, nl, _ = _launch_sizes(prm)
-            qpk = jax.lax.dynamic_slice(buf, (off,), (nq,)).reshape(
-                Bp, prm.s * 64)
-            off += nq
-            tpk = jax.lax.dynamic_slice(buf, (off,), (nt,)).reshape(
-                Bp, -(-prm.tv // 2))
-            off += nt
-            ql = jax.lax.bitcast_convert_type(
-                jax.lax.dynamic_slice(buf, (off,), (nl,)).reshape(Bp, 4),
-                jnp.int32).reshape(Bp)
-            off += nl
-            tl = jax.lax.bitcast_convert_type(
-                jax.lax.dynamic_slice(buf, (off,), (nl,)).reshape(Bp, 4),
-                jnp.int32).reshape(Bp)
-            off += nl
-            outs.append(fn(qpk, tpk, ql, tl)[:B])
+            qpk, tpk, ql, tl, dak, off = _slice_launch(buf, prm, off)
+            if dak is None:
+                outs.append(fn(qpk, tpk, ql, tl)[:B])
+            else:
+                outs.append(fn(qpk, tpk, ql, tl, dak)[:B])
         return jnp.concatenate(outs, axis=0)
 
     return jax.jit(fused)
+
+
+def _slice_launch(buf, prm, off):
+    """Slice one launch's packed inputs out of the flat uint8 upload."""
+    Bp = prm.n_rows // prm.s
+    nq, nt, nd, nl, _ = _launch_sizes(prm)
+    qpk = jax.lax.dynamic_slice(buf, (off,), (nq,)).reshape(
+        Bp, prm.s * 64)
+    off += nq
+    tpk = jax.lax.dynamic_slice(buf, (off,), (nt,)).reshape(
+        Bp, -(-prm.tv // 2))
+    off += nt
+    dak = None
+    if nd:
+        dak = jax.lax.dynamic_slice(buf, (off,), (nd,)).reshape(
+            Bp, -(-prm.tv // 2))
+        off += nd
+    ql = jax.lax.bitcast_convert_type(
+        jax.lax.dynamic_slice(buf, (off,), (nl,)).reshape(Bp, 4),
+        jnp.int32).reshape(Bp)
+    off += nl
+    tl = jax.lax.bitcast_convert_type(
+        jax.lax.dynamic_slice(buf, (off,), (nl,)).reshape(Bp, 4),
+        jnp.int32).reshape(Bp)
+    off += nl
+    return qpk, tpk, ql, tl, dak, off
 
 
 def strips_prep(query, target, qlen, tlen, m, mat, q, e, zdrop, flag,

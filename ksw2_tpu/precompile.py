@@ -82,6 +82,26 @@ def main(argv=None) -> int:
                   file=sys.stderr)
 
     if not args.quick:
+        # fused strips-CIGAR single-launch programs (the production
+        # CIGAR route; round-5): one short, one mid, one whale-shaped
+        # bucket for each gap model
+        from .ops.strips_walker import strips_cigar_batch
+
+        for Lq2, Lt2, Bc in ((512, 512, 64), (1536, 1536, 24),
+                             (3072, 3072, 17)):
+            Qc = rng.integers(0, 4, size=(Bc, Lq2)).astype(np.int8)
+            Tc = rng.integers(0, 4, size=(Bc, Lt2)).astype(np.int8)
+            qlc = np.full((Bc,), Lq2, np.int32)
+            tlc = np.full((Bc,), Lt2, np.int32)
+            for name, two in (("extz", False), ("extd", True)):
+                t0 = time.time()
+                strips_cigar_batch(Qc, Tc, qlc, tlc, 5, mat, q, e,
+                                   zdrop=200, flag=Flag.NONE, two=two,
+                                   q2=13, e2=1)
+                n += 1
+                print(f"  {name} cigar ({Lq2},{Lt2},B={Bc}): "
+                      f"{time.time()-t0:.1f}s", file=sys.stderr)
+
         # long banded pairs (minimap2's production shape)
         from .ops.band_batch import extz_band_batch_device
 

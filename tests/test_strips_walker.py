@@ -265,6 +265,26 @@ def test_degenerate_scoring_declines_fused_route():
         assert g.cigar == [] and g.max == 0 and g.score == NEG_INF
 
 
+def test_per_launch_mode_matches_fused(monkeypatch):
+    """KSW2T_CIGAR_FUSE=0 (per-launch jits for low-latency hosts) must
+    produce identical results to the fused path."""
+    import os
+
+    from ksw2_tpu.batch.scheduler import AlignJob, align_batch
+
+    rng = np.random.default_rng(77)
+    jobs = []
+    for L in (180, 260, 700):
+        t, qy = refcmp.random_pair(rng, L, divergence=0.2, indel=0.08,
+                                   with_n=True)
+        jobs.append(AlignJob(query=encode_dna(qy), target=encode_dna(t)))
+    a = align_batch(jobs, 5, MAT, 4, 2, zdrop=100, flag=Flag.NONE)
+    monkeypatch.setenv("KSW2T_CIGAR_FUSE", "0")
+    b = align_batch(jobs, 5, MAT, 4, 2, zdrop=100, flag=Flag.NONE)
+    for x, y in zip(a, b):
+        assert (x.max, x.score, x.cigar) == (y.max, y.score, y.cigar)
+
+
 def test_walker_multi_strip_insertion_run():
     """A long query insertion spanning a strip boundary exercises the
     vectorized in-row run + the strip-crossing carry."""
