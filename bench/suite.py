@@ -152,7 +152,7 @@ def main():
     p50 = [(q50, t50)]
     emit("extz_50k_exact_score_gcells_per_s", c50 / best_of(run_extz),
          "Gcells/s", baseline=1.31,
-         live=ref_live_gcps(p50, c50, "extz2_sse", ["-s"]))
+         live=ref_live_gcps(p50, c50 * 1e9, "extz2_sse", ["-s"]))
 
     def run_extz_approx():
         # the reference's headline '-sg' mode (README.md:104-105): approx
@@ -165,7 +165,7 @@ def main():
 
     emit("extz_50k_approx_score_gcells_per_s", c50 / best_of(run_extz_approx),
          "Gcells/s", baseline=5.10,  # ref extz2_sse -sg (BASELINE.md)
-         live=ref_live_gcps(p50, c50, "extz2_sse", ["-s", "-g"]))
+         live=ref_live_gcps(p50, c50 * 1e9, "extz2_sse", ["-s", "-g"]))
 
     def run_extd():
         ez, _ = extd2_device(q50, t50, 5, mat, 4, 2, 13, 1,
@@ -174,7 +174,7 @@ def main():
 
     emit("extd_50k_exact_score_gcells_per_s", c50 / best_of(run_extd),
          "Gcells/s", baseline=1.2,
-         live=ref_live_gcps(p50, c50, "extd2_sse", ["-s"]))
+         live=ref_live_gcps(p50, c50 * 1e9, "extd2_sse", ["-s"]))
 
     def run_extz_mt_cigar():
         ez, _ = extz2_device(qmt, tmt, 5, mat, 4, 2)
@@ -183,7 +183,7 @@ def main():
     pmt = [(qmt, tmt)]
     emit("extz_mt_cigar_gcells_per_s", cmt / best_of(run_extz_mt_cigar),
          "Gcells/s", baseline=0.68,  # ref 16.5k +cigar 0.40s
-         live=ref_live_gcps(pmt, cmt, "extz2_sse"))
+         live=ref_live_gcps(pmt, cmt * 1e9, "extz2_sse"))
 
     def run_extz_50k_cigar():
         ez, _ = extz2_device(q50, t50, 5, mat, 4, 2)
@@ -192,7 +192,7 @@ def main():
 
     emit("extz_50k_cigar_gcells_per_s", c50 / best_of(run_extz_50k_cigar, n=2),
          "Gcells/s", baseline=0.28,  # est: ref score 2.7s + traceback alloc
-         live=ref_live_gcps(p50, c50, "extz2_sse", n=2))
+         live=ref_live_gcps(p50, c50 * 1e9, "extz2_sse", n=2))
 
     def run_extf():
         ez = extf2_device(q50, t50, 2, -4, 2, xdrop=-1)
@@ -206,7 +206,7 @@ def main():
 
     emit("gg2_mt_cigar_gcells_per_s", cmt / best_of(run_gg2_mt), "Gcells/s",
          baseline=0.083,  # ref gg2 +cigar 3.3s
-         live=ref_live_gcps(pmt, cmt, "gg2_sse", n=2))
+         live=ref_live_gcps(pmt, cmt * 1e9, "gg2_sse", n=2))
 
     # batched short pairs (device-resident timing; chained to force sync)
     from ksw2_tpu.ops import wavefront_batch as wb
@@ -267,7 +267,7 @@ def main():
     stb_ = np.maximum(0, np.maximum(rb - Lq_ + 1, (rb - W + 1) >> 1))
     enb_ = np.minimum(Lt_ - 1, np.minimum(rb, (rb + W) >> 1))
     bcells = Bb * int(np.maximum(0, enb_ - stb_ + 1).sum()) / 1e9
-    live_band = ref_live_gcps(p50, bcells / Bb, "extz2_sse",
+    live_band = ref_live_gcps(p50, bcells / Bb * 1e9, "extz2_sse",
                               ["-s", "-w", 751, "-z", 400])
     emit("band_batch_64x50k_w751_gcells_per_s", bcells / best_of(run_band, n=3),
          "Gcells/s", baseline=1.14,  # ref extz2_sse -w751 -z400, this machine
@@ -285,7 +285,7 @@ def main():
     emit("band_batch_extd_64x50k_w751_gcells_per_s",
          bcells / best_of(run_band_extd, n=3),
          "Gcells/s", baseline=1.05,  # ref extd2_sse -w751 -z400, this machine
-         live=ref_live_gcps(p50, bcells / Bb, "extd2_sse",
+         live=ref_live_gcps(p50, bcells / Bb * 1e9, "extd2_sse",
                             ["-s", "-w", 751, "-z", 400]))
 
     # approx-max + approx-drop (minimap2's long-join production flags, the
@@ -302,7 +302,7 @@ def main():
     emit("band_batch_approx_64x50k_w751_gcells_per_s",
          bcells / best_of(run_band_approx, n=3),
          "Gcells/s", baseline=4.45,  # ref extz2_sse -w751 -z400 -sg -R100
-         live=ref_live_gcps(p50, bcells / Bb, "extz2_sse",
+         live=ref_live_gcps(p50, bcells / Bb * 1e9, "extz2_sse",
                             ["-s", "-g", "-w", 751, "-z", 400]))
 
     # true-compute band rows: (T(4 fused) - T(1)) / 3 cancels the fixed
@@ -381,7 +381,7 @@ def main():
     emit("band_batch_cigar_32x50k_w751_gcells_per_s",
          (bcells * Bc / Bb) / best_of(run_band_cigar, n=2),
          "Gcells/s", baseline=0.70,  # ref extz2_sse -w751 -z400 +cigar
-         live=ref_live_gcps(p50, bcells / Bb, "extz2_sse",
+         live=ref_live_gcps(p50, bcells / Bb * 1e9, "extz2_sse",
                             ["-w", 751, "-z", 400], n=2))
 
     # drop-heavy workload: matching 10k prefix then base-rotated tail, so
@@ -403,7 +403,8 @@ def main():
     emit("band_batch_drop_64x50k_w751_gcells_per_s",
          bcells / best_of(run_band_drop, n=3),
          "Gcells/s", baseline=5.36,  # ref extz2_sse, same input+cell basis
-         live=ref_live_gcps([(qdrop, t50)], bcells / Bb, "extz2_sse",
+         live=ref_live_gcps([(qdrop, t50)], bcells / Bb * 1e9,
+                            "extz2_sse",
                             ["-s", "-w", 751, "-z", 400]))
 
     # 1.5k-target bucket: rows-per-pair P=12 packing (t-coordinate batch
