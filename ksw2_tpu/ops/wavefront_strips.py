@@ -903,6 +903,12 @@ def strips_eligible(qlen, tlen, w, flag, m, mat, zdrop,
     w = np.asarray(w).astype(np.int64)
     ql = qlen.astype(np.int64)
     tl = tlen.astype(np.int64)
+    # w >= max(ql, tl) never clips (the scheduler's w=-1 convention):
+    # en: (r+w)>>1 >= min(tl-1, r) for all r when w >= tl; st:
+    # (r-w+1)>>1 <= max(0, r-ql+1) when w >= ql — skips the O(B*nd)
+    # matrix scan that cost ~2 ms/bucket on mixed workloads (r5 trace)
+    if bool(np.all(w >= np.maximum(ql, tl))):
+        return True
     nd = int((ql + tl).max())
     r = np.arange(max(nd - 1, 1), dtype=np.int64)[None, :]
     live = r < (ql + tl - 1)[:, None]

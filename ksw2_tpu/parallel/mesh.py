@@ -408,6 +408,125 @@ def sharded_strips_records(mesh: Mesh, query, target, qlen, tlen, m, mat,
     return rec.reshape(stacked.shape[0], n * Bs).T[:B]
 
 
+@functools.lru_cache(maxsize=256)
+def _cached_shard_cigar(mesh: Mesh, prm, Bp: int, end_bonus: int,
+                        interpret: bool):
+    """Build-once shard_map wrapper for the fused strips-CIGAR program
+    (see :func:`_cached_shard_records` for why caching is load-bearing);
+    each shard returns its flat int32 (rec | res | runs) vector."""
+    from ..ops.strips_walker import _fused_one
+
+    fused, _ = _fused_one(prm, Bp, end_bonus, interpret)
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    def _run(qpk, tpk, ql, tl):
+        return fused(qpk, tpk, ql, tl)
+
+    return jax.jit(_run)
+
+
+def sharded_strips_cigar(mesh: Mesh, query, target, qlen, tlen, m, mat,
+                         q: int, e: int, zdrop: int = -1,
+                         end_bonus: int = 0, flag=None,
+                         two: bool = False, q2: int = 0, e2: int = 0,
+                         interpret: Optional[bool] = None):
+    """Fused strips-CIGAR (byte-emitting forward + batched run-consuming
+    walkers + capped runs) shard_mapped over the mesh batch axis — the
+    round-5 production CIGAR route, multi-chip.  One launch shape is
+    planned from the GLOBAL maxima (every shard compiles the same
+    program); each shard's flat output gathers on the single fetch.
+    Returns per-job ``ExtzResult`` with CIGARs, byte-equal to the local
+    fused route."""
+    from ..core.flags import Flag
+    from ..ops.packio import pack_bases
+    from ..ops.strips_walker import (_flat_len, strips_cigar_align,
+                                     unpack_cigar_flat)
+    from ..ops.wavefront_strips import (StripParams, _plan_rows,
+                                        _strips_plan, round_up)
+    from ..spec.strips_extd import long_params
+
+    flag = Flag(int(Flag.NONE if flag is None else flag))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = mesh.devices.size
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    query = np.asarray(query, np.int8)
+    target = np.asarray(target, np.int8)
+    B, Lq = query.shape
+    Bs = -(-B // n)                      # jobs per shard
+    q, e = int(q), int(e)
+    q_pre, e_pre, q2_pre, e2_pre = q, e, int(q2), int(e2)
+    lt = ld = off0 = 0
+    if two:
+        q2, e2 = int(q2), int(e2)
+        qe_pre = q + e
+        if q2 + e2 < q + e:
+            q, q2 = q2, q
+            e, e2 = e2, e
+        lt, ld = long_params(q, e, q2, e2)
+        off0 = (q + e) - qe_pre
+    matf = np.asarray(mat, dtype=np.int8).reshape(-1)
+    eN = e2 if two else e
+    sc_N = -eN if int(matf[m * m - 1]) == 0 else int(matf[m * m - 1])
+    S0, tlenp, _ = _strips_plan(B, Lq, qlen, tlen)
+    S, Bp = _plan_rows(Bs, S0, tlenp)
+    t_real = tlenp + S - 1
+    t_pad = round_up(t_real + 1, 128)
+    generic = bool(flag & Flag.GENERIC_SC)
+    prm = StripParams(
+        n_rows=Bp * S, s=S, tv=tlenp, t_pad=t_pad, t_real=t_real, m=m,
+        q=q, e=e, mat0=int(matf[0]), sc_mis=int(matf[1]), sc_N=sc_N,
+        zdrop=int(zdrop), flag=int(flag),
+        matt=tuple(int(v) for v in matf) if generic else (),
+        two=int(two), q2=int(q2), e2=int(e2), lt=lt, ld=ld, off0=off0,
+        cig=1)
+    qpad = np.zeros((n * Bp, S * 128), np.int8)
+    tpad = np.zeros((n * Bp, tlenp), np.int8)
+    lens = np.zeros((2, n * Bp), np.int32)
+    for k in range(n):
+        i0, i1 = k * Bs, min((k + 1) * Bs, B)
+        if i1 <= i0:
+            continue
+        o = k * Bp
+        qpad[o:o + i1 - i0, :min(Lq, S * 128)] = query[i0:i1, :S * 128]
+        tpad[o:o + i1 - i0, :min(target.shape[1], tlenp)] = \
+            target[i0:i1, :tlenp]
+        lens[0, o:o + i1 - i0] = qlen[i0:i1]
+        lens[1, o:o + i1 - i0] = tlen[i0:i1]
+    fn = _cached_shard_cigar(mesh, prm, Bp, int(end_bonus),
+                             bool(interpret))
+    flat = np.asarray(fn(jnp.asarray(pack_bases(qpad)),
+                         jnp.asarray(pack_bases(tpad)),
+                         jnp.asarray(lens[0]), jnp.asarray(lens[1])))
+    L = _flat_len(prm, Bp)
+    out = []
+    for k in range(n):
+        i0, i1 = k * Bs, min((k + 1) * Bs, B)
+        if i1 <= i0:
+            break
+
+        def rewalk(p, i0=i0):
+            gi = i0 + p
+            sub = strips_cigar_align(
+                query[gi:gi + 1], target[gi:gi + 1], qlen[gi:gi + 1],
+                tlen[gi:gi + 1], m, matf, q_pre, e_pre, zdrop=zdrop,
+                end_bonus=end_bonus, flag=flag, interpret=interpret,
+                two=two, q2=q2_pre, e2=e2_pre)
+            return sub[0].cigar
+
+        ezs = unpack_cigar_flat(flat[k * L:(k + 1) * L], prm, Bp, matf,
+                                int(end_bonus), flag, rewalk)
+        out.extend(ezs[:i1 - i0])
+    return out
+
+
 def make_sharded_run_fn(mesh: Mesh):
     """Scheduler hook: ``run_fn(spec, Q, T, qlen, tlen, w)`` sharded.
 

@@ -285,3 +285,43 @@ def test_sharded_run_fn_picks_strips_like_local():
     local = align_batch_scores(jobs, 5, mat, 4, 2, zdrop=100,
                                flag=Flag.SCORE_ONLY)
     assert [e.__dict__ for e in sharded] == [e.__dict__ for e in local]
+
+
+def test_sharded_strips_cigar_matches_local():
+    """sharded_strips_cigar (the round-5 fused CIGAR route, multi-chip)
+    == local strips_cigar_batch, one-piece and two-piece."""
+    import refcmp
+    from ksw2_tpu.core.flags import Flag
+    from ksw2_tpu.core.matrix import encode_dna, simple_mat
+    from ksw2_tpu.ops.strips_walker import strips_cigar_batch
+    from ksw2_tpu.parallel.mesh import make_mesh, sharded_strips_cigar
+
+    rng = np.random.default_rng(53)
+    B = 11                                   # odd: forces mesh padding
+    pairs = []
+    for _ in range(B):
+        tl_ = int(rng.integers(120, 300))
+        t, q = refcmp.random_pair(rng, tl_, divergence=0.2, indel=0.1)
+        pairs.append((encode_dna(q), encode_dna(t)))
+    Lq = max(len(q) for q, t in pairs)
+    Lt = max(len(t) for q, t in pairs)
+    Q = np.zeros((B, Lq), np.int32)
+    T = np.zeros((B, Lt), np.int32)
+    qlen = np.zeros(B, np.int32)
+    tlen = np.zeros(B, np.int32)
+    for i, (qv, tv) in enumerate(pairs):
+        Q[i, :len(qv)] = qv
+        T[i, :len(tv)] = tv
+        qlen[i], tlen[i] = len(qv), len(tv)
+    mat = simple_mat(5, 2, 4)
+    for two in (False, True):
+        sh = sharded_strips_cigar(make_mesh(8), Q, T, qlen, tlen, 5,
+                                  mat, 4, 2, zdrop=100, flag=Flag.NONE,
+                                  two=two, q2=13, e2=1, interpret=True)
+        lo = strips_cigar_batch(Q, T, qlen, tlen, 5, mat, 4, 2,
+                                zdrop=100, flag=Flag.NONE,
+                                interpret=True, two=two, q2=13, e2=1)
+        assert len(sh) == B
+        for i, (a, b) in enumerate(zip(sh, lo)):
+            assert a.tsv_fields() == b.tsv_fields(), (two, i)
+            assert a.cigar == b.cigar, (two, i)
