@@ -207,6 +207,33 @@ class Aligner:
             e2=self.e2, zdrop=self.zdrop, end_bonus=self.end_bonus,
             flag=self.flag)
 
+    def extend_batch_async(self, pairs: Sequence[Tuple[Seq, Seq]],
+                           w: Optional[Sequence[int]] = None,
+                           juncs=None):
+        """Submit a batch without waiting; returns a handle whose
+        ``.result()`` yields the same list :meth:`extend_batch` would.
+        Keeping several batches in flight overlaps each batch's
+        dispatch/transfer latency with the next one's device compute —
+        the production serving shape (see the suite's stream rows)."""
+        from .batch.scheduler import (AlignJob, align_batch_async,
+                                      align_batch_splice_async)
+
+        if juncs is not None and not self.splice:
+            raise ValueError("juncs requires splice=True")
+        jobs = []
+        for i, (qy, tg) in enumerate(pairs):
+            wv = int(w[i]) if w is not None else self.w
+            jobs.append(AlignJob(query=_enc(qy), target=_enc(tg), w=wv))
+        if self.splice:
+            return align_batch_splice_async(
+                jobs, self.m, self.mat, self.q, self.e, self.q2,
+                self.noncan, zdrop=self.zdrop,
+                junc_bonus=self.junc_bonus, flag=self.flag, juncs=juncs)
+        return align_batch_async(
+            jobs, self.m, self.mat, self.q, self.e, q2=self.q2,
+            e2=self.e2, zdrop=self.zdrop, end_bonus=self.end_bonus,
+            flag=self.flag)
+
     def _extend_batch_mesh_cigar(self, mesh, jobs) -> List[ExtzResult]:
         """One-piece CIGAR batch sharded over ``mesh`` (short targets);
         targets past the batched CIGAR engine run the local scheduler."""

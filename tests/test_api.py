@@ -175,3 +175,26 @@ def test_extend_batch_mesh_guards():
     with pytest.raises(ValueError):
         Aligner(a=2, b=4, q=4, e=2).extend_batch(
             [("ACGT", "ACGT")], mesh=mesh, run_fn=lambda *a: None)
+
+
+def test_extend_batch_async_matches_sync():
+    """Aligner.extend_batch_async handles equal the synchronous path,
+    for plain, two-piece, and splice configurations."""
+    import refcmp
+    from ksw2_tpu import Aligner
+
+    rng = np.random.default_rng(61)
+    pairs = []
+    for L in (150, 300, 520):
+        t, q = refcmp.random_pair(rng, L, divergence=0.2, indel=0.08)
+        pairs.append((q, t))
+    for kw in ({}, {"q2": 13, "e2": 1},
+               {"splice": True, "q2": 32, "noncan": 9}):
+        al = Aligner(zdrop=100, **kw)
+        want = al.extend_batch(pairs)
+        hs = [al.extend_batch_async(pairs) for _ in range(2)]
+        for h in hs:
+            got = h.result()
+            for a, b in zip(want, got):
+                assert a.tsv_fields() == b.tsv_fields()
+                assert a.cigar == b.cigar
