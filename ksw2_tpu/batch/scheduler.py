@@ -921,30 +921,34 @@ def align_batch_splice(
     with_cigar = not (flag & Flag.SCORE_ONLY)
     splice_pending: List[Tuple[List[int], list]] = []
     strips_cig_pending: List[dict] = []
+    strips_score_pending: List[dict] = []
     for (Lq, Lt), idxs in buckets.items():
-        # fused strips-CIGAR route first (one execution + one fetch for
-        # every eligible bucket of the workload; 5-state walker emits N
-        # ops for the intron carry)
-        if with_cigar:
-            qlens = np.array([len(jobs[i].query) for i in idxs],
-                             np.int32)
-            tlens = np.array([len(jobs[i].target) for i in idxs],
-                             np.int32)
-            ws = np.array([jobs[i].w if jobs[i].w >= 0 else
-                           max(len(jobs[i].query), len(jobs[i].target))
-                           for i in idxs], np.int32)
-            junc_any = juncs is not None and any(
-                juncs[i] is not None for i in idxs)
-            if strips_exts_eligible(qlens, tlens, ws, flag, m, mat,
-                                    zdrop, q, e, q2, junc_any,
-                                    junc_bonus):
-                launches = strips_exts_cigar_prep(
-                    [jobs[i].query for i in idxs],
-                    [jobs[i].target for i in idxs], qlens, tlens, m,
-                    mat, q, e, q2, noncan, zdrop, flag)
+        # fused strips route first (one execution + one fetch for
+        # every eligible bucket of the workload; CIGAR mode adds the
+        # 5-state walkers with N ops for the intron carry)
+        qlens = np.array([len(jobs[i].query) for i in idxs],
+                         np.int32)
+        tlens = np.array([len(jobs[i].target) for i in idxs],
+                         np.int32)
+        ws = np.array([jobs[i].w if jobs[i].w >= 0 else
+                       max(len(jobs[i].query), len(jobs[i].target))
+                       for i in idxs], np.int32)
+        junc_any = juncs is not None and any(
+            juncs[i] is not None for i in idxs)
+        if strips_exts_eligible(qlens, tlens, ws, flag, m, mat,
+                                zdrop, q, e, q2, junc_any,
+                                junc_bonus):
+            launches = strips_exts_cigar_prep(
+                [jobs[i].query for i in idxs],
+                [jobs[i].target for i in idxs], qlens, tlens, m,
+                mat, q, e, q2, noncan, zdrop, flag, cig=with_cigar)
+            if with_cigar:
                 strips_cig_pending.append({"idxs": idxs,
                                            "launches": launches})
-                continue
+            else:
+                strips_score_pending.append({"idxs": idxs,
+                                             "launches": launches})
+            continue
         if Lt <= 1536 and not (flag & Flag.EXTZ_ONLY):
             B = len(idxs)
             Q = np.zeros((B, Lq), np.int32)
@@ -993,6 +997,15 @@ def align_batch_splice(
         cp = getattr(strips_flat, "copy_to_host_async", None)
         if cp is not None:
             cp()
+    strips_score_rec = None
+    if strips_score_pending:
+        from ..ops.wavefront_strips import strips_fused_call
+        score_launches = [ln for g in strips_score_pending
+                          for ln in g["launches"]]
+        strips_score_rec = strips_fused_call(score_launches)
+        cp = getattr(strips_score_rec, "copy_to_host_async", None)
+        if cp is not None:
+            cp()
     def _finish():
         _finish_splice_pending(splice_pending, results, m, mat, q, e,
                                q2, noncan, zdrop, junc_bonus, flag,
@@ -1021,6 +1034,25 @@ def align_batch_splice(
                                             mat, eb, flag, rewalk)
                     for k, i in enumerate(sub):
                         results[i] = ezs[k]
+        if strips_score_rec is not None:
+            rec = np.asarray(strips_score_rec)
+            off = 0
+            for g in strips_score_pending:
+                for k, i in enumerate(g["idxs"]):
+                    r = rec[off + k]
+                    ez = ExtzResult()
+                    ez.reset()
+                    ez.max = int(r[0])
+                    ez.max_t = int(r[1])
+                    ez.max_q = int(r[2])
+                    ez.mqe = int(r[3])
+                    ez.mqe_t = int(r[4])
+                    ez.mte = int(r[5])
+                    ez.mte_q = int(r[6])
+                    ez.score = int(r[7])
+                    ez.zdropped = bool(r[8])
+                    results[i] = ez
+                off += len(g["idxs"])
         return results
 
     if _defer:

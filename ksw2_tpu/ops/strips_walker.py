@@ -721,7 +721,7 @@ def strips_exts_eligible(qlen, tlen, w, flag, m, mat, zdrop, q, e, q2,
     from .wavefront_strips import strips_eligible
 
     f = int(flag)
-    if f & (int(Flag.SCORE_ONLY) | int(Flag.EQX) | int(Flag.EXTZ_ONLY)):
+    if f & (int(Flag.EQX) | int(Flag.EXTZ_ONLY)):
         return False
     if junc_any or junc_bonus:
         return False
@@ -730,8 +730,11 @@ def strips_exts_eligible(qlen, tlen, w, flag, m, mat, zdrop, q, e, q2,
     if -int(np.asarray(mat).reshape(-1)[1:].min()) > 2 * (int(q) + int(e)):
         return False
     tlen = np.asarray(tlen)
-    if not _fused_route_pays(int(tlen.size), int(tlen.max(initial=0))):
-        return False
+    if not (f & int(Flag.SCORE_ONLY)):
+        # CIGAR mode pays walkers + runs fetch: gate on the cost model
+        if not _fused_route_pays(int(tlen.size),
+                                 int(tlen.max(initial=0))):
+            return False
     return strips_eligible(qlen, tlen, w, f | int(Flag.SCORE_ONLY),
                            m, mat, zdrop, q, e)
 
@@ -781,13 +784,14 @@ def _splice_classes_batch(tpad, tlens, noncan, flag):
 
 
 def strips_exts_cigar_prep(query, target, qlen, tlen, m, mat, q, e, q2,
-                           noncan, zdrop, flag):
-    """Host-side prep of spliced CIGAR buckets for fused dispatch: the
+                           noncan, zdrop, flag, cig: bool = True):
+    """Host-side prep of spliced buckets for fused dispatch: the
     one-piece launch plan plus per-pair donor/acceptor site-class
     nibbles (classes {0, semi, -noncan}; ksw2_exts2_sse.c:119-171),
     packed alongside the sequences.  ``query``/``target`` are lists of
     per-job 1-D arrays.  Returns launch tuples for
-    :func:`strips_cigar_fused_call`."""
+    :func:`strips_cigar_fused_call` (``cig=False`` preps score-only
+    launches for :func:`wavefront_strips.strips_fused_call`)."""
     from ..core.flags import Flag
     from ..spec.common import c_div
     from .packio import pack_bases
@@ -824,8 +828,8 @@ def strips_exts_cigar_prep(query, target, qlen, tlen, m, mat, q, e, q2,
             m=m, q=q, e=e, mat0=int(mat[0]), sc_mis=int(mat[1]),
             sc_N=sc_N, zdrop=int(zdrop), flag=int(flag),
             matt=tuple(int(v) for v in mat) if generic else (),
-            q2=q2, e2=0, lt=lt, ld=ld, cig=1, spl=1, semi=semi,
-            non=-noncan)
+            q2=q2, e2=0, lt=lt, ld=ld, cig=1 if cig else 0, spl=1,
+            semi=semi, non=-noncan)
         qpad = np.zeros((Bp, S * 128), np.int8)
         tpad = np.zeros((Bp, tlenps), np.int8)
         for k in range(Bs):
@@ -838,9 +842,10 @@ def strips_exts_cigar_prep(query, target, qlen, tlen, m, mat, q, e, q2,
             [dpad, np.zeros((Bp - Bs, tlenps), np.uint8)])
         lens = np.zeros((2, Bp), np.int32)
         lens[0, :Bs], lens[1, :Bs] = ql, tl
-        launches.append((prm, (pack_bases(qpad), pack_bases(tpad),
-                               pack_bases(dpad), lens[0], lens[1]),
-                         Bs, 0))
+        arrays = (pack_bases(qpad), pack_bases(tpad), pack_bases(dpad),
+                  lens[0], lens[1])
+        launches.append((prm, arrays, Bs, 0) if cig
+                        else (prm, arrays, Bs))
     return launches
 
 

@@ -849,11 +849,11 @@ def strips_fused_call(launches, interpret: bool = False):
     key = tuple((prm, B) for prm, _, B in launches)
     fn = _cached_fused_run(key, interpret)
     parts = []
-    for prm, (qpk, tpk, ql, tl), _ in launches:
-        parts.append(qpk.reshape(-1).view(np.uint8))
-        parts.append(tpk.reshape(-1).view(np.uint8))
-        parts.append(np.ascontiguousarray(ql, np.int32).view(np.uint8))
-        parts.append(np.ascontiguousarray(tl, np.int32).view(np.uint8))
+    for prm, arrays, _ in launches:
+        # (qpk, tpk[, dak], ql, tl) — must match _slice_launch order
+        for a in arrays:
+            parts.append(np.ascontiguousarray(a).reshape(-1)
+                         .view(np.uint8))
     return fn(jnp.asarray(np.concatenate(parts)))
 
 

@@ -123,6 +123,36 @@ def test_scheduler_routes_splice_to_strips(monkeypatch):
                              ref.max_q, ref.cigar)
 
 
+def test_scheduler_routes_splice_scores_to_strips(monkeypatch):
+    """SCORE_ONLY splice buckets ride the fused strips score route, with
+    ez-field parity vs the single-pair exts engine."""
+    import ksw2_tpu.ops.wavefront_strips as ws
+    from ksw2_tpu.batch.scheduler import AlignJob, align_batch_splice
+    from ksw2_tpu.ops.exts import exts2_device
+
+    calls = []
+    real = ws.strips_fused_call
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(ws, "strips_fused_call", spy)
+    pairs = _pairs()
+    jobs = [AlignJob(query=q, target=t) for q, t in pairs]
+    ezs = align_batch_splice(jobs, 5, MATS, 2, 1, 32, 9, zdrop=200,
+                             flag=Flag.SPLICE_FOR | Flag.SCORE_ONLY)
+    assert calls, "splice score strips route did not engage"
+    for job, g in zip(jobs, ezs):
+        ref, _ = exts2_device(job.query, job.target, 5, MATS, 2, 1, 32,
+                              9, zdrop=200,
+                              flag=Flag.SPLICE_FOR | Flag.SCORE_ONLY)
+        assert (g.max, g.max_t, g.max_q, g.mqe, g.mqe_t, g.mte, g.mte_q,
+                g.score, g.zdropped) == \
+            (ref.max, ref.max_t, ref.max_q, ref.mqe, ref.mqe_t, ref.mte,
+             ref.mte_q, ref.score, ref.zdropped)
+
+
 def test_junc_annotations_decline_strips(monkeypatch):
     """Jobs with junction tracks must NOT ride the strips route (the
     2-bit class stream can't carry junc bonuses)."""
