@@ -265,6 +265,32 @@ def test_degenerate_scoring_declines_fused_route():
         assert g.cigar == [] and g.max == 0 and g.score == NEG_INF
 
 
+def test_rev_cigar_and_generic_through_scheduler():
+    """REV_CIGAR (reversed op order) and GENERIC_SC (full matrix) jobs
+    through align_batch must match the single-pair device engine on the
+    strips route."""
+    from ksw2_tpu.batch.scheduler import AlignJob, align_batch
+    from ksw2_tpu.ops.extz import extz2_device
+
+    rng = np.random.default_rng(29)
+    jobs = []
+    for L in (180, 240, 420):
+        t, qy = refcmp.random_pair(rng, L, divergence=0.25, indel=0.1,
+                                   with_n=True)
+        jobs.append(AlignJob(query=encode_dna(qy), target=encode_dna(t)))
+    gmat = np.array(MAT, np.int8).copy()
+    gmat[1] = -3                      # asymmetric: forces GENERIC_SC
+    for flag, mat in ((Flag.REV_CIGAR, MAT),
+                      (Flag.GENERIC_SC, gmat),
+                      (Flag.REV_CIGAR | Flag.GENERIC_SC, gmat)):
+        ezs = align_batch(jobs, 5, mat, 4, 2, zdrop=100, flag=flag)
+        for job, g in zip(jobs, ezs):
+            ref, _ = extz2_device(job.query, job.target, 5, mat, 4, 2,
+                                  w=-1, zdrop=100, flag=flag)
+            assert (g.max, g.score, g.cigar) == \
+                (ref.max, ref.score, ref.cigar), int(flag)
+
+
 def test_per_launch_mode_matches_fused(monkeypatch):
     """KSW2T_CIGAR_FUSE=0 (per-launch jits for low-latency hosts) must
     produce identical results to the fused path."""
