@@ -584,10 +584,45 @@ def main():
         ctot = sum(len(e.cigar) for e in ezs)
         assert (tot, ctot) == (33093, 5889), (tot, ctot)
 
+    live_whale_extd = ref_live_gcps(wpairs, wcells, "extd2_sse",
+                                    ["-z", 100])
     emit("whale_17x3000_extd_cigar_gcells_per_s",
          (wcells / 1e9) / best_of(run_whale_cigar_extd, n=3),
          "Gcells/s", baseline=0.61,  # ref extd2_sse 16.5k +cigar row
-         live=ref_live_gcps(wpairs, wcells, "extd2_sse", ["-z", 100]))
+         live=live_whale_extd)
+
+    # streamed whale CIGARs: 8 full-alignment batches in flight — the
+    # serving shape for long-pair CIGAR traffic (the fused strips
+    # execution is submitted at call time, the flat fetch defers to
+    # .result(), so batches overlap the per-call tunnel tax)
+    from ksw2_tpu.batch.scheduler import align_batch_async as _ab_async
+
+    def run_whale_cigar_stream():
+        hs = [_ab_async(whale, 5, mat, 4, 2, zdrop=100, flag=Flag.NONE)
+              for _ in range(8)]
+        for h in hs:
+            ezs = h.result()
+            tot = sum(e.max for e in ezs)
+            ctot = sum(len(e.cigar) for e in ezs)
+            assert (tot, ctot) == (32960, 5953), (tot, ctot)
+
+    emit("whale_cigar_stream8_gcells_per_s",
+         (8 * wcells / 1e9) / best_of(run_whale_cigar_stream, n=3),
+         "Gcells/s", baseline=0.60, live=live_whale_cig)
+
+    def run_whale_extd_cigar_stream():
+        hs = [_ab_async(whale, 5, mat, 4, 2, 13, 1, zdrop=100,
+                        flag=Flag.NONE)
+              for _ in range(8)]
+        for h in hs:
+            ezs = h.result()
+            tot = sum(e.max for e in ezs)
+            ctot = sum(len(e.cigar) for e in ezs)
+            assert (tot, ctot) == (33093, 5889), (tot, ctot)
+
+    emit("whale_extd_cigar_stream8_gcells_per_s",
+         (8 * wcells / 1e9) / best_of(run_whale_extd_cigar_stream, n=3),
+         "Gcells/s", baseline=0.61, live=live_whale_extd)
 
     # cross-process warm-up: a FRESH python process scoring a small mixed
     # batch (every kernel comes from the persistent compile cache — the
