@@ -106,17 +106,55 @@ class PendingScores:
 
     def result(self) -> List[ExtzResult]:
         if not self._done:
-            pending = self._pending
-            if self._fused is not None:
-                h = np.asarray(self._fused)     # the single fused fetch
-                pending = [
-                    (idxs, [h[p[1]:p[1] + p[2]]
-                            if isinstance(p, tuple) and p[0] == "fused"
-                            else p for p in ps])
-                    for idxs, ps in pending]
-            _unpack_pending(pending, self._results, guard=self._guard)
+            _unpack_pending(self._resolve(), self._results,
+                            guard=self._guard)
             self._done = True
         return self._results
+
+    def _resolve(self):
+        pending = self._pending
+        if self._fused is not None:
+            h = np.asarray(self._fused)         # the single fused fetch
+            pending = [
+                (idxs, [h[p[1]:p[1] + p[2]]
+                        if isinstance(p, tuple) and p[0] == "fused"
+                        else p for p in ps])
+                for idxs, ps in pending]
+        return pending
+
+    def result_array(self) -> np.ndarray:
+        """Bulk accessor: the whole batch's records as ONE
+        ``(n_jobs, NFIELDS)`` int32 array in job order (columns =
+        ``ops.batch_pallas.FIELD_ORDER``: max, max_t, max_q, mqe,
+        mqe_t, mte, mte_q, score, zdropped) — skips the per-job
+        ``ExtzResult`` construction (~10 us/job, a real fraction of a
+        streamed batch's wall).  Empty/degenerate jobs carry reset
+        rows (max 0, coords -1, NEG_INF scores).
+        """
+        from ..core.flags import NEG_INF
+
+        if self._done:
+            raise RuntimeError("result() already consumed this handle")
+        out = np.empty((len(self._results), 9), np.int32)
+        out[:, (0, 8)] = 0
+        out[:, (1, 2, 4, 6)] = -1
+        out[:, (3, 5, 7)] = NEG_INF
+        filled = np.zeros(len(self._results), bool)
+        for i, ez in enumerate(self._results):
+            if ez is not None:                  # pre-reset (guard/empty)
+                filled[i] = True
+        for idxs, ps in self._resolve():
+            off = 0
+            for pce in ps:
+                arr = np.asarray(pce)
+                sub = np.asarray(idxs[off:off + arr.shape[0]])
+                if not self._guard:
+                    out[sub] = arr
+                filled[sub] = True
+                off += arr.shape[0]
+        self._done = True
+        assert filled.all()
+        return out
 
 
 def align_batch_scores(

@@ -181,6 +181,32 @@ def test_align_batch_scores2_matches_spec():
             (want.score, want.max, want.max_t, want.max_q, want.zdropped)
 
 
+def test_result_array_matches_results():
+    """PendingScores.result_array (the bulk serving accessor) must agree
+    field-for-field with the ExtzResult path, empty jobs included."""
+    import refcmp
+    from ksw2_tpu.batch.scheduler import (AlignJob,
+                                          align_batch_scores_async)
+    from ksw2_tpu.core.matrix import encode_dna
+
+    rng = np.random.default_rng(44)
+    mat = simple_mat(5, 2, 4)
+    jobs = [AlignJob(query=np.zeros(0, np.uint8),
+                     target=np.zeros(0, np.uint8))]   # empty job first
+    for L in (120, 300, 700):
+        t, q = refcmp.random_pair(rng, L, divergence=0.2, indel=0.08)
+        jobs.append(AlignJob(query=encode_dna(q), target=encode_dna(t)))
+    want = align_batch_scores_async(jobs, 5, mat, 4, 2, zdrop=100,
+                                    flag=Flag.SCORE_ONLY).result()
+    arr = align_batch_scores_async(jobs, 5, mat, 4, 2, zdrop=100,
+                                   flag=Flag.SCORE_ONLY).result_array()
+    assert arr.shape == (len(jobs), 9)
+    for i, w in enumerate(want):
+        assert tuple(arr[i]) == (w.max, w.max_t, w.max_q, w.mqe,
+                                 w.mqe_t, w.mte, w.mte_q, w.score,
+                                 int(w.zdropped)), i
+
+
 def test_align_batch_scores2_async_handles():
     """Several two-piece score batches in flight (the serving shape);
     each handle's results must match the synchronous path."""
