@@ -77,6 +77,8 @@ def main():
     rows = [
         ("mixed_512 sum(max) [-s -z100]",
          run_binary(jobs, "extz2_sse", ["-s", "-z", 100])[0], 165978),
+        ("mixed_512 extd sum(max) [-s -z100]",
+         run_binary(jobs, "extd2_sse", ["-s", "-z", 100])[0], 166480),
         ("whale extz cigar (max, ops) [-z100]",
          run_binary(whale, "extz2_sse", ["-z", 100]), (32960, 5953)),
         ("whale extd cigar (max, ops) [-z100]",

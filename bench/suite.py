@@ -516,6 +516,26 @@ def main():
          (8 * mcells / 1e9) / best_of(run_mixed_stream, n=3),
          "Gcells/s", baseline=0.95, live=live_mixed)
 
+    # TWO-PIECE streamed scores: the extd serving shape through
+    # align_batch_scores2_async (checksum reference-binary-validated:
+    # extd2_sse -s -z100 over the identical workload; regen via
+    # bench/regen_checksums.py)
+    from ksw2_tpu.batch.scheduler import align_batch_scores2_async
+
+    def run_mixed2_stream():
+        hs = [align_batch_scores2_async(jobs, 5, mat, 4, 2, 13, 1,
+                                        zdrop=100, flag=Flag.SCORE_ONLY)
+              for _ in range(8)]
+        for h in hs:
+            tot = int(h.result_array()[:, 0].sum())
+            assert tot == 166480, tot
+
+    emit("align_batch_mixed2_512_stream8_gcells_per_s",
+         (8 * mcells / 1e9) / best_of(run_mixed2_stream, n=3),
+         "Gcells/s",
+         live=ref_live_gcps(mpairs, mcells, "extd2_sse",
+                            ["-s", "-z", 100]))
+
     # strips engine row: the 17x~3000 bp "whale" bucket (the mixed row's
     # biggest compute block) on the strip-tiled engine — 4 reps fused in
     # ONE execution (this terminal's per-execution round trip is ~29 ms
