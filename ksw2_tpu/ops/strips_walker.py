@@ -1,4 +1,4 @@
-"""Run-based on-device walker over the strips engine's skewed byte store.
+"""Run-consuming on-device walker over the strips engine's byte store.
 
 The strips forward (``ops/wavefront_strips.py`` with ``prm.cig=1``)
 emits the reference's row-major direction bytes into a SKEWED store:
@@ -7,29 +7,40 @@ cell (pair p, target row i, query col j) lives at
     d8[i + j//128, p*S + j//128, j % 128]
 
 i.e. step index ``t = i + j//128`` and plane row ``g = p*S + j//128``.
-A per-op walk (one fetch+reduce per CIGAR op, as
-``ops/traceback_device.py`` does over the anti-diagonal layout) would
-DEGENERATE here: along an in-strip insertion run (up to 127 ops) both
-``t`` and ``g`` are constant, so the op-indexed grid stream stalls on
-one lane row.  Instead each visit reads ONE ``(t, g)`` lane row and
-consumes the whole in-row insertion run vectorized (the stop lane is a
-single cross-lane reduce over the per-lane continuation predicate), so
-``t`` strictly decreases every visit and total row-visits <= total ops
-— the same streaming invariant as the diagonal walker.
+The walker receives it TRANSPOSED per pair (strip-major: (S, n_t, 128))
+and caches the current strip's (blk, 128) plane in VMEM scratch,
+rebuilt by one leading-axis dynamic slice whenever the walk changes
+block or strip.
 
-Per-visit semantics replay ``ksw_backtrack`` (ksw2.h:129-161, one-piece
-codes 0=H 1=E 2=F with 0x08/0x10 continuation bits; the strips store is
-effectively unbanded so there are no band-edge force states).  The key
-observation making the run vectorizable: with incoming state F the walk
-emits an insertion at lane ``x`` iff ``byte[x]`` has 0x10 set OR its
-argmax code is 2 (continuation-bit clear resets to state 0, which
-re-derives ``d&7`` — code 2 re-enters F) — a pure per-lane predicate.
-The first lane <= l where it fails is where the walk leaves the row
-with an M or D step (code in {0,1}), which decreases ``i`` hence ``t``.
+Every visit consumes a whole CIGAR RUN, not one op — visits ~= number
+of runs, which is what makes the walk ~0.25 ms/pair at 3 kb:
 
-The walker emits BAM-encoded runs (``len<<4 | op``) instead of single
-ops; the host merges adjacent runs and applies the tail flush + reverse
-(``finish_runs``), mirroring ``traceback_device.finish_cigar``.
+* **M-runs** (state 0): after an M the state resets to 0, so the run
+  continues while ``code == 0`` along the diagonal (i-k, j-k) — the
+  line ``row - lane == const`` of the cached plane; one masked reduce
+  pulls the run's bytes and a cross-lane argmax finds the stop.
+* **I-runs** (states 2/4): one lane row holds the whole in-strip run.
+  One-piece: a per-lane predicate (bit 0x10 | code==2).  Five-state
+  (extd/exts): the state can alternate 2<->4 inside a run, so the stop
+  lane comes from composing per-lane automaton maps {2,4}->{2,4,stop}
+  with a 7-step suffix scan (associative, stop-absorbing).
+* **D/N-runs** (states 1/3): vertical same-state runs down the block
+  column (continuation bit | same code), consumed by one masked reduce
+  over the plane — the exts intron carry yields runs of hundreds of N
+  steps.
+
+Per-visit semantics replay ``ksw_backtrack`` (ksw2.h:129-161; one-piece
+codes 0=H 1=E 2=F with 0x08/0x10 continuation bits, two-piece adds
+E2/F2 with 0x20/0x40, exts state 3 = intron with 0x20 and op N when
+``min_intron_len > 0``; the strips store is effectively unbanded so
+there are no band-edge force states).  A batched call walks a whole
+launch: grid (pairs, blocks), per-block while-loop over actual visits.
+
+The walker emits BAM-encoded runs (``len<<4 | op``); the host merges
+adjacent runs and applies the tail flush + reverse (``finish_runs`` /
+``finish_runs_batch``), mirroring ``traceback_device.finish_cigar``.
+The fused batch entry points return records + start cells + capped
+runs as ONE flat int32 vector = one device->host fetch.
 """
 from __future__ import annotations
 

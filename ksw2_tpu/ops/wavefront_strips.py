@@ -34,8 +34,24 @@ tests/test_strips.py):
   steps to HBM.  The query-end stream (mqe) reuses the same rolled
   plane via decode, costing no extra roll.
 
-Reference semantics: ksw2_extz2_sse.c:150-286 (score-only, exact max);
-the merge-order tie key mirrors spec/common.py:exact_max_scan.
+Reference semantics: ksw2_extz2_sse.c:150-286 (exact max); the
+merge-order tie key mirrors spec/common.py:exact_max_scan.  Variants on
+the same pipeline, all selected by StripParams fields:
+
+* ``two`` — two-piece (extd) gap costs: a second E2 state plus an F2
+  prefix chain opened from the F-clamped H (the chain-decoupling lemma,
+  spec/strips_extd.py), stepped long_thres/long_diff boundaries, the
+  pre-swap H-seed offset, e2 Z-drop slope (ksw2_extd2_sse.c).
+* ``spl`` — spliced (exts): the intron state is a VERTICAL carry plane
+  (donor paid at open, acceptor at close, no decay — no extra scan);
+  donor/acceptor site CLASSES stream as two extra 2-bit word-plane
+  pairs beside the target symbols; no per-cell clamp; flat
+  post-long_thres boundary; Z-drop slope 0 (ksw2_exts2_sse.c).
+* ``cig`` — emit the reference's row-major direction bytes to a skewed
+  HBM store for the run-consuming device walker
+  (ops/strips_walker.py); two-piece bytes need a third F chain opened
+  from the full clamped H (the score chain under-reports F after
+  F2-valued cells — spec/strips_cigar.py).
 """
 from __future__ import annotations
 
